@@ -20,7 +20,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (MapReduceTasks.queries, MapReduceTasks.oracle),
-      (Relational.queries, Relational.oracle)
+      (Relational.queries, Relational.oracle),
+      (Windows.queries, Windows.oracle),
+      (ScalarFunctions.queries, ScalarFunctions.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

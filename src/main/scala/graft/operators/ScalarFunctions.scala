@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Scalar-function coverage: string / date-time / math / JSON / array
+  * functions, each exercised row-wise over a bounded key range so outputs
+  * stay small and totally ordered.
+  *
+  * Cross-engine parity notes (Spark vs DuckDB), encoded in the oracles:
+  *  - DuckDB `year()`/`row_number()` etc. return BIGINT; Spark INT → the
+  *    oracle casts to INTEGER.
+  *  - DuckDB `date_trunc('day', ts)` returns DATE; Spark returns TIMESTAMP
+  *    → oracle casts back to TIMESTAMP.
+  *  - Spark `unix_timestamp` floors to seconds; DuckDB `epoch()` keeps
+  *    micros as DOUBLE → oracle uses floor(epoch())::BIGINT.
+  *  - `round()` on raw DOUBLE diverges between engines (Spark rounds the
+  *    shortest decimal representation, DuckDB the binary value) → any
+  *    rounding here goes through DECIMAL first.
+  *  - Transcendentals (ln/exp/pow) are libm-dependent → only IEEE-exact
+  *    math (abs/ceil/floor/sqrt/mod/sign) is oracle-checked.
+  */
+object ScalarFunctions {
+
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 200)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        length(col("c_name")).as("len"),
+        concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat"),
+        regexp_replace(col("c_name"), "0", "").as("nozeros"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        split(col("c_name"), "#").getItem(1).as("name_num"),
+        when(col("c_name").contains("5"), 1).otherwise(0).as("has5"))
+      .orderBy("c_custkey")
+
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") <= 500)
+      .select(
+        col("event_id"), col("ts"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        date_trunc("day", col("ts")).as("day_start"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        (col("ts") + expr("INTERVAL 7 DAYS")).as("week_later"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"))
+      .orderBy("event_id")
+
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        abs(col("l_extendedprice") - 50000.0).as("abs_dev"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        sqrt(col("l_extendedprice")).as("sqrt_p"),
+        round(col("l_extendedprice").cast(DecimalType(15, 2)), 1)
+          .cast("double").as("round1_p"),
+        (col("l_orderkey") % 7).as("mod7"),
+        signum(col("l_extendedprice") - 50000.0).as("sign_dev"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") <= 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        array_min(col("embedding")).as("min_elem"),
+        array_max(col("embedding")).as("max_elem"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> (stringFuncs _),
+    "fn_date" -> (dateFuncs _),
+    "fn_math" -> (mathFuncs _),
+    "fn_json" -> (jsonFuncs _),
+    "fn_array" -> (arrayFuncs _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up,
+        |  lower(c_mktsegment) AS lo,
+        |  substr(c_name, 1, 8) AS sub,
+        |  CAST(length(c_name) AS INTEGER) AS len,
+        |  c_name || '-' || c_mktsegment AS cat,
+        |  regexp_replace(c_name, '0', '', 'g') AS nozeros,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  CASE WHEN c_name LIKE '%5%' THEN 1 ELSE 0 END AS has5
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+    "fn_date" ->
+      """SELECT event_id, ts,
+        |  CAST(year(ts) AS INTEGER) AS y,
+        |  CAST(month(ts) AS INTEGER) AS mo,
+        |  CAST(day(ts) AS INTEGER) AS d,
+        |  CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  ts + INTERVAL 7 DAY AS week_later,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since
+        |FROM events WHERE event_id <= 500 ORDER BY event_id""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  abs(l_extendedprice - 50000.0) AS abs_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |  sqrt(l_extendedprice) AS sqrt_p,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)), 1) AS DOUBLE) AS round1_p,
+        |  l_orderkey % 7 AS mod7,
+        |  CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS sign_dev
+        |FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS first_elem,
+        |  list_min(embedding) AS min_elem,
+        |  list_max(embedding) AS max_elem,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sumsq
+        |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Window-function operators: ranking, analytic (lag/lead), running and
+  * framed aggregates. Every window ordering includes a unique tiebreak
+  * column so results are total-order deterministic, and framed/running
+  * money sums aggregate DECIMAL (exact) then cast back to double — see
+  * [[Relational]] for the rationale.
+  */
+object Windows {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
+
+  /** Top-3 orders per customer by price: row_number + rank over a
+    * per-customer window. */
+  def rankTop3OrdersPerCust(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running (cumulative) spend per sampled user over the event stream. */
+  def runningValueByUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 25 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Per-user event-to-event value delta via lag(). */
+  def lagDeltaByUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 25 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta",
+        (dec(col("value")) - dec(col("prev_value"))).cast("double"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Customer wealth quartiles: ntile(4) + dense_rank + percent_rank over
+    * account balance. */
+  def ntileCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .orderBy("dr")
+  }
+
+  /** Moving 3-row quantity sum per supplier ordered by ship date
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). */
+  def movingSumSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("moving_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+      .orderBy(col("l_suppkey") +: order: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_top3_orders_per_cust" -> (rankTop3OrdersPerCust _),
+    "win_running_value_by_user" -> (runningValueByUser _),
+    "win_lag_delta_by_user" -> (lagDeltaByUser _),
+    "win_ntile_customers" -> (ntileCustomers _),
+    "win_moving_sum_supplier" -> (movingSumSupplier _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_top3_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running_value_by_user" ->
+      """SELECT user_id, event_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+        |FROM events WHERE user_id % 25 = 0 ORDER BY user_id, rn""".stripMargin,
+    "win_lag_delta_by_user" ->
+      """SELECT user_id, event_id, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  CAST(CAST(value AS DECIMAL(15,2)) - CAST(lag(value, 1) OVER w AS DECIMAL(15,2)) AS DOUBLE) AS delta
+        |FROM events WHERE user_id % 25 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "win_ntile_customers" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS dr,
+        |  percent_rank() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY dr""".stripMargin,
+    "win_moving_sum_supplier" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+        |FROM lineitem WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+  )
+}
