@@ -22,18 +22,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup for one-time JVM statics. The first executed upper()/
+    // lower() triggers CollationAwareUTF8String.<clinit> — Spark 4's ICU
+    // collation-table load — which costs 5-15 s once per JVM (per executor
+    // on a real cluster, amortized over the job). Paying it inside whichever
+    // query happens to run first skewed that query's number by >10x
+    // (observed via jstack: ICU UCharacter.toTitleCase under
+    // CollationSupport.Upper.execBinaryICU on the first fn_string task).
+    spark.range(1)
+      .selectExpr("upper('a') u", "lower('A') l", "initcap('a b') i",
+        "regexp_replace('a','a','b') r", "split('a,b', ',') s")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // A failing query's near-zero "timing" must not masquerade as a healthy
+    // fast run: list failures explicitly so the JSON is self-reporting.
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

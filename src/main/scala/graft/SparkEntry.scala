@@ -22,12 +22,19 @@ object SparkEntry {
       (MapReduceTasks.queries, MapReduceTasks.oracle),
       (Relational.queries, Relational.oracle),
       (Windows.queries, Windows.oracle),
-      (ScalarFunctions.queries, ScalarFunctions.oracle)
+      (ScalarFunctions.queries, ScalarFunctions.oracle),
+      (Events.queries, Events.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.iterator.map(_._1).reduce(_ ++ _)
+    // A name reused across modules would silently drop one pipeline while
+    // the independently-merged oracle map might keep the other's SQL.
+    require(modules.map(_._1.size).sum == merged.size,
+      "duplicate query name across operator modules")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

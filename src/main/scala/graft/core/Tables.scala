@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the analytic tables (TPC-H-ish star schema + events /
   * documents / embeddings), one parquet file per table under a scale-factor
@@ -25,7 +26,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  /** The events table's `ts` is physical parquet INT64 TIMESTAMP(NANOS),
+    * which Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a
+    * long (legacy nanosAsLong) and truncate nanos → micros with integer
+    * division — the same truncation DuckDB applies when it coerces
+    * TIMESTAMP_NS parquet to its micro-precision TIMESTAMP, so oracle
+    * comparisons stay bit-identical. `div` (integer division) is load-bearing:
+    * `/` would go through DOUBLE and lose precision above 2^53 ns. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

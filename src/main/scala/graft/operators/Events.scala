@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Event-stream (time-series) analytics over the `events` table: tumbling
+  * windows and gap-based sessionization — the batch formulations of the
+  * streaming pipelines in [[graft.streaming]].
+  *
+  * Scale notes: tumbling windows are a plain hash aggregation on the bucket
+  * key (partial → shuffle → final; no global sort until the final small
+  * ORDER BY); sessionization shuffles once on `user_id` and then computes
+  * both window passes over the same partitioning (Spark reuses the single
+  * Exchange for the lag and the running sum), so at 100 TB it is one shuffle
+  * of the events table, not three.
+  */
+object Events {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
+
+  /** Hourly tumbling-window aggregate per event type, via Spark's `window()`
+    * bucketing (epoch-aligned 1h tumble ≡ date_trunc('hour')). */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("bucket"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  /** Gap-based sessionization: a session breaks after 30 minutes of user
+    * inactivity. session_id is the running count of breaks per user; one
+    * output row per session with span and value totals. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(dec(col("value"))).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_tumbling_hourly" -> (tumblingHourly _),
+    "evt_sessionize" -> (sessionize _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "evt_tumbling_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}
