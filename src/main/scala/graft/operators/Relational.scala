@@ -57,7 +57,10 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: top 10 undelivered orders by revenue
-    * for one market segment. customer is broadcast (tiny dim). */
+    * for one market segment. orders and customer both scale with the data
+    * (fact and sf-proportional tables), so neither is broadcast: the joins
+    * shuffle on their keys and AQE picks broadcast at runtime only if a side
+    * actually turns out small. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -68,8 +71,8 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
@@ -92,7 +95,9 @@ object Relational {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust.as("c")), col("o_custkey") === col("c_custkey") &&
+      // customer is sf-proportional (billions of rows at 100 TB) — never
+      // force-broadcast it; shuffle on the join key and let AQE decide.
+      .join(cust.as("c"), col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -115,7 +120,8 @@ object Relational {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer scales with sf — shuffle join, AQE decides (see q5).
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
       .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))

@@ -56,14 +56,39 @@ object Windows {
   }
 
   /** Customer wealth quartiles: ntile(4) + dense_rank + percent_rank over
-    * account balance. */
+    * account balance.
+    *
+    * Deliberately NOT a global `Window.orderBy(...)` — an unpartitioned
+    * window moves the whole table into a single task. Instead: a distributed
+    * range-partitioned sort (`orderBy` = sample + range exchange), then
+    * `zipWithIndex` assigns contiguous global row numbers with one extra
+    * lightweight per-partition-count job — two passes, no single-partition
+    * stage, scale-safe at any size. Because the sort key includes the unique
+    * `c_custkey` tiebreak, the global row number IS the rank and the dense
+    * rank, so percent_rank and ntile derive from it and the total count in
+    * closed form (ntile: first n%k buckets get one extra row).
+    */
   def ntileCustomers(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("dr", dense_rank().over(w))
-      .withColumn("pr", percent_rank().over(w))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val base = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val n = base.count()
+    val sorted = base.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val schema = sorted.schema.add(StructField("rn", LongType, nullable = false))
+    val withRn = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+    val k = 4L
+    val small = n / k
+    val extras = n % k
+    val cut = extras * (small + 1)
+    withRn.select(
+      col("c_custkey"), col("c_acctbal"),
+      (when(col("rn") <= cut, floor((col("rn") - 1) / lit(small + 1)))
+        .otherwise(lit(extras) + floor((col("rn") - 1 - cut) / lit(math.max(small, 1L))))
+        + 1).cast("int").as("quartile"),
+      col("rn").cast("int").as("dr"),
+      ((col("rn") - 1).cast("double") / lit(math.max(n - 1, 1L))).as("pr"))
       .orderBy("dr")
   }
 
