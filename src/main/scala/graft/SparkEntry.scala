@@ -23,7 +23,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Windows.queries, Windows.oracle),
       (ScalarFunctions.queries, ScalarFunctions.oracle),
-      (Events.queries, Events.oracle)
+      (Events.queries, Events.oracle),
+      (Dedup.queries, Dedup.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data deduplication over the `documents` table: exact
+  * (content-hash), near-dup via n-gram Jaccard (inverted shingle index),
+  * MinHash-LSH (banded candidate generation + exact verification of
+  * candidates only), and SimHash fingerprinting.
+  *
+  * Portability contract: every hash that reaches the output (or decides
+  * which rows reach the output) is derived from md5 — `h60(x)` is the first
+  * 15 hex chars of md5(x) read as a 60-bit integer — because both Spark
+  * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB (fold over hex digits)
+  * can compute it bit-identically, making MinHash/SimHash results exactly
+  * oracle-checkable rather than "trust me" randomized.
+  *
+  * Scale notes (100 TB discipline):
+  *  - Exact dedup groups on a 256-bit content hash, never on the raw text —
+  *    the shuffle carries 32-byte keys, not documents.
+  *  - Jaccard uses the inverted-index join on 60-bit shingle hashes (8-byte
+  *    shuffle keys): only docs sharing a shingle ever meet; there is no
+  *    cross join anywhere. Ultra-frequent shingles are capped (maxDf) so a
+  *    stopword shingle cannot produce a quadratic pair blowup; the cap is
+  *    mirrored in the oracle and is far above any df in the test data.
+  *  - MinHash-LSH computes exact Jaccard only for banded candidate pairs
+  *    (set intersection of the two docs' shingle-hash arrays), which is the
+  *    point of LSH: verification cost scales with candidates, not pairs.
+  *  - SimHash is one pass over each doc's tokens (nested higher-order
+  *    aggregates, fully codegen'd), no explode of token rows.
+  */
+object Dedup {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a long. */
+  private def h60(x: String): String =
+    s"cast(conv(substr(md5($x), 1, 15), 16, 10) as bigint)"
+
+  /** (doc_id, toks) with whitespace tokenization. */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+
+  /** Distinct (doc_id, h) rows where h = h60 of a word 3-gram shingle. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "case when size(toks) >= 3 then transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+          "else array() end")).as("s"))
+      .select(col("doc_id"), expr(h60("s")).as("h"))
+      .distinct()
+
+  /** Exact duplicate clusters keyed by sha2-256 of the text: the kept
+    * representative (min doc_id) and the copy count. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via the inverted
+    * shingle-hash index — no all-pairs comparison. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 100000 // scale guard; no shingle in the test data comes close
+    val sh = shingleHashes(spark, dir)
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val shr = sh.join(rare, "h")
+    val card = shr.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val common = shr.select(col("doc_id").as("doc_a"), col("h"))
+      .join(shr.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(card.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(card.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("ca") + col("cb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash-LSH near-dedup: 16 portable minhashes per doc, banded 4×4;
+    * pairs sharing a band become candidates; exact Jaccard is computed for
+    * candidates only (array intersection of shingle-hash sets).
+    *
+    * The 16 hash functions use the standard double-hashing family
+    * h_j = h1 + j·h2 (mod P): only two md5s per shingle instead of 16, with
+    * h2 reduced below 2^56 so j·h2 + h1 < 2^61 never overflows int64 —
+    * DuckDB errors on BIGINT overflow, so the oracle needs this bound too.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val P = "2305843009213693951L" // 2^61 - 1 (Mersenne prime)
+    val shh = tokenized(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "case when size(toks) >= 3 then transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+          "else array() end")).as("s"))
+      .distinct()
+      .select(col("doc_id"), expr(h60("s")).as("h1"),
+        expr(h60("concat(s, '~')") + " % 72057594037927936L").as("h2m"))
+    val seeded = shh.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, 15), j -> (h1 + j * h2m) % $P)")).as(Seq("seed", "h")))
+    val sig = seeded.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+    val bandsTbl = sig
+      .groupBy(col("doc_id"), expr("seed div 4").as("band"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh").cast("string"))).as("bkey"))
+    val cand = bandsTbl.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bandsTbl.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = shh.groupBy("doc_id").agg(sort_array(collect_list(col("h1"))).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("common"),
+        size(col("hs_a")).cast("long").as("ca"), size(col("hs_b")).cast("long").as("cb"))
+      .filter(col("common") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("ca") + col("cb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash fingerprint per document (term-frequency weighted,
+    * portable h60 token hashes) + the size of each identical-fingerprint
+    * cluster. One pass per doc via nested higher-order aggregates. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = tokenized(spark, dir)
+      // hash every token exactly once, THEN fold 32 bit-planes over the
+      // hash array — not 32 recomputations of the md5s
+      .select(col("doc_id"),
+        expr("transform(toks, t -> " + h60("t") + ")").as("hs"))
+      .select(col("doc_id"),
+        expr(
+          "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + if(" +
+            "aggregate(hs, 0L, " +
+            "(a, h) -> a + (cast(shiftright(h, j) as bigint) & 1L) * 2L - 1L) > 0, " +
+            "shiftleft(1L, j), 0L))").as("simhash"))
+    sim
+      .withColumn("dup_group_size",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _)
+  )
+
+  // DuckDB equivalents. h60(x) =
+  //   list_reduce(list_transform(range(1,16), k ->
+  //     CAST(strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1 AS BIGINT)),
+  //     (a,b) -> a*16+b)
+  private def dh60(x: String): String =
+    s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+
+  private val shCte: String =
+    """toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |shg AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
+      |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM shg),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM sh GROUP BY h) WHERE df <= 100000),
+         |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |card AS (SELECT doc_id, COUNT(*) c FROM shr GROUP BY 1),
+         |common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) AS common
+         |           FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+         |FROM common JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+         |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shCte,
+         |shh AS (SELECT doc_id, ${dh60("s")} AS h1,
+         |          ${dh60("s || '~'")} % 72057594037927936 AS h2m FROM shg),
+         |hs AS (SELECT doc_id, seed, (h1 + seed * h2m) % 2305843009213693951 AS h
+         |       FROM shh, UNNEST(range(16)) AS se(seed)),
+         |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hs GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |hsh AS (SELECT doc_id, h1 AS h FROM shh),
+         |card AS (SELECT doc_id, COUNT(*) c FROM hsh GROUP BY 1),
+         |common AS (SELECT doc_a, doc_b, COUNT(*) AS common
+         |           FROM cand JOIN hsh x ON x.doc_id = doc_a
+         |                     JOIN hsh y ON y.doc_id = doc_b AND x.h = y.h
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+         |FROM common JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+         |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform(t, tk ->
+         |           ((${dh60("tk")} >> j) & 1) * 2 - 1)) > 0
+         |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |  FROM toks)
+         |SELECT doc_id, simhash,
+         |  COUNT(*) OVER (PARTITION BY simhash) AS dup_group_size
+         |FROM sim ORDER BY doc_id""".stripMargin
+  )
+}
