@@ -24,7 +24,8 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (ScalarFunctions.queries, ScalarFunctions.oracle),
       (Events.queries, Events.oracle),
-      (Dedup.queries, Dedup.oracle)
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -124,5 +124,7 @@ object Registry {
       "char_class_counts", exprs => CharClassCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "letter_histogram", exprs => LetterHistogram(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
   }
 }

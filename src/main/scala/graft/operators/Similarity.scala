@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Registry
+
+/** Similarity search over the `embeddings` table (`array<float>` vectors),
+  * using the codegen'd [[graft.functions.CosineSimilarity]] expression.
+  *
+  * Two shapes, mirroring how ANN systems are actually deployed:
+  *  - `sim_topk_exact`: a bounded query set against the whole corpus — the
+  *    exact brute-force baseline. The query set is broadcast, the corpus is
+  *    scanned once (cost linear in corpus size × |queries|); per-query
+  *    top-k via a window partitioned BY QUERY, so there is no global sort
+  *    and no all-pairs corpus×corpus join anywhere.
+  *  - `sim_topk_bucketed`: the IVF-style scale path — vectors are bucketed
+  *    by a precomputed coarse quantizer (the `label` column plays the role
+  *    of the trained IVF cell assignment) and each query searches only its
+  *    own bucket: a shuffle join on the bucket key replaces the corpus
+  *    scan, cutting cost by the bucket fan-out. Recall vs exact depends on
+  *    quantizer quality (deliberately poor on this synthetic data — see
+  *    SimilaritySpec which measures it against the exact baseline).
+  *
+  * Both are exactly oracle-checked: the DuckDB SQL folds the same
+  * float→double products in the same sequential order (list_reduce), so
+  * similarity doubles match bit-for-bit.
+  */
+object Similarity {
+
+  /** Top-10 exact cosine neighbors for query vectors vec_id 0..9. */
+  def topkExact(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("cosine_sim(qv, embedding)").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Top-5 cosine neighbors within each vector's quantizer bucket (label):
+    * every vector is a query, searched against its own bucket only. */
+  def topkBucketed(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.select(col("label"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("label"), col("vec_id"), col("embedding"))
+    q.join(c, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id"),
+        expr("cosine_sim(qv, embedding)").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("label"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_exact" -> (topkExact _),
+    "sim_topk_bucketed" -> (topkBucketed _)
+  )
+
+  /** Sequential-fold cosine in DuckDB, bit-matching CosineSimilarity. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))
+       |   * sqrt(list_reduce(list_transform(range(1, len($b) + 1),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_exact" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id <= 9),
+         |pairs AS (SELECT query_id, e.vec_id,
+         |    ${cosSql("qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+         |ranked AS (SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT query_id, vec_id, sim, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_bucketed" ->
+      s"""WITH pairs AS (SELECT q.vec_id AS query_id, q.label, e.vec_id,
+         |    ${cosSql("q.embedding", "e.embedding")} AS sim
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.label = e.label AND e.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, label, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT query_id, label, vec_id, sim, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}
