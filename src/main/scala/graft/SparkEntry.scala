@@ -25,7 +25,8 @@ object SparkEntry {
       (ScalarFunctions.queries, ScalarFunctions.oracle),
       (Events.queries, Events.oracle),
       (Dedup.queries, Dedup.oracle),
-      (Similarity.queries, Similarity.oracle)
+      (Similarity.queries, Similarity.oracle),
+      (TextAnalysis.queries, TextAnalysis.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline, over `documents`:
+  * language identification (stopword-profile scoring), per-corpus quality
+  * statistics, token counting (whitespace + a BPE-ish regex segmentation),
+  * and Karp-Rabin document fingerprinting.
+  *
+  * Determinism discipline: every group-level ratio is computed as one
+  * final double division of two exactly-summed integer counts — never an
+  * average of per-doc doubles, whose accumulation order would differ
+  * between Spark's partial aggregation and DuckDB. Tie-breaking in the
+  * language argmax is a fixed alphabetical CASE chain on both sides.
+  *
+  * Scale notes: everything here is a single scan of `documents` with
+  * per-doc expression work (codegen'd higher-order functions) followed by
+  * either a hash aggregation on low-cardinality keys (quality stats) or no
+  * aggregation at all — no joins, no windows except the fingerprint
+  * cluster count (hash-partitioned by fingerprint).
+  */
+object TextAnalysis {
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), "\\s+"))
+
+  /** Stopword-profile language ID: score per language = fraction of tokens
+    * in that language's profile; argmax with alphabetical tiebreak. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = profiles.foldLeft(tokenized(spark, dir)) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l",
+        expr(s"size(filter(toks, t -> t in ${inList(ws)}))").cast("double")
+          / size(col("toks")))
+    }
+    scored.select(
+      col("doc_id"), col("lang"),
+      expr(
+        """case when s_de >= greatest(s_en, s_es, s_fr, s_zh) then 'de'
+          |     when s_en >= greatest(s_es, s_fr, s_zh) then 'en'
+          |     when s_es >= greatest(s_fr, s_zh) then 'es'
+          |     when s_fr >= s_zh then 'fr'
+          |     else 'zh' end""".stripMargin).as("pred_lang"),
+      col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-(lang, source) corpus quality statistics from exact integer sums. */
+  def qualityStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("lang"), col("source"),
+        length(col("text")).as("chars"),
+        size(col("toks")).as("ntoks"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .as("digits"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .as("spaces"),
+        expr(s"size(filter(toks, t -> t in ${inList(profiles.toMap.apply("en"))}))")
+          .as("stops"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(col("ntoks")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("punct")).cast("double") / sum(col("chars"))).as("punct_ratio"),
+        (sum(col("digits")).cast("double") / sum(col("chars"))).as("digit_ratio"),
+        (sum(col("spaces")).cast("double") / sum(col("chars"))).as("space_ratio"),
+        (sum(col("stops")).cast("double") / sum(col("ntoks"))).as("stopword_ratio"))
+      .orderBy("lang", "source")
+
+  /** Whitespace vs BPE-ish token counts per document. The segmentation
+    * regex ([a-z]+ | digit runs | single other chars) is deliberately
+    * simple enough to behave identically in Java and RE2 regex dialects. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .withColumn("chars_per_bpe_token",
+        col("n_chars_measured").cast("double") / greatest(col("n_bpe_tokens"), lit(1)))
+      .orderBy("doc_id")
+
+  /** Karp-Rabin rolling-hash fingerprint over the token stream (base 131,
+    * mod 2^31-1, token hashes folded in order) + identical-fingerprint
+    * cluster size. Sequential fold is mirrored in the oracle. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), expr(
+        "aggregate(transform(toks, t -> " +
+          "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 2147483647L), " +
+          "0L, (acc, h) -> (acc * 131L + h) % 2147483647L)").as("fingerprint"))
+      .withColumn("fp_group_size",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lang_id" -> (langId _),
+    "ta_quality_stats" -> (qualityStats _),
+    "ta_token_stats" -> (tokenStats _),
+    "ta_fingerprint" -> (fingerprint _)
+  )
+
+  private val dToks = """string_split_regex(text, '\s+')"""
+
+  val oracle: Map[String, String] = Map(
+    "ta_lang_id" -> {
+      val scores = profiles.map { case (l, ws) =>
+        s"CAST(len(list_filter($dToks, t -> t IN ${inList(ws)})) AS DOUBLE) / len($dToks) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  s_de, s_en, s_es, s_fr, s_zh
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "ta_quality_stats" ->
+      s"""WITH d AS (SELECT lang, source,
+         |  CAST(length(text) AS INTEGER) AS chars,
+         |  CAST(len($dToks) AS INTEGER) AS ntoks,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INTEGER) AS punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS digits,
+         |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS INTEGER) AS spaces,
+         |  CAST(len(list_filter($dToks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER) AS stops
+         |FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         |  CAST(SUM(ntoks) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         |  CAST(SUM(punct) AS DOUBLE) / SUM(chars) AS punct_ratio,
+         |  CAST(SUM(digits) AS DOUBLE) / SUM(chars) AS digit_ratio,
+         |  CAST(SUM(spaces) AS DOUBLE) / SUM(chars) AS space_ratio,
+         |  CAST(SUM(stops) AS DOUBLE) / SUM(ntoks) AS stopword_ratio
+         |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "ta_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($dToks) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+         |  CAST(length(text) AS DOUBLE) /
+         |    greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1) AS chars_per_bpe_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform($dToks, t ->
+         |      list_reduce(list_transform(range(1,16), k ->
+         |        CAST(strpos('0123456789abcdef', substr(md5(t), k, 1)) - 1 AS BIGINT)),
+         |        (a,b) -> a*16+b) % 2147483647)),
+         |    (acc, h) -> (acc * 131 + h) % 2147483647) AS fingerprint
+         |FROM documents)
+         |SELECT doc_id, fingerprint,
+         |  COUNT(*) OVER (PARTITION BY fingerprint) AS fp_group_size
+         |FROM fp ORDER BY doc_id""".stripMargin
+  )
+}
