@@ -1,0 +1,41 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.Registry
+import graft.operators.MapReduceTasks
+import graft.sources.{DocSource, TextSink}
+
+/** Task-dispatch CLI with the reference driver's argument semantics
+  * (main.cpp:68-95) minus the MPI worker counts, which Spark owns:
+  *
+  *   Main <inputDir> <numFiles> <outputPath> <taskNum>
+  *
+  * Reads `{inputDir}/{i}.txt` for i < numFiles, runs map task 1/2/3, and
+  * writes the key-sorted `"key value"` single-file output — the exact
+  * shape graded by the reference's golden files.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: graft.cli.Main <inputDir> <numFiles> <outputPath> <taskNum>")
+    val Array(inputDir, numFiles, outputPath, taskNum) = args
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Registry.register(spark)
+    val docs = DocSource.read(spark, inputDir, numFiles.toInt)
+    val result = taskNum.toInt match {
+      case 1 => MapReduceTasks.task1(docs)
+      case 2 => MapReduceTasks.task2(docs)
+      case 3 => MapReduceTasks.task3(docs)
+      case n => throw new IllegalArgumentException(s"unknown task $n (1|2|3)")
+    }
+    TextSink.writeGoldenFile(result, outputPath)
+    spark.stop()
+  }
+}
