@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming formulations of the engine's pipelines. Each is a
+  * pure transformation over an unbounded DataFrame/Dataset — source- and
+  * sink-agnostic, so the same code runs from Kafka, files, or the
+  * MemoryStream used in tests.
+  *
+  * The reference is strictly batch; its map→shuffle→reduce barrier
+  * (main.cpp:236-266 sentinel protocol) corresponds to Complete-mode
+  * aggregation here, while the watermarked variants are the incremental
+  * generalization the reference cannot express.
+  *
+  * Scale notes: streaming state is keyed and hash-partitioned (word,
+  * window×type, user) — state size is bounded by key cardinality, and the
+  * watermark bounds how long window/session state is retained. No
+  * unpartitioned state anywhere.
+  */
+object StreamingPipelines {
+
+  /** The reference word-count pipeline over a stream of documents
+    * (`content` string column). Complete-mode aggregation: the running
+    * totals are the stream analog of the batch reduce. */
+  def wordCount(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("content"), "\\s+")).as("key"))
+      .filter(length(col("key")) > 0)
+      .groupBy("key")
+      .agg(count(lit(1)).as("value"))
+
+  /** Hourly tumbling-window counts per event type with a 2-hour watermark:
+    * late events beyond the watermark are dropped, windows finalize (and
+    * their state is freed) once the watermark passes window end. Append
+    * mode compatible. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n_events"))
+
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, session_value: Double)
+  /** Open-session accumulator (epoch millis bounds). */
+  case class SessionState(start: Long, end: Long, n: Long, value: Double)
+
+  /** Gap-based sessionization (30-minute inactivity) via
+    * flatMapGroupsWithState with event-time timeout — the streaming
+    * equivalent of [[graft.operators.Events.sessionize]]. A session is
+    * emitted when a new event arrives past the gap, or when the watermark
+    * passes the open session's end + gap (timeout). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(s: SessionState) = SessionOut(
+        userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[SessionOut]
+        var open = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          open = open match {
+            case Some(s) if t - s.end <= gapMs =>
+              Some(s.copy(end = math.max(s.end, t), n = s.n + 1, value = s.value + e.value))
+            case Some(s) =>
+              closed ::= emit(s)
+              Some(SessionState(t, t, 1, e.value))
+            case None =>
+              Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamingPipelines.{Event, SessionOut}
+
+class StreamingPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000)
+
+  test("streaming wordCount accumulates counts across batches (Complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingPipelines.wordCount(in.toDF().withColumnRenamed("value", "content"))
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData("a b a", "c")
+      q.processAllAvailable()
+      val m1 = spark.table("wc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m1 == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      in.addData("a c")
+      q.processAllAvailable()
+      val m2 = spark.table("wc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m2 == Map("a" -> 3L, "b" -> 1L, "c" -> 2L))
+    } finally q.stop()
+  }
+
+  test("tumbling window finalizes only after the watermark passes (Append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingPipelines.tumblingHourly(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("tw").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(10), "click"), (ts(20), "click"), (ts(70), "view"))
+      q.processAllAvailable()
+      // watermark = max(70min) - 2h < 0: nothing finalized yet
+      assert(spark.table("tw").count() == 0)
+      // push the watermark past hour-0 and hour-1 ends (requires
+      // max ts - 2h >= 120min, and one more batch for the new watermark to
+      // take effect — watermarks advance at batch boundaries)
+      in.addData((ts(300), "view"))
+      q.processAllAvailable()
+      in.addData((ts(301), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tw").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, "click", 2L), (60L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits a session when the gap is exceeded in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingPipelines.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // three events inside one session, then one 40 min later → closes it.
+      // (timestamps start past 0 — a row at the current watermark is late)
+      in.addData(
+        Event(7, 1, ts(10), 1.0), Event(7, 2, ts(20), 2.0), Event(7, 3, ts(30), 3.0))
+      q.processAllAvailable()
+      in.addData(Event(7, 4, ts(70), 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[SessionOut].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 7 && s.n_events == 3 && s.session_value == 6.0)
+      assert(s.session_start == ts(10) && s.session_end == ts(30))
+    } finally q.stop()
+  }
+
+  test("sessionize closes an idle session via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingPipelines.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess2").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, 1, ts(10), 5.0))
+      q.processAllAvailable()
+      // another user's much-later events advance the watermark past
+      // user 1's session end + gap → timeout fires, session emitted.
+      // Two batches: the watermark computed from batch N applies in N+1.
+      in.addData(Event(2, 2, ts(300), 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, 3, ts(301), 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess2").as[SessionOut].collect().filter(_.user_id == 1)
+      assert(sessions.length == 1 && sessions.head.n_events == 1)
+    } finally q.stop()
+  }
+}
