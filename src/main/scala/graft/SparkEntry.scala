@@ -26,7 +26,8 @@ object SparkEntry {
       (Events.queries, Events.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
-      (TextAnalysis.queries, TextAnalysis.oracle)
+      (TextAnalysis.queries, TextAnalysis.oracle),
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

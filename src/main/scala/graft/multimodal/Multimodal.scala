@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal column support: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with typed metadata, and
+  * decode/feature-extract runs partition-wise in batches — the exact shape
+  * a Python `mapInPandas`/Arrow pipeline has, expressed with typed Scala
+  * `mapPartitions` here.
+  *
+  * The DECODER IS A STUB: [[StubDecoder]] derives deterministic fake
+  * dimensions and features from the raw bytes, standing in for the actual
+  * image/audio codec libraries that are not available in this environment.
+  * Everything around it — the media schema, the binary column handling, the
+  * batch iteration shape, the typed output encoder, the partition-local
+  * execution with no driver involvement — is real and tested, so swapping
+  * in a real codec is a one-object change.
+  *
+  * Scale notes: decode work is embarrassingly parallel per partition; batch
+  * iteration bounds peak memory to `batchSize` decoded items per task;
+  * metadata aggregation afterwards is an ordinary hash agg on a
+  * low-cardinality key. Binary payloads never pass through the driver.
+  */
+case class MediaRecord(doc_id: Long, media_type: String, media: Array[Byte])
+case class DecodedMedia(width: Int, height: Int, feature: Array[Float])
+case class MediaFeatures(
+    doc_id: Long, media_type: String, n_bytes: Long,
+    width: Int, height: Int, feature: Array[Float])
+
+trait MediaDecoder extends Serializable {
+  def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia
+}
+
+/** Deterministic fake decoder (STUB — see class docs above). Dimensions and
+  * the 8-dim "feature" are pure functions of the payload bytes, so results
+  * are reproducible and SQL-mirrorable for the oracle. */
+object StubDecoder extends MediaDecoder {
+  override def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia = {
+    val n = bytes.length
+    val width = (n % 64) + 1
+    val height = ((n * 7) % 64) + 1
+    val feature = Array.tabulate(8) { i =>
+      var s = 0L
+      var j = i
+      while (j < n) { s += bytes(j) & 0xff; j += 8 }
+      s.toFloat
+    }
+    DecodedMedia(width, height, feature)
+  }
+}
+
+object Multimodal {
+
+  /** Synthesizes a media table from `documents` (no binary table ships in
+    * the testdata): payload = UTF-8 bytes of the text, media_type cycles
+    * image/audio/video by doc_id. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
+        .as("media_type"),
+      col("text").cast("binary").as("media"))
+
+  /** Partition-wise batched decode: the multimodal hot path. One task
+    * decodes its partition in `batchSize` chunks (bounding peak decoded
+    * memory), emitting typed feature rows. */
+  def featureExtract(
+      media: Dataset[MediaRecord],
+      decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val d = decoder.decode(r.media_type, r.media)
+          MediaFeatures(r.doc_id, r.media_type, r.media.length.toLong,
+            d.width, d.height, d.feature)
+        }
+      }
+    }
+  }
+
+  /** Metadata stats per media type over the decoded stream — the
+    * oracle-gated query exercising the full binary→decode→aggregate path. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    featureExtract(media, StubDecoder)
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+        (sum(col("height")).cast("double") / count(lit(1))).as("avg_height"))
+      .orderBy("media_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_stats" -> (mediaStats _)
+  )
+
+  /** The oracle re-derives the stub's deterministic metadata arithmetic in
+    * SQL over the same payload bytes. */
+  val oracle: Map[String, String] = Map(
+    "mm_media_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
+        |SELECT media_type, COUNT(*) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(n_bytes % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_width,
+        |  CAST(SUM((n_bytes * 7) % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_height
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
+  )
+}
