@@ -1,0 +1,124 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fast codegen implementations of the engine's portable md5-derived
+  * hashes. Definitionally identical to the SQL formulations the DuckDB
+  * oracles use — `portable_hash60(x)` IS
+  * `cast(conv(substr(md5(x),1,15),16,10) as bigint)` — but computed
+  * straight from the digest bytes, skipping the hex-string materialization
+  * and radix parse that dominated the dedup queries' profiles.
+  */
+object HashUtil {
+  private val tl: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex digits of md5(s) as a 60-bit long: digest bytes 0..6
+    * carry nibbles 0..13, plus the high nibble of byte 7. */
+  def hash60(s: UTF8String): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** 32-bit TF-weighted simhash over an array of tokens — one pass, equal
+    * by definition to folding `(hash60(t) >> j & 1) * 2 - 1` per bit plane
+    * and setting bit j where the sum is positive. */
+  def simhash32(toks: ArrayData): Long = {
+    val counters = new Array[Int](32)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash60(toks.getUTF8String(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 32) {
+      if (counters(j) > 0) acc |= 1L << j
+      j += 1
+    }
+    acc
+  }
+}
+
+/** `portable_hash60(str)` → bigint. See [[HashUtil.hash60]]. */
+case class PortableHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"portable_hash60 expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.hash60($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60 =
+    copy(child = newChild)
+}
+
+/** `simhash32(array<string>)` → bigint. Null if the array (or any token,
+  * matching the HOF formulation's null poisoning) is null. */
+case class Simhash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    HashUtil.simhash32(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val hasNull = ctx.freshName("hasNullTok")
+      s"""
+        boolean $hasNull = false;
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          if ($c.isNullAt($i)) { $hasNull = true; break; }
+        }
+        if ($hasNull) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.HashUtil.simhash32($c);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}

@@ -34,14 +34,18 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** Portable 60-bit hash: first 15 hex chars of md5, as a long. */
-  private def h60(x: String): String =
-    s"cast(conv(substr(md5($x), 1, 15), 16, 10) as bigint)"
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a long —
+    * definitionally `cast(conv(substr(md5(x),1,15),16,10) as bigint)`,
+    * computed by the codegen expression [[graft.functions.PortableHash60]]
+    * (same value, no hex-string round trip). */
+  private def h60(x: String): String = s"portable_hash60($x)"
 
   /** (doc_id, toks) with whitespace tokenization. */
-  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+  private def tokenized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+  }
 
   /** Distinct (doc_id, h) rows where h = h60 of a word 3-gram shingle. */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
@@ -104,23 +108,29 @@ object Dedup {
       .distinct()
       .select(col("doc_id"), expr(h60("s")).as("h1"),
         expr(h60("concat(s, '~')") + " % 72057594037927936L").as("h2m"))
-    val seeded = shh.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, 15), j -> (h1 + j * h2m) % $P)")).as(Seq("seed", "h")))
-    val sig = seeded.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-    val bandsTbl = sig
-      .groupBy(col("doc_id"), expr("seed div 4").as("band"))
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("bkey"))
-    val cand = bandsTbl.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(bandsTbl.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+    // ONE aggregation computes the full 16-hash signature (16 min columns —
+    // no seed explosion, so the shuffle carries each shingle once, not 16x)
+    // AND the doc's shingle-hash set for candidate verification. Every
+    // downstream use shares this subtree, so Spark's exchange reuse executes
+    // the shingle scan + shuffle once.
+    val minCols = (0 until 16).map(j =>
+      min(expr(s"(h1 + $j * h2m) % $P")).cast("string").as(s"mh$j"))
+    val perDoc = shh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h1"))).as("hs"), minCols: _*)
+    val bands = perDoc.selectExpr("doc_id",
+      """stack(4,
+        |  0, concat_ws(',', mh0, mh1, mh2, mh3),
+        |  1, concat_ws(',', mh4, mh5, mh6, mh7),
+        |  2, concat_ws(',', mh8, mh9, mh10, mh11),
+        |  3, concat_ws(',', mh12, mh13, mh14, mh15)) as (band, bkey)""".stripMargin)
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = shh.groupBy("doc_id").agg(sort_array(collect_list(col("h1"))).as("hs"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("common"),
         size(col("hs_a")).cast("long").as("ca"), size(col("hs_b")).cast("long").as("cb"))
@@ -136,17 +146,10 @@ object Dedup {
     * portable h60 token hashes) + the size of each identical-fingerprint
     * cluster. One pass per doc via nested higher-order aggregates. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // one-pass codegen expression: per token one md5, 32 stack counters —
+    // equal by definition to the bit-plane HOF fold the oracle SQL uses
     val sim = tokenized(spark, dir)
-      // hash every token exactly once, THEN fold 32 bit-planes over the
-      // hash array — not 32 recomputations of the md5s
-      .select(col("doc_id"),
-        expr("transform(toks, t -> " + h60("t") + ")").as("hs"))
-      .select(col("doc_id"),
-        expr(
-          "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + if(" +
-            "aggregate(hs, 0L, " +
-            "(a, h) -> a + (cast(shiftright(h, j) as bigint) & 1L) * 2L - 1L) > 0, " +
-            "shiftleft(1L, j), 0L))").as("simhash"))
+      .select(col("doc_id"), expr("simhash32(toks)").as("simhash"))
     sim
       .withColumn("dup_group_size",
         count(lit(1)).over(Window.partitionBy(col("simhash"))))

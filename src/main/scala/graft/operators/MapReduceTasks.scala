@@ -21,6 +21,17 @@ import graft.functions.Registry
   * is ≤26 rows, and Spark's partial (map-side) aggregation collapses those
   * to ≤26 rows per partition before the shuffle, something the reference
   * lacks entirely (it ships every raw KV over the wire, main.cpp:204-225).
+  *
+  * Character-unit decision (deliberate, documented divergence): the
+  * reference counts BYTES (`strlen`, tasks.c:14/54/99); these pipelines
+  * count CODEPOINTS (`length`, and `others` = numChars − letters − digits
+  * in CharClassCounts). The two agree on any ASCII corpus — verified
+  * byte-exact against all three golden outputs (GoldenParitySpec; the
+  * sample corpus is pure ASCII) — and codepoints are the right unit for a
+  * multilingual documents table: one é is one character, not two bytes.
+  * The DuckDB oracle's `length` is also codepoints, keeping the
+  * correctness gate aligned. Byte-parity on non-ASCII input, if ever
+  * needed, is `octet_length` on both sides.
   */
 object MapReduceTasks {
 

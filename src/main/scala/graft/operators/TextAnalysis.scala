@@ -35,9 +35,11 @@ object TextAnalysis {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+  private def tokenized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), "\\s+"))
+  }
 
   /** Stopword-profile language ID: score per language = fraction of tokens
     * in that language's profile; argmax with alphabetical tiebreak. */
@@ -104,8 +106,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
       .select(col("doc_id"), expr(
-        "aggregate(transform(toks, t -> " +
-          "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 2147483647L), " +
+        "aggregate(transform(toks, t -> portable_hash60(t) % 2147483647L), " +
           "0L, (acc, h) -> (acc * 131L + h) % 2147483647L)").as("fingerprint"))
       .withColumn("fp_group_size",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** The codegen hash expressions must equal their SQL definitions (which the
+  * DuckDB oracles also compute) on arbitrary input — this is the
+  * equivalence that keeps the dedup/text queries oracle-exact. */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strings(n: Int): Seq[String] = {
+    val gen = Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      1 -> Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', 'é', '中', '\n')))
+        .map(_.mkString),
+      1 -> Gen.const(""))
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+  }
+
+  test("portable_hash60 == cast(conv(substr(md5(x),1,15),16,10) as bigint)") {
+    Registry.register(spark)
+    val rows = strings(200).toDF("s")
+      .selectExpr("portable_hash60(s) as fast",
+        "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) as ref")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("simhash32(toks) == the bit-plane HOF fold") {
+    Registry.register(spark)
+    val docs = strings(50).filter(_.nonEmpty).toDF("text")
+      .selectExpr("split(text, '\\\\s+') as toks")
+    val rows = docs.selectExpr(
+      "simhash32(toks) as fast",
+      """aggregate(sequence(0, 31), 0L, (acc, j) -> acc + if(
+        |  aggregate(transform(toks, t -> portable_hash60(t)), 0L,
+        |    (a, h) -> a + (cast(shiftright(h, j) as bigint) & 1L) * 2L - 1L) > 0,
+        |  shiftleft(1L, j), 0L))""".stripMargin + " as ref")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}

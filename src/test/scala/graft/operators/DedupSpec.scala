@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Unit semantics of the dedup operators on a corpus with planted
+  * duplicates (written to a temp parquet dir shaped like the documents
+  * table, since the shipped testdata has no exact dups). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val tmp = Files.createTempDirectory("graft-dedup").toString
+    // 31 distinct tokens → 29 distinct shingles; swapping the final token
+    // keeps 26 of them: jaccard 26/32 ≈ 0.81, just over the 0.8 threshold
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") + " today"
+    val near = base.replace("today", "tomorrow")
+    val other = "completely different content with nothing shared at all here"
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),     // exact dup of 0
+      (2L, near, "en", "src2", near.length.toLong),     // near dup of 0
+      (3L, other, "en", "src3", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("exact dedup clusters identical texts under the min doc_id") {
+    val out = Dedup.exactDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("ngram jaccard finds the exact pair at 1.0 and the near pair above 0.8") {
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0)
+    assert(pairs.keySet.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
+  }
+
+  test("minhash-lsh candidates cover the true near-dup pairs here") {
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs share every band; the 0.89-jaccard pair survives 4x4
+    // banding with overwhelming probability under these fixed hashes
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs share a fingerprint, group sizes reflect it") {
+    val rows = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L)._1 == rows(1L)._1)
+    assert(rows(0L)._2 == 2 && rows(1L)._2 == 2)
+    assert(rows(3L)._1 != rows(0L)._1)
+  }
+
+  test("fingerprint: exact dups collide, different docs do not") {
+    val rows = graft.operators.TextAnalysis.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L)._1 == rows(1L)._1 && rows(0L)._2 == 2)
+    assert(rows(3L)._1 != rows(0L)._1)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Cross-cutting checks over the whole query inventory at sf0.001: every
+  * declared query must analyze, execute, and keep its scale-discipline
+  * plan invariants. */
+class OperatorsSpec extends SparkSpec {
+
+  test("every SparkEntry query executes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"query $name failed to execute")
+    }
+  }
+
+  test("queries with guaranteed-nonempty results return rows at sf0.001") {
+    val stable = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q10_returned_items", "join_broadcast_brand_revenue",
+      "join_semi_customers_with_orders", "join_outer_nation_customers",
+      "agg_distinct_orders", "agg_rollup_region_nation",
+      "agg_cube_status_priority", "topk_orders", "setops_nations",
+      "mr_map1_char_classes", "mr_map2_letter_histogram",
+      "mr_map3_keyword_gen", "mr_wordcount",
+      "win_rank_top3_orders_per_cust", "win_ntile_customers",
+      "win_moving_sum_supplier", "fn_string", "fn_math", "fn_array",
+      "fn_date", "fn_json", "evt_tumbling_hourly", "evt_sessionize",
+      "dedup_exact", "dedup_simhash", "ta_lang_id", "ta_quality_stats",
+      "ta_token_stats", "ta_fingerprint", "sim_topk_exact",
+      "sim_topk_bucketed", "mm_media_stats")
+    stable.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
+        s"query $name returned no rows")
+    }
+  }
+
+  test("every query's oracle entry exists or is a declared rows-only check") {
+    // every queries key should have oracle SQL (all of ours are
+    // SQL-expressible); catches a renamed key on one side only
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle SQL without queries: $orphaned")
+  }
+
+  test("no shipped plan contains an unpartitioned (single-task) Window") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val global = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"query $name has a global Window over ${global.map(_.windowExpressions)}")
+    }
+  }
+
+  test("fact and sf-proportional tables are never broadcast-hinted") {
+    // the hint would appear in the analyzed plan; orders/customer/lineitem
+    // scale with the data and must be left to AQE
+    val joinHeavy = Seq("q3_shipping_priority", "q5_local_supplier",
+      "q10_returned_items", "join_broadcast_brand_revenue")
+    joinHeavy.foreach { name =>
+      val analyzed = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed
+      import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+      val hintedScans = analyzed.collect { case h: ResolvedHint =>
+        h.child.collectLeaves().map(_.toString)
+      }.flatten
+      val bad = hintedScans.filter(s =>
+        s.contains("orders.parquet") || s.contains("customer.parquet") ||
+          s.contains("lineitem.parquet"))
+      assert(bad.isEmpty, s"query $name broadcast-hints a scaling table: $bad")
+    }
+  }
+}

