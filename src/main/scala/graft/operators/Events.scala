@@ -59,9 +59,32 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join, expressed scalably: for every click event, the most
+    * recent error event at-or-before it for the same user. Instead of a
+    * join (which Spark lacks native as-of support for), the two event
+    * streams ride one partitioned window pass: a running `max(ts) where
+    * type = 'error'` over the (user, time)-ordered stream gives each click
+    * its as-of match — one shuffle on user_id, no range join, no
+    * broadcast. Tie order at equal ts is event_id, identically on both
+    * sides. */
+  def asofLastError(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("last_error_ts",
+        max(when(col("event_type") === "error", col("ts"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("last_error_ts"),
+        (col("ts").cast("long") - col("last_error_ts").cast("long")).as("gap_s"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling_hourly" -> (tumblingHourly _),
-    "evt_sessionize" -> (sessionize _)
+    "evt_sessionize" -> (sessionize _),
+    "evt_asof_last_error" -> (asofLastError _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,6 +111,18 @@ object Events {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+    "evt_asof_last_error" ->
+      """WITH ce AS (SELECT user_id, event_id, event_type, ts FROM events
+        |            WHERE event_type IN ('click', 'error')),
+        |marked AS (SELECT user_id, event_id, event_type, ts,
+        |    MAX(CASE WHEN event_type = 'error' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+        |  FROM ce)
+        |SELECT user_id, event_id, ts, last_error_ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_error_ts)) AS BIGINT) AS gap_s
+        |FROM marked WHERE event_type = 'click'
+        |ORDER BY user_id, ts, event_id""".stripMargin
   )
 }

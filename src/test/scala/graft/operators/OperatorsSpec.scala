@@ -57,6 +57,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("filters and projections are pushed into the parquet scans") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def formatted(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+    // q1: the lineitem scan must read only the 7 needed columns of 16 and
+    // carry the shipdate predicate down to parquet
+    val q1 = formatted("q1_pricing_summary")
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val readSchema = q1.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"q1 scan reads unneeded columns: $readSchema")
+
+    // fn_string: the custkey range filter reaches the customer scan
+    val fs = formatted("fn_string")
+    assert(fs.contains("PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,200)]"))
+
+    // dedup_exact: column pruning keeps lang/source/n_chars out of the scan
+    val de = formatted("dedup_exact")
+    val deSchema = de.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(deSchema.contains("text") && !deSchema.contains("lang") &&
+      !deSchema.contains("n_chars"), s"dedup_exact scan not pruned: $deSchema")
+  }
+
   test("fact and sf-proportional tables are never broadcast-hinted") {
     // the hint would appear in the analyzed plan; orders/customer/lineitem
     // scale with the data and must be left to AQE
