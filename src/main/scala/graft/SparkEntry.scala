@@ -27,7 +27,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
-      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle)
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
+      (AdvancedAggs.queries, AdvancedAggs.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

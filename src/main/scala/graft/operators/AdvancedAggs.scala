@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Advanced aggregation shapes: exact interpolated percentiles, pivot
+  * (cross-tab), and salted two-stage aggregation — the standard hot-key
+  * skew mitigation, shipped as a first-class operator.
+  *
+  * Percentile portability: Spark's exact `percentile` and DuckDB's
+  * `quantile_cont` share the same linear-interpolation definition and were
+  * verified bit-identical on this data; both sides sort exact doubles, so
+  * no accumulation-order hazard exists.
+  */
+object AdvancedAggs {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
+
+  /** Exact price/quantity percentiles per return flag. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"))
+      .orderBy("l_returnflag")
+
+  /** Cross-tab: order counts per priority pivoted over the status domain. */
+  def pivotPriorityByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Top spenders via salted two-stage aggregation: stage 1 groups on
+    * (user_id, salt) so a hot user's rows spread across `salts` reducers,
+    * stage 2 merges the partials per user. Decimal partials make the
+    * result bit-equal to the direct single-stage aggregation (which the
+    * oracle computes) — salting changes the plan, never the answer. */
+  def saltedTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), (col("event_id") % salts).as("salt"))
+      .agg(sum(dec(col("value"))).as("pv"), count(lit(1)).as("pn"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pv")).cast("double").as("total_value"),
+        sum(col("pn")).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentiles" -> (percentiles _),
+    "agg_pivot_priority_by_status" -> (pivotPriorityByStatus _),
+    "agg_salted_top_users" -> (saltedTopUsers _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot_priority_by_status" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_salted_top_users" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin
+  )
+}
