@@ -98,15 +98,76 @@ object ScalarFunctions {
           (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"))
       .orderBy("vec_id")
 
+  /** Second string batch: edit distance, character mapping, trimming,
+    * positional extraction — all functions verified value-identical across
+    * Spark and DuckDB. */
+  def stringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 150)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+        translate(col("c_name"), "0123456789", "ABCDEFGHIJ").as("tr"),
+        reverse(col("c_name")).as("rev"),
+        repeat(substring(col("c_name"), 1, 2), 3).as("rep"),
+        ascii(col("c_name")).as("first_code"),
+        instr(col("c_name"), "1").as("pos1"),
+        expr("left(c_name, 3)").as("l3"),
+        expr("right(c_name, 3)").as("r3"),
+        expr("btrim(c_name, 'C')").as("trimmed"))
+      .orderBy("c_custkey")
+
+  /** Second date batch: quarter/day-of-year/ISO weekday arithmetic,
+    * month-end, day offsets. Weekday is normalized to ISO (1 = Monday) on
+    * both sides — Spark's weekday() is 0-based Monday, DuckDB's isodow is
+    * 1-based — so the oracle and query meet at the same definition. */
+  def dateFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") <= 500)
+      .select(
+        col("event_id"),
+        quarter(col("ts")).as("q"),
+        dayofyear(col("ts")).as("doy"),
+        (weekday(col("ts")) + 1).as("isodow"),
+        // DATE columns round-trip differently through parquet/pandas than
+        // TIMESTAMPs, so date-valued results ship as ISO strings
+        last_day(to_date(col("ts"))).cast("string").as("month_end"),
+        date_add(to_date(col("ts")), 30).cast("string").as("plus30d"),
+        to_date(col("ts")).cast("string").as("d"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> (stringFuncs _),
+    "fn_string2" -> (stringFuncs2 _),
     "fn_date" -> (dateFuncs _),
+    "fn_date2" -> (dateFuncs2 _),
     "fn_math" -> (mathFuncs _),
     "fn_json" -> (jsonFuncs _),
     "fn_array" -> (arrayFuncs _)
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_string2" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev,
+        |  translate(c_name, '0123456789', 'ABCDEFGHIJ') AS tr,
+        |  reverse(c_name) AS rev,
+        |  repeat(substr(c_name, 1, 2), 3) AS rep,
+        |  CAST(ascii(c_name) AS INTEGER) AS first_code,
+        |  CAST(instr(c_name, '1') AS INTEGER) AS pos1,
+        |  left(c_name, 3) AS l3,
+        |  right(c_name, 3) AS r3,
+        |  trim(c_name, 'C') AS trimmed
+        |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin,
+    "fn_date2" ->
+      """SELECT event_id,
+        |  CAST(quarter(ts) AS INTEGER) AS q,
+        |  CAST(dayofyear(ts) AS INTEGER) AS doy,
+        |  CAST(isodow(ts) AS INTEGER) AS isodow,
+        |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(ts AS DATE) + 30 AS VARCHAR) AS plus30d,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+        |FROM events WHERE event_id <= 500 ORDER BY event_id""".stripMargin,
     "fn_string" ->
       """SELECT c_custkey,
         |  upper(c_name) AS up,
