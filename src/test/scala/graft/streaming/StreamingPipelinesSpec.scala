@@ -75,6 +75,27 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wordCount runs from a real file source, picking up late-arriving files") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-stream-src").toString
+    val schema = StructType(Seq(StructField("content", StringType)))
+    Seq("a b a").toDF("content").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingPipelines.wordCount(stream)
+      .writeStream.format("memory").queryName("fwc").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fwc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L, "b" -> 1L))
+      Seq("b c").toDF("content").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("fwc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    } finally q.stop()
+  }
+
   test("sessionize closes an idle session via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
