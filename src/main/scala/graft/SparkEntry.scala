@@ -28,7 +28,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
-      (AdvancedAggs.queries, AdvancedAggs.oracle)
+      (AdvancedAggs.queries, AdvancedAggs.oracle),
+      (graft.agg.TopK.queries, graft.agg.TopK.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
