@@ -81,10 +81,40 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Range (interval) join, expressed scalably: count how many OTHER
+    * users' events fall inside each session's time span. A naive
+    * `ts BETWEEN start AND end` join is a nested-loop/cartesian in Spark;
+    * instead both sides are bucketized to fixed 1-hour epochs — intervals
+    * explode to the buckets they cover, points map to one bucket — turning
+    * the range join into an equi-join on the bucket key plus an exact
+    * residual filter. Shuffle cost is linear in (events + interval-hours),
+    * never quadratic. A point matches an interval through exactly one
+    * bucket (its own), so no post-join dedup is needed. */
+  def rangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+      .filter(col("n_events") >= 2)
+      .select(col("user_id").as("s_user"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val intervalsB = sessions
+      .withColumn("bucket", explode(sequence(
+        floor(col("session_start").cast("long") / 3600).cast("long"),
+        floor(col("session_end").cast("long") / 3600).cast("long"))))
+    val points = Tables.events(spark, dir)
+      .select(col("user_id").as("e_user"), col("ts"))
+      .withColumn("bucket", floor(col("ts").cast("long") / 3600).cast("long"))
+    points.join(intervalsB, Seq("bucket"))
+      .filter(col("ts") >= col("session_start") && col("ts") <= col("session_end") &&
+        col("e_user") =!= col("s_user"))
+      .groupBy(col("s_user").as("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_other_events"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sessionize" -> (sessionize _),
-    "evt_asof_last_error" -> (asofLastError _)
+    "evt_asof_last_error" -> (asofLastError _),
+    "evt_range_join_sessions" -> (rangeJoinSessions _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,6 +153,30 @@ object Events {
         |SELECT user_id, event_id, ts, last_error_ts,
         |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_error_ts)) AS BIGINT) AS gap_s
         |FROM marked WHERE event_type = 'click'
-        |ORDER BY user_id, ts, event_id""".stripMargin
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "evt_range_join_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id AS s_user, session_id,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM sess GROUP BY user_id, session_id
+        |  HAVING COUNT(*) >= 2)
+        |SELECT s.s_user AS user_id, s.session_id, COUNT(*) AS n_other_events
+        |FROM sessions s JOIN events e
+        |  ON e.ts >= s.session_start AND e.ts <= s.session_end
+        |  AND e.user_id <> s.s_user
+        |GROUP BY s.s_user, s.session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }
