@@ -64,9 +64,27 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: the exact upper-triangle scan
+    * at threshold 0.5 (this synthetic corpus's near-dup ceiling — vectors
+    * are near-orthogonal gaussians, max pairwise cosine ≈ 0.51). The
+    * all-pairs form is the exact baseline for modest corpora; at 100 TB
+    * the same verification runs behind an LSH/IVF candidate generator
+    * exactly as [[graft.operators.Dedup.minhashLsh]] does for text. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(ea, eb)").as("cos"))
+      .filter(col("cos") >= 0.5)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_exact" -> (topkExact _),
-    "sim_topk_bucketed" -> (topkBucketed _)
+    "sim_topk_bucketed" -> (topkBucketed _),
+    "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
 
   /** Sequential-fold cosine in DuckDB, bit-matching CosineSimilarity. */
@@ -99,6 +117,12 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM pairs)
          |SELECT query_id, label, vec_id, sim, rank FROM ranked
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }
