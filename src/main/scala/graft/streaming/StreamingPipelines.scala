@@ -43,6 +43,22 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n_events"))
 
+  /** Watermarked stream-stream join: each click paired with same-user
+    * errors from the preceding 10 minutes. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * join state — unbounded-state stream joins are refused by the engine.
+    * State is hash-partitioned by user_id. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "20 minutes").alias("c")
+    val e = errors.withWatermark("ts", "20 minutes").alias("e")
+    c.join(e,
+      expr("""c.user_id = e.user_id AND
+             |e.ts BETWEEN c.ts - INTERVAL 10 MINUTES AND c.ts""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("c.ts").as("click_ts"),
+        col("e.event_id").as("error_id"), col("e.ts").as("error_ts"))
+  }
+
   case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class SessionOut(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -54,6 +54,26 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with errors in the 10-minute window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingPipelines.clickErrorJoin(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      errors.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append).start()
+    try {
+      errors.addData((1L, 100L, ts(25)), (1L, 101L, ts(5)), (2L, 102L, ts(28)))
+      clicks.addData((1L, 1L, ts(30)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      // error 100 (5 min before, same user) joins; 101 is 25 min stale;
+      // 102 belongs to another user
+      assert(rows == Set((1L, 1L, 100L)))
+    } finally q.stop()
+  }
+
   test("sessionize emits a session when the gap is exceeded in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
