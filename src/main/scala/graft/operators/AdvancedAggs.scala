@@ -60,10 +60,42 @@ object AdvancedAggs {
       .limit(20)
   }
 
+  /** Sketch aggregates — the sublinear-memory path for 100 TB cardinality
+    * and quantile estimation: HyperLogLog++ distinct counts and t-digest
+    * style approximate percentiles. Sketch internals differ across engines,
+    * so these two are DELIBERATELY oracle-less (the driver records the
+    * weaker rows-only check); their exact counterparts agg_distinct_orders
+    * and agg_percentiles stay hash-gated. */
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+        .as("approx_p50_p95_p99"))
+      .select(col("l_returnflag"),
+        element_at(col("approx_p50_p95_p99"), 1).as("ap50"),
+        element_at(col("approx_p50_p95_p99"), 2).as("ap95"),
+        element_at(col("approx_p50_p95_p99"), 3).as("ap99"))
+      .orderBy("l_returnflag")
+
+  /** Queries with no SQL-expressible cross-engine oracle (sketch internals
+    * are engine-specific); the driver and OperatorsSpec treat these as
+    * rows-only checks. */
+  val rowsOnly: Set[String] = Set("sketch_hll_users", "sketch_approx_quantiles")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_percentiles" -> (percentiles _),
     "agg_pivot_priority_by_status" -> (pivotPriorityByStatus _),
-    "agg_salted_top_users" -> (saltedTopUsers _)
+    "agg_salted_top_users" -> (saltedTopUsers _),
+    "sketch_hll_users" -> (sketchDistinct _),
+    "sketch_approx_quantiles" -> (sketchQuantiles _)
   )
 
   val oracle: Map[String, String] = Map(

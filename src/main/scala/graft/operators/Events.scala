@@ -110,9 +110,28 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's NATIVE session_window operator (gap 30
+    * minutes). Unlike [[sessionize]] (whole-second gap comparison, merge on
+    * ties), session_window compares at micros precision and breaks when the
+    * gap is >= the window (an event extends a session only while
+    * `ts < lastTs + gap`) — the oracle mirrors exactly those semantics with
+    * native timestamp-interval arithmetic, so this query also pins down the
+    * operator's boundary behavior. */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sessionize" -> (sessionize _),
+    "evt_session_window_native" -> (sessionWindowNative _),
     "evt_asof_last_error" -> (asofLastError _),
     "evt_range_join_sessions" -> (rangeJoinSessions _)
   )
@@ -142,6 +161,25 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "evt_session_window_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "evt_asof_last_error" ->
       """WITH ce AS (SELECT user_id, event_id, event_type, ts FROM events
         |            WHERE event_type IN ('click', 'error')),

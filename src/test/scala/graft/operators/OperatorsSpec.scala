@@ -39,9 +39,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("every query's oracle entry exists or is a declared rows-only check") {
-    // every queries key should have oracle SQL (all of ours are
-    // SQL-expressible); catches a renamed key on one side only
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // every queries key should have oracle SQL unless explicitly declared
+    // rows-only (sketches); catches a renamed key on one side only
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      AdvancedAggs.rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracle SQL without queries: $orphaned")
