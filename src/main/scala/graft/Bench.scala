@@ -33,15 +33,23 @@ object Bench {
       .selectExpr("upper('a') u", "lower('A') l", "initcap('a b') i",
         "regexp_replace('a','a','b') r", "split('a,b', ',') s")
       .write.format("noop").mode("overwrite").save()
+    // Per-query time = min over reps: the host shows episodic CPU-steal
+    // bursts (observed 3-10x swings on identical code between consecutive
+    // runs), and min-of-N is the standard way to measure the code rather
+    // than the neighbors. Default 2 reps; override via SPARK_GRAFT_BENCH_REPS.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
