@@ -84,6 +84,59 @@ object Multimodal {
     }
   }
 
+  /** Frame metadata for sampled video frames. */
+  case class FrameRecord(
+      doc_id: Long, frame_idx: Int, byte_offset: Long, frame_bytes: Long)
+
+  /** STUB frame sampler (video decode unavailable — see class docs): emits
+    * `n` evenly-spaced "frames" per video payload, each a byte-range view
+    * (offset + length) into the binary column. The row-expansion shape
+    * (one payload → n typed frame rows via flatMap) is exactly what a real
+    * keyframe extractor produces; only the byte-range arithmetic stands in
+    * for the codec. */
+  def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.media_type == "video").flatMap { r =>
+      val total = r.media.length.toLong
+      val stride = math.max(total / n, 1L)
+      (0 until n).iterator.map { i =>
+        val off = i * stride
+        FrameRecord(r.doc_id, i, math.min(off, total),
+          math.min(stride, math.max(total - off, 0L)))
+      }
+    }
+  }
+
+  /** STUB resize: new dimensions are deterministic functions of the target
+    * box and source metadata (aspect-preserving fit); the real pixel work
+    * would live in the decoder. */
+  def resizeMeta(decoded: Dataset[MediaFeatures], maxSide: Int): Dataset[(Long, Int, Int)] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { m =>
+      val scaleNum = maxSide.toLong
+      val longest = math.max(m.width, m.height).toLong
+      val w2 = ((m.width * scaleNum) / longest).toInt
+      val h2 = ((m.height * scaleNum) / longest).toInt
+      (m.doc_id, math.max(w2, 1), math.max(h2, 1))
+    }
+  }
+
+  /** Per-video frame-sampling stats — oracle-gated: the stub's byte-range
+    * arithmetic is mirrored in SQL. */
+  def frameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    frameSample(media, 4)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max(col("byte_offset")).as("max_offset"),
+        sum(col("frame_bytes")).as("sampled_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata stats per media type over the decoded stream — the
     * oracle-gated query exercising the full binary→decode→aggregate path. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
@@ -100,7 +153,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_media_stats" -> (mediaStats _)
+    "mm_media_stats" -> (mediaStats _),
+    "mm_frame_stats" -> (frameStats _)
   )
 
   /** The oracle re-derives the stub's deterministic metadata arithmetic in
@@ -114,6 +168,20 @@ object Multimodal {
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(n_bytes % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_width,
         |  CAST(SUM((n_bytes * 7) % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_height
-        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "mm_frame_stats" ->
+      """WITH vids AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS total,
+        |    greatest(octet_length(CAST(text AS BLOB)) // 4, 1) AS stride
+        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) + 1 = 3),
+        |frames AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    least(i * stride, total) AS byte_offset,
+        |    least(stride, greatest(total - i * stride, 0)) AS frame_bytes
+        |  FROM vids, UNNEST(range(4)) AS u(i))
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(MAX(byte_offset) AS BIGINT) AS max_offset,
+        |  CAST(SUM(frame_bytes) AS BIGINT) AS sampled_bytes
+        |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

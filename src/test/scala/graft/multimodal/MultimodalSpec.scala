@@ -33,6 +33,24 @@ class MultimodalSpec extends SparkSpec {
     assert(row.height == ((row.n_bytes * 7) % 64 + 1).toInt)
   }
 
+  test("frameSample emits n byte-range frames per video, none for other media") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    val frames = Multimodal.frameSample(media, 4).collect()
+    val videos = media.filter(_.media_type == "video").count()
+    assert(frames.length == videos * 4)
+    assert(frames.forall(f => f.frame_idx >= 0 && f.frame_idx < 4))
+    // byte ranges stay inside the payload
+    assert(frames.forall(f => f.byte_offset + f.frame_bytes >= f.byte_offset))
+  }
+
+  test("resizeMeta preserves aspect ratio within integer truncation") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    val decoded = Multimodal.featureExtract(media, StubDecoder)
+    val resized = Multimodal.resizeMeta(decoded, 32).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall { case (_, w, h) => w >= 1 && h >= 1 && math.max(w, h) <= 32 })
+  }
+
   test("mm_media_stats covers all three media types with full counts") {
     val stats = Multimodal.mediaStats(spark, sfDir).collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))

@@ -32,6 +32,14 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("ORC round-trip preserves all rows and values") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docs.schema).orc(dir)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
