@@ -31,6 +31,15 @@ import graft.core.Tables
   *    point of LSH: verification cost scales with candidates, not pairs.
   *  - SimHash is one pass over each doc's tokens (nested higher-order
   *    aggregates, fully codegen'd), no explode of token rows.
+  *
+  * References (public classics these operators implement): Broder,
+  * "On the resemblance and containment of documents" (1997) — minhash;
+  * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3 — LSH
+  * banding; Chaudhuri/Ganti/Kaushik, "A primitive operator for similarity
+  * joins" (ICDE 2006) and Xiao et al., "Efficient similarity joins for
+  * near duplicate detection" (WWW 2008) — prefix filtering; Charikar,
+  * "Similarity estimation techniques from rounding algorithms" (STOC
+  * 2002) — simhash.
   */
 object Dedup {
 

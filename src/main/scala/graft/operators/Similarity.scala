@@ -27,6 +27,10 @@ import graft.functions.Registry
   * Both are exactly oracle-checked: the DuckDB SQL folds the same
   * float→double products in the same sequential order (list_reduce), so
   * similarity doubles match bit-for-bit.
+  *
+  * Reference: the coarse-quantizer/bucket-probe structure follows the IVF
+  * family (Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011 — the inverted-file part, without PQ compression).
   */
 object Similarity {
 

@@ -22,6 +22,11 @@ import graft.core.Tables
   * either a hash aggregation on low-cardinality keys (quality stats) or no
   * aggregation at all — no joins, no windows except the fingerprint
   * cluster count (hash-partitioned by fingerprint).
+  *
+  * References: Karp/Rabin, "Efficient randomized pattern-matching
+  * algorithms" (1987) — the rolling hash; Schleimer/Wilkerson/Aiken,
+  * "Winnowing: local algorithms for document fingerprinting" (SIGMOD
+  * 2003) — the fingerprinting family this belongs to.
   */
 object TextAnalysis {
 
