@@ -31,4 +31,19 @@ object DocSource {
           .cast("long").as("doc_id"),
         col("value").as("content"))
   }
+
+  /** binaryFile-based variant of [[read]] — same (doc_id, content) output,
+    * different scan machinery: the binary source streams file content as a
+    * `binary` column (with path/length/modTime metadata) rather than
+    * decoding through the text line reader, which is the base to build a
+    * chunked reader on when single documents outgrow task memory. Decoding
+    * to string here assumes UTF-8, like the text variant. */
+  def readBinary(spark: SparkSession, dir: String, numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val paths = (0 until numFiles).map(i => s"$dir/$i.txt")
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("content"))
+  }
 }

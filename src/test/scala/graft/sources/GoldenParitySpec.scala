@@ -76,6 +76,32 @@ class GoldenParitySpec extends SparkSpec {
     }
   }
 
+  test("binaryFile variant reads the identical corpus as wholetext") {
+    val a = DocSource.read(spark, inDir, 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = DocSource.readBinary(spark, inDir, 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("partitioned TextSink output concatenates to the sorted golden stream") {
+    Registry.register(spark)
+    val dir = Files.createTempDirectory("graft-sink").toString + "/out"
+    TextSink.write(MapReduceTasks.task2(DocSource.read(spark, inDir, 5)), dir)
+    // partition files read back in order must reproduce the sorted lines
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(lines.mkString("", "\n", "\n") == golden(2))
+  }
+
+  test("CLI rejects bad arguments") {
+    intercept[IllegalArgumentException] {
+      graft.cli.Main.main(Array("x"))
+    }
+    intercept[IllegalArgumentException] {
+      DocSource.read(spark, inDir, 0)
+    }
+  }
+
   test("DocSource honors the numFiles prefix, not the directory content") {
     assert(DocSource.read(spark, inDir, 2).count() == 2)
     val ids = DocSource.read(spark, inDir, 3).select("doc_id")
