@@ -182,6 +182,35 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Full-outer join: per-nation customer vs supplier presence, nations
+    * appearing on either side kept (nulls coalesced for the oracle). */
+  def fullOuterNationPresence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nk")
+  }
+
+  /** Explicit GROUPING SETS ((status), (priority), ()) with grouping-id
+    * disambiguation — the generalization rollup/cube specialize. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
   /** Distinct aggregates: order counts / distinct customers / priority
     * spread per order status. */
   def distinctAggOrders(spark: SparkSession, dir: String): DataFrame =
@@ -252,6 +281,8 @@ object Relational {
     "join_semi_customers_with_orders" -> (semiCustomersWithOrders _),
     "join_anti_customers_without_orders" -> (antiCustomersWithoutOrders _),
     "join_outer_nation_customers" -> (outerNationCustomers _),
+    "join_full_outer_presence" -> (fullOuterNationPresence _),
+    "agg_grouping_sets_orders" -> (groupingSetsOrders _),
     "agg_distinct_orders" -> (distinctAggOrders _),
     "agg_rollup_region_nation" -> (rollupRegionNation _),
     "agg_cube_status_priority" -> (cubeStatusPriority _),
@@ -324,6 +355,20 @@ object Relational {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_acctbal
         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "join_full_outer_presence" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin,
+    "agg_grouping_sets_orders" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "agg_distinct_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS n_customers,

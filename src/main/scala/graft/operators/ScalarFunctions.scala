@@ -136,7 +136,23 @@ object ScalarFunctions {
         to_date(col("ts")).cast("string").as("d"))
       .orderBy("event_id")
 
+  /** Bitwise function batch over integer keys — identical two's-complement
+    * semantics in both engines. */
+  def bitwiseFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("band"),
+        expr("o_orderkey | 4096").as("bor"),
+        expr("o_orderkey ^ o_custkey").as("bxor"),
+        expr("shiftleft(o_orderkey, 3)").as("shl"),
+        expr("shiftright(o_orderkey, 2)").as("shr"),
+        expr("bit_count(o_orderkey)").as("popcount"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> (bitwiseFuncs _),
     "fn_string" -> (stringFuncs _),
     "fn_string2" -> (stringFuncs2 _),
     "fn_date" -> (dateFuncs _),
@@ -147,6 +163,15 @@ object ScalarFunctions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     "fn_string2" ->
       """SELECT c_custkey,
         |  CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS lev,

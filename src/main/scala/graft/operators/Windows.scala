@@ -106,7 +106,24 @@ object Windows {
       .orderBy(col("l_suppkey") +: order: _*)
   }
 
+  /** Value-navigation window functions: first/last/nth over the full
+    * partition frame (deterministic total ordering per supplier). */
+  def firstLastValue(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("first_qty", first(col("l_quantity")).over(w))
+      .withColumn("last_qty", last(col("l_quantity")).over(w))
+      .withColumn("second_qty", nth_value(col("l_quantity"), 2).over(w))
+      .orderBy(col("l_suppkey") +: order: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_first_last_value" -> (firstLastValue _),
     "win_rank_top3_orders_per_cust" -> (rankTop3OrdersPerCust _),
     "win_running_value_by_user" -> (runningValueByUser _),
     "win_lag_delta_by_user" -> (lagDeltaByUser _),
@@ -115,6 +132,15 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_first_last_value" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |  first_value(l_quantity) OVER w AS first_qty,
+        |  last_value(l_quantity) OVER w AS last_qty,
+        |  nth_value(l_quantity, 2) OVER w AS second_qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "win_rank_top3_orders_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
