@@ -29,7 +29,8 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracle),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
       (AdvancedAggs.queries, AdvancedAggs.oracle),
-      (graft.agg.TopK.queries, graft.agg.TopK.oracle)
+      (graft.agg.TopK.queries, graft.agg.TopK.oracle),
+      (TrainingPipeline.queries, TrainingPipeline.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

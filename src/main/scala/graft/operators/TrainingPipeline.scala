@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The canonical training-data preparation pipeline composed end-to-end
+  * from the engine's pillars, as one declarative plan:
+  *
+  *   documents
+  *     → exact dedup             (keep min doc_id per sha2 content hash)
+  *     → quality filter          (length band + stopword-ratio floor)
+  *     → deterministic split     (portable_hash60(text) mod 100:
+  *                                <90 train / <95 val / else test)
+  *     → corpus report           (per lang × split: docs, tokens, chars)
+  *
+  * Everything stays in one Catalyst plan — dedup is a hash aggregation,
+  * the filter is a scan predicate over codegen'd expressions, the split is
+  * a pure hash of content (reproducible across runs, machines, and
+  * engines — the oracle assigns identical splits), and the report is a
+  * partial→final aggregation on a low-cardinality key. At 100 TB this is
+  * two shuffles total: the dedup hash and the final report.
+  */
+object TrainingPipeline {
+
+  def trainingSplitReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), "\\s+"))
+    // exact dedup: keep the lowest doc_id per content hash
+    val deduped = docs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val filtered = deduped
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> t in ('the', 'a', 'of', 'and', 'to')))")
+          .cast("double") / col("n_toks"))
+      .filter(col("n_toks") >= 10 && col("stop_ratio") >= 0.01)
+    filtered
+      .withColumn("bucket", expr("portable_hash60(text) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_training_split" -> (trainingSplitReport _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_training_split" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, text, lang,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, text, lang, string_split_regex(text, '\s+') AS t
+        |  FROM dedup WHERE rn = 1),
+        |quality AS (
+        |  SELECT doc_id, text, lang, len(t) AS n_toks
+        |  FROM toks
+        |  WHERE len(t) >= 10
+        |    AND CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(t) >= 0.01),
+        |splits AS (
+        |  SELECT lang, n_toks, length(text) AS n_chars,
+        |    CASE WHEN h % 100 < 90 THEN 'train'
+        |         WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *, list_reduce(list_transform(range(1,16), k ->
+        |          CAST(strpos('0123456789abcdef', substr(md5(text), k, 1)) - 1 AS BIGINT)),
+        |          (a,b) -> a*16+b) AS h
+        |        FROM quality))
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM splits GROUP BY lang, split ORDER BY lang, split""".stripMargin
+  )
+}
