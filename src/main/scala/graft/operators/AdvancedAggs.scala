@@ -19,16 +19,21 @@ object AdvancedAggs {
 
   private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
 
-  /** Exact price/quantity percentiles per return flag. */
+  /** Exact price/quantity percentiles per return flag. All four price
+    * percentiles come from ONE `percentile(col, array(...))` aggregate —
+    * one value buffer and one sort per group instead of four. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))").as("ps"),
         expr("percentile(l_quantity, 0.5)").as("median_qty"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p25_price"),
+        element_at(col("ps"), 2).as("p50_price"),
+        element_at(col("ps"), 3).as("p75_price"),
+        element_at(col("ps"), 4).as("p90_price"),
+        col("median_qty"))
       .orderBy("l_returnflag")
 
   /** Cross-tab: order counts per priority pivoted over the status domain. */
