@@ -59,6 +59,17 @@ object StreamingPipelines {
         col("e.event_id").as("error_id"), col("e.ts").as("error_ts"))
   }
 
+  /** Streaming exact dedup for a document stream: drop texts whose content
+    * hash was already seen, with dedup state expiring at the watermark —
+    * the streaming form of the batch pipeline's dedup stage. Hash-keyed
+    * state (32-byte keys, not documents), bounded by the watermark horizon
+    * rather than growing forever. */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("content"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   case class SessionOut(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -155,6 +155,22 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingPipelines.streamingDedup(in.toDF().toDF("ts", "content"))
+      .writeStream.format("memory").queryName("sdedup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(10), "doc one"), (ts(11), "doc two"), (ts(12), "doc one"))
+      q.processAllAvailable()
+      in.addData((ts(20), "doc one"), (ts(21), "doc three"))
+      q.processAllAvailable()
+      val contents = spark.table("sdedup").collect().map(_.getString(1)).sorted
+      // "doc one" survives exactly once despite three arrivals across batches
+      assert(contents.toSeq == Seq("doc one", "doc three", "doc two"))
+    } finally q.stop()
+  }
+
   test("sessionize closes an idle session via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
