@@ -122,7 +122,25 @@ object Windows {
       .orderBy(col("l_suppkey") +: order: _*)
   }
 
+  /** RANGE-framed window: per-user rolling 1-hour value sum over the event
+    * stream — the frame is bounded by the ORDER-BY VALUE (epoch seconds),
+    * not a row count, so sparse and dense hours weight correctly. Epoch
+    * seconds (not raw timestamps) keep the range arithmetic identical in
+    * both engines. */
+  def rollingHourValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3599L, 0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("epoch_s"), col("value"))
+      .withColumn("hour_value", sum(dec(col("value"))).over(w).cast("double"))
+      .select("user_id", "event_id", "ts", "hour_value")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_hour_value" -> (rollingHourValue _),
     "win_first_last_value" -> (firstLastValue _),
     "win_rank_top3_orders_per_cust" -> (rankTop3OrdersPerCust _),
     "win_running_value_by_user" -> (runningValueByUser _),
@@ -132,6 +150,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_hour_value" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |     RANGE BETWEEN 3599 PRECEDING AND 0 FOLLOWING) AS DOUBLE) AS hour_value
+        |FROM events WHERE user_id % 50 = 0
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "win_first_last_value" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
         |  first_value(l_quantity) OVER w AS first_qty,
