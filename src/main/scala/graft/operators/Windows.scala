@@ -17,6 +17,19 @@ object Windows {
 
   private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
 
+  /** SQL-standard ntile bucket for global row number `rn` (1-based) out of
+    * `n` rows in `k` buckets: the first n%k buckets get one extra row.
+    * Closed form used by the two-pass global ranking; property-tested
+    * against Spark's built-in ntile in WindowsSpec. */
+  def ntileBucket(k: Long, n: Long)(rn: Column): Column = {
+    val small = n / k
+    val extras = n % k
+    val cut = extras * (small + 1)
+    (when(rn <= cut, floor((rn - 1) / lit(small + 1)))
+      .otherwise(lit(extras) + floor((rn - 1 - cut) / lit(math.max(small, 1L))))
+      + 1).cast("int")
+  }
+
   /** Top-3 orders per customer by price: row_number + rank over a
     * per-customer window. */
   def rankTop3OrdersPerCust(spark: SparkSession, dir: String): DataFrame = {
@@ -78,15 +91,9 @@ object Windows {
     val withRn = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
       schema)
-    val k = 4L
-    val small = n / k
-    val extras = n % k
-    val cut = extras * (small + 1)
     withRn.select(
       col("c_custkey"), col("c_acctbal"),
-      (when(col("rn") <= cut, floor((col("rn") - 1) / lit(small + 1)))
-        .otherwise(lit(extras) + floor((col("rn") - 1 - cut) / lit(math.max(small, 1L))))
-        + 1).cast("int").as("quartile"),
+      ntileBucket(4L, n)(col("rn")).as("quartile"),
       col("rn").cast("int").as("dr"),
       ((col("rn") - 1).cast("double") / lit(math.max(n - 1, 1L))).as("pr"))
       .orderBy("dr")
