@@ -254,6 +254,26 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** Correlated scalar subquery — orders priced above their own customer's
+    * average — via the SQL surface: Catalyst decorrelates the per-row
+    * subquery into an aggregate + join (no per-row re-execution), which is
+    * the whole point of declaring it rather than hand-writing the join.
+    * The average is computed as one double division of a decimal-exact sum
+    * on both engines so the > boundary is bit-identical. */
+  def subqueryOrdersAboveCustAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_above
+        |FROM orders_v o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Top-k with deterministic tiebreak: 100 most expensive orders. */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -283,6 +303,7 @@ object Relational {
     "join_outer_nation_customers" -> (outerNationCustomers _),
     "join_full_outer_presence" -> (fullOuterNationPresence _),
     "agg_grouping_sets_orders" -> (groupingSetsOrders _),
+    "sub_orders_above_cust_avg" -> (subqueryOrdersAboveCustAvg _),
     "agg_distinct_orders" -> (distinctAggOrders _),
     "agg_rollup_region_nation" -> (rollupRegionNation _),
     "agg_cube_status_priority" -> (cubeStatusPriority _),
@@ -369,6 +390,16 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "sub_orders_above_cust_avg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_distinct_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS n_customers,
