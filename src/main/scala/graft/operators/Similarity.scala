@@ -85,9 +85,39 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Random-hyperplane LSH bucketing (sign-random-projection, Charikar
+    * 2002): 8 deterministic ±1 planes derived from the portable hash give
+    * each vector an 8-bit bucket; queries search only their own bucket.
+    * Unlike [[topkBucketed]] this needs NO precomputed quantizer — the
+    * planes are pure functions of (plane, dim) — and stays exactly
+    * oracle-checkable because both engines fold the same ±v_i terms in the
+    * same order, so even the proj > 0 sign boundaries agree bit-for-bit. */
+  def topkLsh(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val bucketSql =
+      """aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) -> acc + if(
+        |  aggregate(sequence(0, 63), cast(0.0 as double), (s, i) ->
+        |    s + if(portable_hash60(concat('pl', p, ':', i)) % 2 = 1, 1.0D, -1.0D)
+        |      * cast(embedding[i] as double)) > 0D,
+        |  shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
+    val q = emb.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("bucket"), col("vec_id"), col("embedding"))
+    q.join(c, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("bucket"), col("vec_id"),
+        expr("cosine_sim(qv, embedding)").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_exact" -> (topkExact _),
     "sim_topk_bucketed" -> (topkBucketed _),
+    "sim_topk_lsh" -> (topkLsh _),
     "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
 
@@ -122,6 +152,29 @@ object Similarity {
          |  FROM pairs)
          |SELECT query_id, label, vec_id, sim, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_lsh" -> {
+      val dh60pl =
+        """list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef',
+          |  substr(md5('pl' || p || ':' || i), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)""".stripMargin
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(0, 64), i ->
+         |          (CASE WHEN ($dh60pl) % 2 = 1 THEN 1.0 ELSE -1.0 END)
+         |            * CAST(embedding[i + 1] AS DOUBLE))), (a, b) -> a + b) > 0
+         |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |pairs AS (SELECT q.vec_id AS query_id, q.bucket, e.vec_id,
+         |    ${cosSql("q.embedding", "e.embedding")} AS sim
+         |  FROM bucketed q JOIN bucketed e
+         |    ON q.bucket = e.bucket AND e.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, bucket, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT query_id, bucket, vec_id, sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
