@@ -91,3 +91,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** `dot_product(a, b)` over two `array<float>` columns → double, same
+  * sequential float→double accumulation as [[CosineSimilarity]]'s dot
+  * term. Pairing it with PREcomputed per-vector norms turns an N·k cosine
+  * scan from three array passes per pair into one:
+  * `dot/(norm_a*norm_b)` is bit-identical to `cosine_sim` because
+  * `sqrt(na)` is the same IEEE value whether computed per pair or once per
+  * vector. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<float>, array<float>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dot = ctx.freshName("dot")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+        int $n = Math.min($x.numElements(), $y.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += ($x.isNullAt($i) ? 0.0 : (double) $x.getFloat($i))
+                * ($y.isNullAt($i) ? 0.0 : (double) $y.getFloat($i));
+        }
+        ${ev.value} = $dot;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,15 +34,27 @@ import graft.functions.Registry
   */
 object Similarity {
 
+  /** Per-vector norm precomputation: every pairwise similarity below is
+    * `dot/(nrm_a*nrm_b)` with norms computed ONCE per vector — one array
+    * pass per pair instead of cosine_sim's three, bit-identical results
+    * (sqrt(na) is the same IEEE value computed once or per pair). */
+  private def normed(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+  }
+
+  private val pairSim: Column =
+    expr("dot_product(qv, embedding)") / (col("qnrm") * col("nrm"))
+
   /** Top-10 exact cosine neighbors for query vectors vec_id 0..9. */
   def topkExact(spark: SparkSession, dir: String): DataFrame = {
-    Registry.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = normed(spark, dir)
     val q = emb.filter(col("vec_id") <= 9)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        expr("cosine_sim(qv, embedding)").as("sim"))
+      .select(col("query_id"), col("vec_id"), pairSim.as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= 10)
@@ -53,14 +65,13 @@ object Similarity {
   /** Top-5 cosine neighbors within each vector's quantizer bucket (label):
     * every vector is a query, searched against its own bucket only. */
   def topkBucketed(spark: SparkSession, dir: String): DataFrame = {
-    Registry.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.select(col("label"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("label"), col("vec_id"), col("embedding"))
+    val emb = normed(spark, dir)
+    val q = emb.select(col("label"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val c = emb.select(col("label"), col("vec_id"), col("embedding"), col("nrm"))
     q.join(c, Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("label"), col("vec_id"),
-        expr("cosine_sim(qv, embedding)").as("sim"))
+      .select(col("query_id"), col("label"), col("vec_id"), pairSim.as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= 5)
@@ -75,12 +86,12 @@ object Similarity {
     * the same verification runs behind an LSH/IVF candidate generator
     * exactly as [[graft.operators.Dedup.minhashLsh]] does for text. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    Registry.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val emb = normed(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+      col("nrm").as("qnrm"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding"), col("nrm"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(ea, eb)").as("cos"))
+      .select(col("vec_a"), col("vec_b"), pairSim.as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy("vec_a", "vec_b")
   }
@@ -100,14 +111,14 @@ object Similarity {
         |    s + if(portable_hash60(concat('pl', p, ':', i)) % 2 = 1, 1.0D, -1.0D)
         |      * cast(embedding[i] as double)) > 0D,
         |  shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), expr(bucketSql).as("bucket"))
-    val q = emb.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("bucket"), col("vec_id"), col("embedding"))
+    val emb = normed(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), expr(bucketSql).as("bucket"))
+    val q = emb.select(col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val c = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"))
     q.join(c, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("bucket"), col("vec_id"),
-        expr("cosine_sim(qv, embedding)").as("sim"))
+      .select(col("query_id"), col("bucket"), col("vec_id"), pairSim.as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
