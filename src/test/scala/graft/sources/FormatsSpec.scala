@@ -40,6 +40,16 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("parquet round-trips under zstd, snappy, and gzip codecs") {
+    for (codec <- Seq("zstd", "snappy", "gzip")) {
+      val dir = Files.createTempDirectory(s"graft-$codec").toString
+      docs.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == docs.count(), s"codec $codec lost rows")
+      assert(back.exceptAll(docs).isEmpty, s"codec $codec corrupted values")
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
