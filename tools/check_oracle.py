@@ -31,6 +31,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    dumped = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if "." not in p.split("/")[-1]}
+    rows_only = sorted(dumped - set(oracle))
+    if rows_only:
+        print(f"rows-only (no oracle SQL, driver checks rows>0): {', '.join(rows_only)}")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
