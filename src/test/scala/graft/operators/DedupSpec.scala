@@ -58,6 +58,48 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L)._1 != rows(0L)._1)
   }
 
+  test("prefix-filtered jaccard differentially equals set arithmetic on random corpora") {
+    // the oracle gate proves equality on the shipped data; this drives the
+    // prefix filter through adversarial random corpora (mutations at BOTH
+    // doc ends, boundary-grazing similarities) against a plain Scala-set
+    // reference of the same definition
+    val rnd = new scala.util.Random(4242)
+    val vocab = (1 to 25).map(i => s"t$i")
+    def shingles(text: String): Set[String] =
+      text.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    for (round <- 1 to 4) {
+      val base = Seq.fill(30 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0 until 12).map { i =>
+        val toks = base.toArray
+        // mutate 0..3 positions, including first/last, to graze the threshold
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val pos = rnd.nextInt(3) match {
+            case 0 => 0
+            case 1 => toks.length - 1
+            case _ => rnd.nextInt(toks.length)
+          }
+          toks(pos) = vocab(rnd.nextInt(vocab.size))
+        }
+        (i.toLong, toks.mkString(" "))
+      }
+      val expected = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        sa = shingles(ta); sb = shingles(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.8
+      } yield (a, b, j)).toSet
+
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-jacc-$round").toString
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Dedup.ngramJaccard(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"round $round: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("fingerprint: exact dups collide, different docs do not") {
     val rows = graft.operators.TextAnalysis.fingerprint(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
