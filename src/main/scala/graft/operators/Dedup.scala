@@ -95,10 +95,13 @@ object Dedup {
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val shr = sh.join(df.select("h"), "h")
+    // both window columns share one (partition, order) spec so Catalyst
+    // computes them in a single Window pass — one shuffle, one sort
+    val byDfOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val ordered = sh.join(df, "h")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("pos", row_number().over(byDfOrder))
+      .withColumn("sz", count(lit(1)).over(
+        byDfOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // prefix length = sz - ceil(t*sz) + 1 with t = 0.8 = 4/5, computed in
     // EXACT integer arithmetic: double 0.8*30 = 24.000000000000004 and its
     // ceil would shorten the prefix and silently drop true pairs
