@@ -55,10 +55,20 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
                 n_fail += 1
                 continue
-            # dtype-tolerant exact compare, mirroring a value hash
+            # value-exact compare, plus a dtype gate mirroring the driver's
+            # hash-level check: int64 3 vs float64 3.0 hashes differently
+            # upstream, so an integer/float family mismatch is a FAIL here.
             diffs = []
             for c in a.columns:
                 av, bv = a[c], b[c]
+                a_int = pd.api.types.is_integer_dtype(av)
+                b_int = pd.api.types.is_integer_dtype(bv)
+                a_flt = pd.api.types.is_float_dtype(av)
+                b_flt = pd.api.types.is_float_dtype(bv)
+                if (a_int and b_flt) or (a_flt and b_int):
+                    diffs.append((c, f"dtype family mismatch spark={av.dtype} "
+                                     f"oracle={bv.dtype} (driver hash would differ)"))
+                    continue
                 try:
                     eq = (av.astype(object).where(pd.notna(av), None) ==
                           bv.astype(object).where(pd.notna(bv), None)) | (
