@@ -21,6 +21,7 @@ object SparkEntry {
     Seq(
       (MapReduceTasks.queries, MapReduceTasks.oracle),
       (Relational.queries, Relational.oracle),
+      (RelationalX.queries, RelationalX.oracle),
       (Windows.queries, Windows.oracle),
       (ScalarFunctions.queries, ScalarFunctions.oracle),
       (Events.queries, Events.oracle),

@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Extended TPC-H-adapted relational coverage (the queries Q-numbered here
+  * follow the public TPC-H spec shapes, adapted to the driver's simplified
+  * schema: no partsupp table, no shipmode/commitdate/receiptdate/container
+  * columns, nations named NATION_0..24).
+  *
+  * Same determinism discipline as [[Relational]]: money is aggregated as
+  * DECIMAL (exact, order-independent) and cast back to DOUBLE at the end;
+  * ratios divide two already-exact values in double space (IEEE division is
+  * correctly rounded, so both engines agree bit-for-bit); every query ends
+  * in a total ORDER BY.
+  *
+  * Same scale discipline: broadcast hints only on fixed-size dims
+  * (region/nation/part/supplier); customer/orders/lineitem shuffle on their
+  * join keys and AQE picks the physical join at runtime.
+  */
+object RelationalX {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
+  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def rate(c: Column): Column = c.cast(DecimalType(3, 2))
+  private def discounted(price: Column, disc: Column): Column =
+    money(price) * (lit(1).cast(DecimalType(3, 2)) - rate(disc))
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q4: order-priority checking — orders placed in a quarter with at
+    * least one lineitem shipped after the order date (EXISTS → left-semi
+    * join with an extra non-equi conjunct on the hash join). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1996-04-01"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6: forecasting-revenue change — a pure scan+filter+agg whose
+    * whole predicate must push into the parquet scan. */
+  def q6RevenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1997-01-01") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q7: volume shipping between two nations, by supplier nation /
+    * customer nation / ship year (both directions of the pair). */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8: national market share — NATION_5's share of STANDARD-part
+    * revenue sold into the ASIA region, per order year. Share = double
+    * division of two decimal-exact sums. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val natC = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_nk"), col("n_regionkey"))
+    val natS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val vol = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_nk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_nk"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        discounted(col("l_extendedprice"), col("l_discount")).as("vol"),
+        col("supp_nation"))
+    vol.groupBy(col("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_5", col("vol"))
+          .otherwise(lit(0).cast(DecimalType(16, 4)))).cast("double") /
+        sum(col("vol")).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 (adapted: no partsupp, so supply cost is modeled as half the
+    * part's retail price): profit per supplier nation per year on parts
+    * whose name contains 'widget'. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val amount =
+      discounted(col("l_extendedprice"), col("l_discount")) -
+        money(col("p_retailprice")) * money(col("l_quantity")) * rate(lit(0.5))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q13: customer order-count distribution — how many customers
+    * placed exactly N orders (N = 0 kept via left outer join). */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14: promotion effect — percentage of one month's revenue from
+    * PROMO-type parts. */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-03-01") &&
+              col("l_shipdate") < ts("1996-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO",
+            discounted(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0).cast(DecimalType(16, 4)))).cast("double") /
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q15: top supplier — supplier(s) whose quarterly revenue equals
+    * the maximum. The max is a 1-row aggregate cross-joined back (broadcast
+    * of a single row — scale-safe, unlike a global unpartitioned window). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17: small-quantity-order revenue — lineitems of one brand
+    * whose quantity is below 20% of that part's average quantity; the
+    * per-part average is a pre-aggregation joined back (Catalyst turns the
+    * spec's correlated subquery into exactly this shape). */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#5").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
+        .as("qty_threshold"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18: large-volume customers — orders whose total quantity
+    * exceeds 250 units, with customer attribution. */
+  def q18LargeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19: disjunctive brand/size/quantity predicates — three OR'd
+    * conjunct groups over the part join, a classic pushdown/codegen
+    * stress shape. */
+  def q19DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 (adapted: nationkey stands in for the phone country code):
+    * idle rich customers — above-average positive balance, no orders —
+    * per nation. The global average is a 1-row broadcast, the "no orders"
+    * test a left-anti join. */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("cntry"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy("cntry")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_revenue_forecast" -> (q6RevenueForecast _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q18_large_volume_customers" -> (q18LargeVolumeCustomers _),
+    "q19_disjunctive_predicates" -> (q19DisjunctivePredicates _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _)
+  )
+
+  private val discSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  val oracle: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_revenue_forecast" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM($discSql) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    $discSql AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem, part, supplier, orders, customer, nation n1, nation n2, region
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM($discSql
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+        |FROM lineitem, part, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS n_custs FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+    "q14_promo_effect" ->
+      s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN $discSql ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        |    / CAST(SUM($discSql) AS DOUBLE) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey, CAST(SUM($discSql) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+        |  AND l_quantity < (
+        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) * 0.2
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_volume_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM customer, orders,
+        |  (SELECT l_orderkey AS big_orderkey,
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS total_qty
+        |   FROM lineitem GROUP BY l_orderkey) big
+        |WHERE o_orderkey = big_orderkey AND c_custkey = o_custkey
+        |  AND total_qty > 250.0
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive_predicates" ->
+      s"""SELECT CAST(SUM($discSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q22_sales_opportunity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntry, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY cntry""".stripMargin
+  )
+}
