@@ -191,11 +191,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over the near-dup graph: docs are vertices,
+    * Jaccard ≥ 0.8 pairs (from [[ngramJaccard]]) are edges, and each doc is
+    * labeled with the minimum doc_id reachable in its component — the
+    * canonical "keep one representative per duplicate CLUSTER" step that
+    * pairwise dedup alone can't express (a~b, b~c must collapse to one
+    * cluster even when a~c is below threshold).
+    *
+    * Implemented as distributed min-label propagation: each iteration is
+    * one shuffle join (labels ⋈ edges) + one aggregation, the classic
+    * MapReduce CC formulation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Iteration count is bounded by the
+    * component diameter — near-dup clusters are dense and shallow, so this
+    * converges in 2-3 rounds in practice; a hard cap of 20 guards
+    * pathological chains. The edge set is persisted so the expensive
+    * candidate-pair computation runs once, not once per round; each round's
+    * convergence check is a metadata-sized count, not a collect. */
+  def ccClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges.union(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("doc_a").as("v"))
+      .distinct()
+      .withColumn("lbl", col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = sym.join(labels.withColumnRenamed("v", "doc_a"), "doc_a")
+        .select(col("doc_b").as("v"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old_lbl"), "v")
+        .filter(col("lbl") < col("old_lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _)
+    "dedup_simhash" -> (simhash _),
+    "dedup_cc_clusters" -> (ccClusters _)
   )
 
   // DuckDB equivalents. h60(x) =
@@ -251,6 +302,27 @@ object Dedup {
          |FROM common JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
          |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE $shCte,
+         |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM shg),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM sh GROUP BY h) WHERE df <= 100000),
+         |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |card AS (SELECT doc_id, COUNT(*) c FROM shr GROUP BY 1),
+         |common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) AS common
+         |           FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM common JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+         |          WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, lbl) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v),
+         |lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
          |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->

@@ -117,11 +117,44 @@ object TextAnalysis {
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy("doc_id")
 
+  /** Top-3 TF-IDF terms per document. The score is kept in exact-or-
+    * correctly-rounded arithmetic — (tf·N)/df where tf, N, df are exact
+    * integer counts, one double multiply (exact below 2^53) and one double
+    * divide (IEEE correctly rounded) — so both engines rank identically;
+    * idf's usual log() is deliberately avoided because libm log is NOT
+    * bit-reproducible across engines and log is monotone, so the ranking
+    * is unchanged. Ties break on the token string.
+    *
+    * Scale shape: explode → (doc, token) aggregation (shuffle on compact
+    * keys), token df aggregation, a shuffle join back on token (df is
+    * token-cardinality-sized, typically broadcastable after AQE), and a
+    * per-doc window for the top-3 — all partitioned, no driver loops. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("nd") / col("df"))
+    scored
+      .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lang_id" -> (langId _),
     "ta_quality_stats" -> (qualityStats _),
     "ta_token_stats" -> (tokenStats _),
-    "ta_fingerprint" -> (fingerprint _)
+    "ta_fingerprint" -> (fingerprint _),
+    "ta_tfidf" -> (tfidf _)
   )
 
   private val dToks = """string_split_regex(text, '\s+')"""
@@ -168,6 +201,20 @@ object TextAnalysis {
          |  CAST(length(text) AS DOUBLE) /
          |    greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1) AS chars_per_bpe_token
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |tok AS (SELECT doc_id, u.tk FROM toks, UNNEST(t) AS u(tk) WHERE u.tk <> ''),
+         |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tk AS token, tf,
+         |    CAST(tf AS DOUBLE) * nd / df AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) * nd / df DESC, tk) AS rnk
+         |  FROM tf JOIN dfreq USING (tk), n)
+         |SELECT doc_id, rnk, token, tf, score
+         |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "ta_fingerprint" ->
       s"""WITH fp AS (SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -55,8 +55,31 @@ object TrainingPipeline {
       .orderBy("lang", "split")
   }
 
+  /** Deterministic stratified sampling report: within every (lang, source)
+    * stratum keep the ~10% of docs whose portable content-independent hash
+    * of doc_id lands in bucket 0 of 10. Hash-based sampling (vs rand()) is
+    * reproducible across runs/engines/cluster sizes, composes with
+    * incremental data (a doc's membership never changes as the corpus
+    * grows), and stratifies for free — a uniform hash is uniform within
+    * every stratum. One scan, one low-cardinality aggregation. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("keep",
+        expr("portable_hash60(cast(doc_id as string)) % 10 = 0"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("keep"), col("doc_id"))).as("first_sampled_doc"))
+      .withColumn("sample_rate",
+        col("n_sampled").cast("double") / col("n_total"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_training_split" -> (trainingSplitReport _)
+    "pipeline_training_split" -> (trainingSplitReport _),
+    "pipeline_stratified_sample" -> (stratifiedSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,6 +107,22 @@ object TrainingPipeline {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        |FROM splits GROUP BY lang, split ORDER BY lang, split""".stripMargin
+        |FROM splits GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "pipeline_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT lang, source, doc_id,
+        |    list_reduce(list_transform(range(1,16), k ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 10 = 0 AS keep
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, source,
+        |    COUNT(*) AS n_total,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |    MIN(CASE WHEN keep THEN doc_id END) AS first_sampled_doc
+        |  FROM d GROUP BY lang, source)
+        |SELECT lang, source, n_total, n_sampled, first_sampled_doc,
+        |  CAST(n_sampled AS DOUBLE) / n_total AS sample_rate
+        |FROM agg ORDER BY lang, source""".stripMargin
   )
 }
