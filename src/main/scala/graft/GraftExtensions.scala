@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(array<string>) - 32-bit TF-weighted simhash"),
       (exprs: Seq[Expression]) => Simhash32(exprs.head)))
+    // whole-operator extension: rank-limit windows → native bounded top-k
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

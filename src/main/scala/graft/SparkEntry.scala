@@ -31,6 +31,7 @@ object SparkEntry {
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
       (AdvancedAggs.queries, AdvancedAggs.oracle),
       (graft.agg.TopK.queries, graft.agg.TopK.oracle),
+      (graft.plans.NativeTopK.queries, graft.plans.NativeTopK.oracle),
       (TrainingPipeline.queries, TrainingPipeline.oracle)
     )
 
