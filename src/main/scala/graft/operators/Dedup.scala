@@ -213,24 +213,32 @@ object Dedup {
     val sym = edges.union(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("doc_a").as("v"))
-      .distinct()
-      .withColumn("lbl", col("v"))
+    sym.count() // materialize the candidate-pair computation exactly once
+    // initial label = min(v, min neighbor): one aggregation that IS the
+    // first propagation round (near-dup clusters usually converge on the
+    // next round)
+    var labels = sym
+      .groupBy(col("doc_a").as("v"))
+      .agg(least(col("v"), min(col("doc_b"))).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevCache = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
       val prop = sym.join(labels.withColumnRenamed("v", "doc_a"), "doc_a")
-        .select(col("doc_b").as("v"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+        .select(col("doc_b").as("v"), col("lbl"), lit(false).as("own"))
+      // one aggregation yields both the new label and the old one, so the
+      // convergence check and the label update share a single job/shuffle
+      val merged = labels.select(col("v"), col("lbl"), lit(true).as("own"))
+        .union(prop)
+        .groupBy("v")
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("old_lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old_lbl"), "v")
-        .filter(col("lbl") < col("old_lbl"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = merged.filter(col("lbl") < col("old_lbl")).count()
+      prevCache.unpersist()
+      prevCache = merged
+      labels = merged.select(col("v"), col("lbl"))
       iter += 1
     }
     sym.unpersist()
