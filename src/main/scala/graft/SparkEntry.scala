@@ -25,6 +25,7 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (ScalarFunctions.queries, ScalarFunctions.oracle),
       (Events.queries, Events.oracle),
+      (Behavioral.queries, Behavioral.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),

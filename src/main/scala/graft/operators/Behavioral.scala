@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Behavioral / product-analytics operators over the `events` stream:
+  * funnel conversion and weekly cohort retention — the two queries every
+  * event-analytics engine is asked for first.
+  *
+  * Determinism: all stage membership is defined by MIN(timestamp)
+  * comparisons (exact), counts are exact integers, and week arithmetic is
+  * integer epoch division on UTC-truncated weeks — no floating point
+  * anywhere until final ratios (none here).
+  *
+  * Scale notes: every aggregation and join keys on `user_id`, so the plan
+  * is a chain of co-partitioned shuffles (Spark reuses the exchange across
+  * the funnel stages); nothing materializes per-user event lists, and the
+  * stage outputs shrink monotonically (signup ⊇ signup→click ⊇ full
+  * funnel), so later joins are cheaper, not costlier.
+  */
+object Behavioral {
+
+  /** Ordered funnel signup → click → purchase: a user advances a stage
+    * only with an event at-or-after their entry into the previous stage
+    * (min-timestamp semantics). One row: distinct users, then the three
+    * shrinking stage counts. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id").filter(col("ts") >= col("s_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("n_signup"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_signup_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+  }
+
+  /** Weekly cohort retention: users grouped by the UTC week of their first
+    * event; n_active = distinct users of that cohort seen in week
+    * cohort+offset. Offsets are exact integer divisions of epoch-second
+    * differences between Monday-truncated weeks. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts")
+    val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+    ev.join(first, "user_id")
+      .select(
+        col("user_id"),
+        date_trunc("week", col("first_ts")).as("cohort_week"),
+        date_trunc("week", col("ts")).cast("long").as("wk"),
+        date_trunc("week", col("first_ts")).cast("long").as("wk0"))
+      // `div`, not `/`: Spark's / on longs is fractional (double)
+      .select(col("user_id"), col("cohort_week"),
+        expr("(wk - wk0) div 604800").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_funnel_conversion" -> (funnelConversion _),
+    "evt_cohort_retention" -> (cohortRetention _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "evt_funnel_conversion" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT COUNT(*) FROM s) AS n_signup,
+        |  (SELECT COUNT(*) FROM c) AS n_signup_click,
+        |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin,
+    "evt_cohort_retention" ->
+      """WITH first AS (SELECT user_id, MIN(ts) AS first_ts
+        |               FROM events GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
+        |  (CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT) -
+        |   CAST(floor(epoch(date_trunc('week', first_ts))) AS BIGINT))
+        |    // 604800 AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN first ON e.user_id = first.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -278,7 +278,41 @@ object RelationalX {
       .orderBy("cntry")
   }
 
+  /** MERGE/upsert as one declarative full-outer join — the batch
+    * formulation of `MERGE INTO customer USING updates`: matched rows get
+    * acctbal + period spend, unmatched targets pass through, unmatched
+    * sources (a deterministic slice of update keys shifted out of the key
+    * range to exercise the insert branch) become new rows. The join keys
+    * on custkey so at scale this is one co-partitioned shuffle of target
+    * and updates; the arithmetic is one IEEE double add of two exact
+    * values per row, identical in both engines. */
+  def mergeUpsertCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1996-07-01"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("spend"))
+    val upd = spend.select(
+      when(col("o_custkey") % 101 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("u_custkey"),
+      col("spend"))
+    val tgt = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    tgt.join(upd, col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_custkey")).as("custkey"),
+        coalesce(col("c_name"), concat(lit("NEW_"), col("u_custkey")))
+          .as("name"),
+        (coalesce(col("c_acctbal"), lit(0.0)) +
+          coalesce(col("spend"), lit(0.0))).as("acctbal"),
+        when(col("c_custkey").isNotNull && col("u_custkey").isNotNull, "updated")
+          .when(col("u_custkey").isNull, "unchanged")
+          .otherwise("inserted").as("status"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert_customers" -> (mergeUpsertCustomers _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -297,6 +331,26 @@ object RelationalX {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   val oracle: Map[String, String] = Map(
+    "merge_upsert_customers" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |upd AS (
+        |  SELECT CASE WHEN o_custkey % 101 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS u_custkey, spend
+        |  FROM spend)
+        |SELECT COALESCE(c_custkey, u_custkey) AS custkey,
+        |  COALESCE(c_name, 'NEW_' || u_custkey) AS name,
+        |  COALESCE(c_acctbal, 0.0) + COALESCE(spend, 0.0) AS acctbal,
+        |  CASE WHEN c_custkey IS NOT NULL AND u_custkey IS NOT NULL THEN 'updated'
+        |       WHEN u_custkey IS NULL THEN 'unchanged'
+        |       ELSE 'inserted' END AS status
+        |FROM customer FULL OUTER JOIN upd ON c_custkey = u_custkey
+        |ORDER BY custkey""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders

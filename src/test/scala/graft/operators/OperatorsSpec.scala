@@ -31,7 +31,14 @@ class OperatorsSpec extends SparkSpec {
       "fn_date", "fn_json", "evt_tumbling_hourly", "evt_sessionize",
       "dedup_exact", "dedup_simhash", "ta_lang_id", "ta_quality_stats",
       "ta_token_stats", "ta_fingerprint", "sim_topk_exact",
-      "sim_topk_bucketed", "mm_media_stats")
+      "sim_topk_bucketed", "mm_media_stats",
+      // round 3: global aggregates always return one row; the others are
+      // structurally nonempty at every sf
+      "q6_revenue_forecast", "q13_customer_distribution", "q14_promo_effect",
+      "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
+      "q19_disjunctive_predicates", "ta_tfidf", "pipeline_stratified_sample",
+      "merge_upsert_customers", "evt_funnel_conversion", "evt_cohort_retention",
+      "topk_native_pergroup")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
