@@ -105,10 +105,25 @@ object Similarity {
     * same order, so even the proj > 0 sign boundaries agree bit-for-bit. */
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     Registry.register(spark)
+    // The plane-sign matrix is a pure function of (plane, dim): hoist the
+    // 8×64 md5-derived signs to a literal computed ONCE on the driver
+    // (same hash60 definition the codegen expression and the oracle use —
+    // HashExpressionsSpec pins them equal) instead of 512 md5s PER ROW.
+    // The inner fold keeps the identical term order, so every projection
+    // double — and thus every sign boundary — is bit-identical to the
+    // oracle's recomputed version.
+    val signs: Seq[String] = (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        val h = graft.functions.HashUtil.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"pl$p:$i"))
+        if (h % 2 == 1) "1.0D" else "-1.0D" // h is a 60-bit value, ≥ 0
+      }.mkString("array(", ", ", ")")
+    }
+    val signMatrix = signs.mkString("array(", ", ", ")")
     val bucketSql =
-      """aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) -> acc + if(
+      s"""aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) -> acc + if(
         |  aggregate(sequence(0, 63), cast(0.0 as double), (s, i) ->
-        |    s + if(portable_hash60(concat('pl', p, ':', i)) % 2 = 1, 1.0D, -1.0D)
+        |    s + element_at(element_at($signMatrix, p + 1), i + 1)
         |      * cast(embedding[i] as double)) > 0D,
         |  shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
     val emb = normed(spark, dir)
