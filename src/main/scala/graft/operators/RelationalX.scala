@@ -311,7 +311,39 @@ object RelationalX {
       .orderBy("custkey")
   }
 
+  /** SCD Type-2 dimension history: applying a batch of balance updates to
+    * the customer dimension yields, per updated customer, a closed-out
+    * version-1 row (valid_to = the batch date) plus an open version-2 row;
+    * untouched customers keep their single open row. Validity bounds ship
+    * as ISO strings (DATE columns compare shakily through parquet/pandas).
+    * Plan shape: one shuffle join of target and updates on custkey, then a
+    * union of three branch projections over the same joined frame —
+    * Catalyst collapses it into one pass; nothing is recomputed per
+    * branch. */
+  def scd2CustomerHistory(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1996-07-01"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("spend"))
+    val tgt = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val joined = tgt.join(spend, col("c_custkey") === col("o_custkey"), "left_outer")
+    val v1 = joined.select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), lit(1).as("version"),
+      lit("1995-01-01").as("valid_from"),
+      when(col("o_custkey").isNotNull, "1996-07-01").as("valid_to"))
+    val v2 = joined.filter(col("o_custkey").isNotNull).select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      (col("c_acctbal") + col("spend")).as("acctbal"), lit(2).as("version"),
+      lit("1996-07-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"))
+    v1.union(v2).orderBy("custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_customer_history" -> (scd2CustomerHistory _),
     "merge_upsert_customers" -> (mergeUpsertCustomers _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -331,6 +363,23 @@ object RelationalX {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   val oracle: Map[String, String] = Map(
+    "scd2_customer_history" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT custkey, name, acctbal, version, valid_from, valid_to FROM (
+        |  SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |    1 AS version, '1995-01-01' AS valid_from,
+        |    CASE WHEN o_custkey IS NOT NULL THEN '1996-07-01' END AS valid_to
+        |  FROM customer LEFT OUTER JOIN spend ON c_custkey = o_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + spend, 2, '1996-07-01', NULL
+        |  FROM customer JOIN spend ON c_custkey = o_custkey)
+        |ORDER BY custkey, version""".stripMargin,
     "merge_upsert_customers" ->
       """WITH spend AS (
         |  SELECT o_custkey,

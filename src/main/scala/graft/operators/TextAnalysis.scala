@@ -149,12 +149,65 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Per-partition Misra-Gries candidate generation: with k counters, any
+    * item whose partition frequency exceeds n_p/k survives, so the union
+    * over partitions is a guaranteed SUPERSET of every item with global
+    * frequency > N/k (pigeonhole: a globally heavy item is heavy in at
+    * least one partition). Decrement step is O(k) amortized. */
+  private[operators] def mgCandidates(iter: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    while (iter.hasNext) {
+      val t = iter.next()
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None if counters.size < k => counters.update(t, 1L)
+        case None =>
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.foreach { case (key, c) =>
+            if (c == 1L) dead += key else counters.update(key, c - 1)
+          }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** EXACT heavy-hitter tokens (> 0.5% of all token occurrences) computed
+    * the scale-safe way: per-partition Misra-Gries sketches (k=400 ≥ 1/s,
+    * so no true heavy hitter can be missed) produce a small candidate set,
+    * which is broadcast back for an exact recount — the full token→count
+    * shuffle of a naive groupBy never happens; only candidate tokens are
+    * counted. Results are identical to the naive aggregation (the oracle
+    * computes exactly that), making the candidate phase provably lossless.
+    *
+    * Reference: Misra/Gries, "Finding repeated elements" (1982);
+    * the per-partition merge argument is the standard MapReduce adaptation
+    * (e.g. Berinde et al., "Space-optimal heavy hitters with strong error
+    * bounds", PODS 2009). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = tokenized(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+    val cand = tok.as[String]
+      .mapPartitions(it => mgCandidates(it, 400))
+      .toDF("token").distinct()
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cand), "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt").cast("double") > col("n_total").cast("double") / 200.0)
+      .select(col("token"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lang_id" -> (langId _),
     "ta_quality_stats" -> (qualityStats _),
     "ta_token_stats" -> (tokenStats _),
     "ta_fingerprint" -> (fingerprint _),
-    "ta_tfidf" -> (tfidf _)
+    "ta_tfidf" -> (tfidf _),
+    "ta_heavy_hitters" -> (heavyHitters _)
   )
 
   private val dToks = """string_split_regex(text, '\s+')"""
@@ -215,6 +268,14 @@ object TextAnalysis {
          |  FROM tf JOIN dfreq USING (tk), n)
          |SELECT doc_id, rnk, token, tf, score
          |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "ta_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |tok AS (SELECT u.tk AS token FROM toks, UNNEST(t) AS u(tk) WHERE u.tk <> ''),
+         |n AS (SELECT COUNT(*) AS n_total FROM tok),
+         |cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+         |SELECT token, cnt, n_total FROM cnts, n
+         |WHERE CAST(cnt AS DOUBLE) > CAST(n_total AS DOUBLE) / 200.0
+         |ORDER BY cnt DESC, token""".stripMargin,
     "ta_fingerprint" ->
       s"""WITH fp AS (SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
