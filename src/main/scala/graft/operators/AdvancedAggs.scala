@@ -65,6 +65,31 @@ object AdvancedAggs {
       .limit(20)
   }
 
+  /** Skew-proof fact⋈dim join via salting — the join-side counterpart of
+    * [[saltedTopUsers]]: the fact side gets a deterministic salt from a
+    * uniform column, the dim side is replicated across all salts
+    * (explode), and the join keys on (user_id, salt) so a hot user's rows
+    * spread over `salts` reducers instead of one. AQE's skew-join split
+    * does this adaptively at runtime; the explicit form is the portable
+    * pattern when key skew is known up front. The oracle computes the
+    * unsalted equivalent — salting changes the plan, never the answer. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val dim = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", (col("user_id") % 10).cast("long"))
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val facts = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        (col("event_id") % salts).cast("int").as("salt"))
+    facts.join(dimSalted, Seq("user_id", "salt"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("segment")
+  }
+
   /** Sketch aggregates — the sublinear-memory path for 100 TB cardinality
     * and quantile estimation: HyperLogLog++ distinct counts and t-digest
     * style approximate percentiles. Sketch internals differ across engines,
@@ -99,6 +124,7 @@ object AdvancedAggs {
     "agg_percentiles" -> (percentiles _),
     "agg_pivot_priority_by_status" -> (pivotPriorityByStatus _),
     "agg_salted_top_users" -> (saltedTopUsers _),
+    "join_salted_skew" -> (saltedSkewJoin _),
     "sketch_hll_users" -> (sketchDistinct _),
     "sketch_approx_quantiles" -> (sketchQuantiles _)
   )
@@ -123,6 +149,11 @@ object AdvancedAggs {
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id
-        |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS segment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
   )
 }
