@@ -38,7 +38,8 @@ class OperatorsSpec extends SparkSpec {
       "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
       "q19_disjunctive_predicates", "ta_tfidf", "pipeline_stratified_sample",
       "merge_upsert_customers", "evt_funnel_conversion", "evt_cohort_retention",
-      "topk_native_pergroup", "scd2_customer_history", "ta_heavy_hitters")
+      "topk_native_pergroup", "scd2_customer_history", "ta_heavy_hitters",
+      "join_salted_skew")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
