@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(array<string>) - 32-bit TF-weighted simhash"),
       (exprs: Seq[Expression]) => Simhash32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(array<bigint>, array<bigint>) - intersection cardinality of sorted distinct arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     // whole-operator extension: rank-limit windows → native bounded top-k
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

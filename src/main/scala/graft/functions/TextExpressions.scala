@@ -132,5 +132,8 @@ object Registry {
       "portable_hash60", exprs => PortableHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash32", exprs => Simhash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

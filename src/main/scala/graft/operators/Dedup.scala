@@ -116,10 +116,14 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      // sets are distinct + sort_array'ed, so the codegen linear merge
+      // equals size(array_intersect(...)) — one pass, no allocations
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          (size(col("hs_a")) + size(col("hs_b"))
-            - size(array_intersect(col("hs_a"), col("hs_b"))))).as("jaccard"))
+        expr("sorted_intersect_count(hs_a, hs_b)").as("common"),
+        size(col("hs_a")).as("ca"), size(col("hs_b")).as("cb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("ca") + col("cb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
   }
@@ -166,8 +170,9 @@ object Dedup {
     cand
       .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      // hs is distinct + sorted (see perDoc) → merge-count ≡ intersect size
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("common"),
+        expr("sorted_intersect_count(hs_a, hs_b)").as("common"),
         size(col("hs_a")).cast("long").as("ca"), size(col("hs_b")).cast("long").as("cb"))
       .filter(col("common") > 0)
       .select(col("doc_a"), col("doc_b"),
