@@ -123,4 +123,41 @@ object StreamingPipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class TypedEvent(user_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String, ts: Timestamp)
+
+  /** Streaming funnel tracker — the incremental form of
+    * [[graft.operators.Behavioral.funnelConversion]]: per-user state is the
+    * highest funnel stage reached (signup=1 → click=2 → purchase=3), and a
+    * record is emitted the moment a user advances a stage, in event-time
+    * order within each batch. Out-of-order events that arrive before their
+    * prerequisite stage (a click before any signup) do not advance.
+    *
+    * State is ONE INT per user — bounded by user cardinality, not event
+    * volume; a production deployment adds an event-time timeout to expire
+    * abandoned funnels (see [[sessionize]] for the timeout pattern). */
+  def funnelTrack(events: Dataset[TypedEvent]): Dataset[FunnelAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val order = Map("signup" -> 1, "click" -> 2, "purchase" -> 3)
+
+    def update(uid: Long, it: Iterator[TypedEvent],
+        state: GroupState[Int]): Iterator[FunnelAdvance] = {
+      var stage = state.getOption.getOrElse(0)
+      val out = scala.collection.mutable.ListBuffer.empty[FunnelAdvance]
+      for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))) {
+        if (order.getOrElse(e.event_type, -1) == stage + 1) {
+          stage += 1
+          out += FunnelAdvance(uid, stage, e.event_type, e.ts)
+        }
+      }
+      state.update(stage)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

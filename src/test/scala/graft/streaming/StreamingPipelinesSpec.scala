@@ -171,6 +171,34 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel tracker advances stages in event-time order across batches") {
+    import StreamingPipelines.{FunnelAdvance, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TypedEvent]
+    val q = StreamingPipelines.funnelTrack(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click arrives with an EARLIER ts than signup — in-batch
+      // event-time ordering means click(ts=1) runs first (no advance),
+      // then signup(ts=2) advances to stage 1; the later click advances to 2
+      in.addData(
+        TypedEvent(1L, "click", ts(1)), TypedEvent(1L, "signup", ts(2)),
+        TypedEvent(1L, "click", ts(3)),
+        TypedEvent(2L, "click", ts(1))) // user 2 never signs up
+      q.processAllAvailable()
+      val b1 = spark.table("funnel").as[FunnelAdvance].collect()
+      assert(b1.filter(_.user_id == 1L).map(_.stage).sorted.toSeq == Seq(1, 2))
+      assert(!b1.exists(_.user_id == 2L))
+      // state persists across batches: purchase completes user 1's funnel
+      in.addData(TypedEvent(1L, "purchase", ts(9)), TypedEvent(2L, "purchase", ts(9)))
+      q.processAllAvailable()
+      val b2 = spark.table("funnel").as[FunnelAdvance].collect()
+      assert(b2.filter(_.user_id == 1L).map(_.stage).sorted.toSeq == Seq(1, 2, 3))
+      assert(!b2.exists(_.user_id == 2L)) // purchase without click: no advance
+    } finally q.stop()
+  }
+
   test("sessionize closes an idle session via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
