@@ -151,7 +151,32 @@ object ScalarFunctions {
         expr("bit_count(o_orderkey)").as("popcount"))
       .orderBy("o_orderkey")
 
+  /** Struct and map construction/field-access round trips. The nested
+    * values are carried through named_struct / map / map_from_entries and
+    * extracted back to flat scalars, so the oracle — which computes the
+    * same scalars directly — proves the round trip is lossless. (Nested
+    * columns themselves are never output: struct/map columns don't hash
+    * portably across engines.) */
+  def structMapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        expr("named_struct('pri', o_orderpriority, 'price', o_totalprice)").as("s"),
+        expr("map('pri', o_orderpriority, 'status', o_orderstatus)").as("m"),
+        expr("map_from_entries(array(named_struct('key', 'k1', 'value', o_custkey), " +
+          "named_struct('key', 'k2', 'value', o_orderkey)))").as("me"))
+      .select(
+        col("o_orderkey"),
+        col("s.pri").as("pri"),
+        col("s.price").as("price"),
+        expr("element_at(m, 'status')").as("status"),
+        expr("cast(size(m) as int)").as("m_size"),
+        expr("element_at(me, 'k1')").as("custkey_via_map"),
+        expr("cast(size(map_keys(me)) as int)").as("me_keys"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_struct_map" -> (structMapFuncs _),
     "fn_bitwise" -> (bitwiseFuncs _),
     "fn_string" -> (stringFuncs _),
     "fn_string2" -> (stringFuncs2 _),
@@ -163,6 +188,16 @@ object ScalarFunctions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_struct_map" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority AS pri,
+        |  o_totalprice AS price,
+        |  o_orderstatus AS status,
+        |  CAST(2 AS INTEGER) AS m_size,
+        |  o_custkey AS custkey_via_map,
+        |  CAST(2 AS INTEGER) AS me_keys
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS band,
