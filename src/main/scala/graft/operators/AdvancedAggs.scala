@@ -90,6 +90,53 @@ object AdvancedAggs {
       .orderBy("segment")
   }
 
+  /** EXACT k-th smallest (here: the median, k = ceil(n/2)) by two-pass
+    * bucket selection — the scale path for exact order statistics that a
+    * global sort can't offer: pass 1 scans once building a 10k-bucket
+    * histogram over [min, max]; the driver walks cumulative counts
+    * (10k longs — metadata, not data) to find the bucket containing rank
+    * k; pass 2 sorts ONLY that bucket's rows (n/10k of the data under any
+    * non-degenerate distribution) and picks the remaining offset. Exact
+    * for any distribution — degenerate buckets just make pass 2 bigger,
+    * never wrong. The oracle computes the same order statistic via
+    * ORDER BY LIMIT/OFFSET.
+    *
+    * Contrast: `agg_percentiles` (exact, per-group, built-in sort-based
+    * percentile) and `sketch_approx_quantiles` (t-digest-style bounded
+    * error); this is the third point on that design surface — exact AND
+    * sort-free at scale. */
+  def exactMedianTwoPass(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 10000
+    val vals = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val Array(n, lo, hi) = vals
+      .agg(count(lit(1)), min(col("v")), max(col("v")))
+      .head().toSeq.map(_.toString).toArray
+    val (nn, vlo, vhi) = (n.toLong, lo.toDouble, hi.toDouble)
+    val k = (nn + 1) / 2 // rank of the lower median, 1-based
+    val rawWidth = (vhi - vlo) / buckets
+    val width = if (rawWidth == 0.0) 1.0 else rawWidth // constant column → all in bucket 0
+    val bucketCol = least(
+      floor((col("v") - lit(vlo)) / lit(width)).cast("int"), lit(buckets - 1))
+    val hist = vals.groupBy(bucketCol.as("b"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("b")
+      .collect().map(r => (r.getInt(0), r.getLong(1))) // ≤10k rows: metadata
+    var cum = 0L
+    var target = -1
+    var before = 0L
+    for ((b, c) <- hist if target < 0) {
+      if (cum + c >= k) { target = b; before = cum }
+      cum += c
+    }
+    val offset = (k - before - 1).toInt
+    val median = vals
+      .filter(bucketCol === target)
+      .orderBy("v")
+      .limit(offset + 1)
+      .agg(max(col("v")).as("median"))
+    median.select(col("median"), lit(nn).as("n_rows"))
+  }
+
   /** Sketch aggregates — the sublinear-memory path for 100 TB cardinality
     * and quantile estimation: HyperLogLog++ distinct counts and t-digest
     * style approximate percentiles. Sketch internals differ across engines,
@@ -125,6 +172,7 @@ object AdvancedAggs {
     "agg_pivot_priority_by_status" -> (pivotPriorityByStatus _),
     "agg_salted_top_users" -> (saltedTopUsers _),
     "join_salted_skew" -> (saltedSkewJoin _),
+    "agg_exact_median_2pass" -> (exactMedianTwoPass _),
     "sketch_hll_users" -> (sketchDistinct _),
     "sketch_approx_quantiles" -> (sketchQuantiles _)
   )
@@ -154,6 +202,11 @@ object AdvancedAggs {
       """SELECT CAST(user_id % 10 AS BIGINT) AS segment,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY segment""".stripMargin,
+    "agg_exact_median_2pass" ->
+      """WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
+        |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+        |                  COUNT(*) OVER () AS n FROM s)
+        |SELECT v AS median, n AS n_rows FROM ranked WHERE rn = (n + 1) // 2""".stripMargin
   )
 }
