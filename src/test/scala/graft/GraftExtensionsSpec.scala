@@ -26,12 +26,14 @@ class GraftExtensionsSpec extends SparkSpec {
           |  element_at(letter_histogram('aa'), 1) as a_count,
           |  cosine_sim(array(cast(1.0 as float)), array(cast(2.0 as float))) as cs,
           |  portable_hash60('x') as h,
-          |  simhash32(array('x', 'y')) as sh
+          |  simhash32(array('x', 'y')) as sh,
+          |  sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) as sic
           |""".stripMargin).head()
       assert(row.getLong(0) == 2L)
       assert(row.getLong(1) == 2L)
       assert(row.getDouble(2) == 1.0)
       assert(!row.isNullAt(3) && !row.isNullAt(4))
+      assert(row.getLong(5) == 2L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
