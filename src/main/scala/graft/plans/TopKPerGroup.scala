@@ -217,26 +217,54 @@ object NativeTopK {
         spark.experimental.extraOptimizations :+ RewriteRankLimitToTopK
   }
 
-  def top3Native(spark: SparkSession, dir: String): DataFrame = {
+  /** Build a DataFrame computing top-k per group over `df` through the
+    * native operator. `orderCols` are (column, ascending) pairs; the rank
+    * column is appended as `rn`. The ordering should be total within each
+    * group (include a unique tiebreaker) for well-defined results. */
+  def topKOf(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending}
+    val spark = df.sparkSession
     install(spark)
-    val base = graft.core.Tables.orders(spark, dir)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
-    val child = base.queryExecution.analyzed
-    def attr(n: String) = child.output.find(_.name == n).get
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${child.output.map(_.name)}"))
     val node = TopKPerGroup(
-      partitionSpec = Seq(attr("o_custkey")),
-      orderSpec = Seq(SortOrder(attr("o_totalprice"), Descending),
-        SortOrder(attr("o_orderkey"), Ascending)),
-      k = 3,
+      partitionSpec = partCols.map(attr),
+      orderSpec = orderCols.map { case (n, asc) =>
+        SortOrder(attr(n), if (asc) Ascending else Descending) },
+      k = k,
       rankAttr = AttributeReference("rn", IntegerType, nullable = false)(),
       child = child)
     org.apache.spark.sql.GraftPlanShim.ofRows(spark, node)
+  }
+
+  def top3Native(spark: SparkSession, dir: String): DataFrame =
+    topKOf(
+      graft.core.Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
       .orderBy("o_custkey", "rn")
+
+  /** Same operator, different shape: top-3 spenders per hour — the group
+    * key is a derived time bucket, showing the node composes with any
+    * upstream aggregation. */
+  def top3UsersPerHour(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val hourly = graft.core.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(15, 2))).cast("double")
+        .as("hour_value"))
+    topKOf(hourly, Seq("bucket"),
+      Seq(("hour_value", false), ("user_id", true)), 3)
+      .orderBy("bucket", "rn")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "topk_native_pergroup" -> (top3Native _)
+    "topk_native_pergroup" -> (top3Native _),
+    "topk_native_hourly_users" -> (top3UsersPerHour _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -245,6 +273,16 @@ object NativeTopK {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "topk_native_hourly_users" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS hour_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, user_id, hour_value, rn FROM (
+        |  SELECT bucket, user_id, hour_value,
+        |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY hour_value DESC, user_id) AS INTEGER) AS rn
+        |  FROM hourly)
+        |WHERE rn <= 3 ORDER BY bucket, rn""".stripMargin
   )
 }
