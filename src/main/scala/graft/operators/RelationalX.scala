@@ -342,7 +342,73 @@ object RelationalX {
     v1.union(v2).orderBy("custkey", "version")
   }
 
+  /** TPC-H Q12 core shape (adapted: no shipmode/receiptdate — lateness is
+    * ship-vs-order-date > 90 days): per order-year, count late vs on-time
+    * lineitems split by high priority (1-URGENT/2-HIGH) vs low, as
+    * CASE-bucketed conditional sums over one join. */
+  def q12LateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val late = datediff(col("l_shipdate"), col("o_orderdate")) > 90
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(high && late, 1L).otherwise(0L)).as("high_late"),
+        sum(when(high && !late, 1L).otherwise(0L)).as("high_ontime"),
+        sum(when(!high && late, 1L).otherwise(0L)).as("low_late"),
+        sum(when(!high && !late, 1L).otherwise(0L)).as("low_ontime"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q2 core shape (adapted: no partsupp — the "offer" is a
+    * supplier's average sale price of a part, derived from lineitem):
+    * for large parts, the EUROPE supplier(s) whose average price equals
+    * the per-part minimum. Exercises the correlated-min join the spec's
+    * Q2 is famous for, on grouped data. */
+  def q2MinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_size") >= 45).select("p_partkey", "p_name")
+    val region = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val nation = Tables.nation(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    val minPrice = offers.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("avg_price")).as("min_price"))
+    offers.join(minPrice,
+        col("p_partkey") === col("m_partkey") &&
+          col("avg_price") === col("min_price"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("avg_price"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** Unpivot (wide→long): per-status order counts by priority pivoted
+    * wide, then stack()ed back to (priority, status, n) rows — the inverse
+    * reshape of `agg_pivot_priority_by_status`, proving the round trip. */
+  def unpivotPriorityStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .selectExpr("o_orderpriority",
+        "stack(3, 'F', F, 'O', O, 'P', P) as (status, n)")
+      .orderBy("o_orderpriority", "status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_late_shipments" -> (q12LateShipments _),
+    "q2_min_price_supplier" -> (q2MinPriceSupplier _),
+    "agg_unpivot_priority_status" -> (unpivotPriorityStatus _),
     "scd2_customer_history" -> (scd2CustomerHistory _),
     "merge_upsert_customers" -> (mergeUpsertCustomers _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -363,6 +429,43 @@ object RelationalX {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q12_late_shipments" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    AND date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS high_late,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    AND date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS high_ontime,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    AND date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS low_late,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    AND date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS low_ontime
+        |FROM lineitem, orders WHERE l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q2_min_price_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM lineitem, part, supplier, nation, region
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE' AND p_size >= 45
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, avg_price
+        |FROM offers o
+        |WHERE avg_price = (SELECT MIN(avg_price) FROM offers o2
+        |                   WHERE o2.p_partkey = o.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "agg_unpivot_priority_status" ->
+      """WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |st AS (SELECT UNNEST(['F', 'O', 'P']) AS status),
+        |c AS (SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT pr.o_orderpriority, st.status,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM pr CROSS JOIN st
+        |LEFT JOIN c ON c.o_orderpriority = pr.o_orderpriority
+        |  AND c.status = st.status
+        |ORDER BY pr.o_orderpriority, st.status""".stripMargin,
     "scd2_customer_history" ->
       """WITH spend AS (
         |  SELECT o_custkey,
