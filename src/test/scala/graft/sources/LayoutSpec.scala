@@ -1,0 +1,67 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The range-sorted layout must yield tight, pairwise-disjoint per-file
+  * key ranges in the parquet footers (so pushed filters can skip files),
+  * while the hash-scattered baseline overlaps everywhere — measured from
+  * the actual footer statistics, not inferred from plans. */
+class LayoutSpec extends SparkSpec {
+
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    val conf = new Configuration()
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val stats = reader.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+        } finally reader.close()
+      }
+  }
+
+  private def overlaps(rs: Seq[(Long, Long)]): Int =
+    rs.combinations(2).count { case Seq((a1, b1), (a2, b2)) =>
+      math.max(a1, a2) <= math.min(b1, b2)
+    }
+
+  test("range-sorted files have disjoint key ranges; scattered files overlap") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val sortedDir = "/tmp/graft_layout_sorted"
+    val scatterDir = "/tmp/graft_layout_scattered"
+    Layout.writeSorted(li, "l_orderkey", sortedDir, 8)
+    Layout.writeScattered(li, "l_orderkey", scatterDir, 8)
+
+    val sortedRanges = fileRanges(sortedDir, "l_orderkey")
+    val scatterRanges = fileRanges(scatterDir, "l_orderkey")
+    assert(sortedRanges.size == 8 && scatterRanges.size == 8)
+    assert(overlaps(sortedRanges) == 0,
+      s"sorted layout has overlapping file ranges: $sortedRanges")
+    assert(overlaps(scatterRanges) > 20, // 8C2=28 pairs: nearly all overlap
+      s"scattered baseline unexpectedly well-clustered: $scatterRanges")
+
+    // consequence: a point predicate can only match ONE sorted file
+    val probe = sortedRanges.head._2 // an existing key
+    assert(sortedRanges.count { case (lo, hi) => lo <= probe && probe <= hi } == 1)
+    assert(scatterRanges.count { case (lo, hi) => lo <= probe && probe <= hi } == 8)
+
+    // and the data itself round-trips identically under both layouts
+    val a = spark.read.parquet(sortedDir).orderBy("l_orderkey", "l_quantity").collect()
+    val b = spark.read.parquet(scatterDir).orderBy("l_orderkey", "l_quantity").collect()
+    assert(a.length == b.length && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}
