@@ -123,6 +123,7 @@ case class TopKPerGroupExec(
     k: Int,
     rankAttr: Attribute,
     child: SparkPlan) extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -131,12 +132,20 @@ case class TopKPerGroupExec(
     else ClusteredDistribution(partitionSpec) :: Nil
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
     val partSpec = partitionSpec
     val ordSpec = orderSpec
     val outAttrs = output
+    val outRows = longMetric("numOutputRows")
+    val groups = longMetric("numGroups")
+    val inRows = longMetric("numInputRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val rowConv = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
@@ -144,6 +153,7 @@ case class TopKPerGroupExec(
       val buffers = new java.util.LinkedHashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
       while (iter.hasNext) {
         val row = iter.next()
+        inRows += 1
         val key = keyProj(row)
         var buf = buffers.get(key)
         if (buf == null) {
@@ -163,6 +173,7 @@ case class TopKPerGroupExec(
           if (buf.length > kLocal) buf.remove(buf.length - 1)
         }
       }
+      groups += buffers.size()
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
@@ -180,6 +191,7 @@ case class TopKPerGroupExec(
           rankRow.setInt(0, i + 1)
           val r = outProj(joined(cur(i), rankRow))
           i += 1
+          outRows += 1
           r
         }
       }

@@ -33,6 +33,34 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(sortsBelow.isEmpty, s"unexpected sort below top-k:\n$plan")
   }
 
+  test("exec reports SQL metrics: input rows, groups, output rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // topKOf WITHOUT the final orderBy: a range exchange above the exec
+    // would sample its input, evaluating the operator twice and doubling
+    // the metrics (standard Spark sort behavior, not a bug here)
+    val df = NativeTopK.topKOf(
+      graft.core.Tables.orders(spark, sfDir)
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    // collect() drives THIS queryExecution's plan (count() builds its own
+    // plan instance with separate metric objects)
+    val n = df.collect().length.toLong
+    // after execution the exec sits inside a materialized ShuffleQueryStage,
+    // which is a collect() leaf — descend into stage subtrees explicitly
+    def findExec(p: SparkPlan): Seq[TopKPerGroupExec] =
+      p.collect { case e: TopKPerGroupExec => e } ++
+        p.collect { case q: QueryStageExec => q }.flatMap(q => findExec(q.plan))
+    val exec = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case p => findExec(p)
+    }).head
+    val m = exec.metrics
+    assert(m("numOutputRows").value == n)
+    assert(m("numGroups").value > 0 && m("numGroups").value <= n)
+    assert(m("numInputRows").value >= n) // top-k never emits more than it reads
+  }
+
   test("ranks are 1..k per group and bounded by k") {
     val rows = NativeTopK.top3Native(spark, sfDir)
       .groupBy("o_custkey")
