@@ -9,9 +9,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownRequiredColumns
+  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns
 }
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
+  In, LessThan, LessThanOrEqual
+}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,22 +73,62 @@ private[v2] class DocTable(properties: Map[String, String])
 }
 
 private[v2] class DocScanBuilder(dir: String, numFiles: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = DocV2Source.fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocScan(dir, numFiles, required)
+
+  /** doc_id IS the file index, so doc_id predicates prune which FILES get
+    * planned at all — pushdown at input-partition granularity, the V2
+    * analog of parquet partition pruning. Accepted filters are consumed
+    * (not re-evaluated by Spark); everything else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("doc_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("doc_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("doc_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case In("doc_id", vs) => vs.forall(v =>
+        v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer])
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DocScan(dir, numFiles, required, pushed)
 }
 
-private[v2] class DocScan(dir: String, numFiles: Int, required: StructType)
-    extends Scan with Batch {
+private[v2] class DocScan(dir: String, numFiles: Int, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-docs dir=$dir numFiles=$numFiles readSchema=${required.simpleString}"
+    s"graft-docs dir=$dir numFiles=$numFiles readSchema=${required.simpleString} " +
+      s"pushedFilters=[${pushed.mkString(", ")}]"
+
+  private def num(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+  }
+  private def keep(id: Long): Boolean = pushed.forall {
+    case EqualTo("doc_id", v) => id == num(v)
+    case LessThan("doc_id", v) => id < num(v)
+    case LessThanOrEqual("doc_id", v) => id <= num(v)
+    case GreaterThan("doc_id", v) => id > num(v)
+    case GreaterThanOrEqual("doc_id", v) => id >= num(v)
+    case In("doc_id", vs) => vs.exists(num(_) == id)
+    case _ => true
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until numFiles).map(i => DocPartition(i.toLong, s"$dir/$i.txt")
-      .asInstanceOf[InputPartition]).toArray
+    (0 until numFiles).iterator.map(_.toLong).filter(keep)
+      .map(i => DocPartition(i, s"$dir/$i.txt").asInstanceOf[InputPartition])
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new DocReaderFactory(required.fieldNames)
 }

@@ -39,6 +39,20 @@ class DocV2SourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L to 5L))
   }
 
+  test("doc_id predicates prune input partitions (file-level filter pushdown)") {
+    val df = v2(6).filter(col("doc_id") >= 2 && col("doc_id") < 5)
+    val scans = df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
+    assert(scans.nonEmpty)
+    // the filter reached the scan…
+    assert(scans.head.scan.description().contains("pushedFilters=[") &&
+      scans.head.scan.description().contains("doc_id"),
+      s"filters not pushed: ${scans.head.scan.description()}")
+    // …and only the 3 matching files were planned as partitions
+    assert(scans.head.inputRDD.getNumPartitions == 3)
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+  }
+
   test("map1 char-class pipeline over the v2 source matches the golden totals") {
     // golden 1.output: map1 over file 0 only (num_files=1) — FIXTURES.md §A
     graft.functions.Registry.register(spark)
