@@ -90,6 +90,36 @@ object AdvancedAggs {
       .orderBy("segment")
   }
 
+  /** Pearson correlation per group from EXACT moment sums. Spark's (and
+    * DuckDB's) built-in corr() accumulates doubles in partition order, so
+    * two engines — or two runs over different partitionings — disagree in
+    * the last bits. Here the five moments Σx, Σy, Σxy, Σx², Σy² are
+    * decimal-exact (order-independent), and the textbook formula
+    * (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is evaluated in a
+    * fixed double expression at the end — bit-identical on both engines,
+    * at every cluster size, making correlation hash-gateable rather than
+    * approximately-compared. */
+  def corrPriceQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val p = col("l_extendedprice").cast(DecimalType(12, 2))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(p).cast("double").as("sy"),
+        sum(q * p).cast("double").as("sxy"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(p * p).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** EXACT k-th smallest (here: the median, k = ceil(n/2)) by two-pass
     * bucket selection — the scale path for exact order statistics that a
     * global sort can't offer: pass 1 scans once building a 10k-bucket
@@ -173,6 +203,7 @@ object AdvancedAggs {
     "agg_salted_top_users" -> (saltedTopUsers _),
     "join_salted_skew" -> (saltedSkewJoin _),
     "agg_exact_median_2pass" -> (exactMedianTwoPass _),
+    "agg_corr_price_qty" -> (corrPriceQty _),
     "sketch_hll_users" -> (sketchDistinct _),
     "sketch_approx_quantiles" -> (sketchQuantiles _)
   )
@@ -203,6 +234,19 @@ object AdvancedAggs {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY segment""".stripMargin,
+    "agg_corr_price_qty" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_exact_median_2pass" ->
       """WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
         |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,

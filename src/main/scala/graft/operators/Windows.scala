@@ -153,8 +153,23 @@ object Windows {
     "win_running_value_by_user" -> (runningValueByUser _),
     "win_lag_delta_by_user" -> (lagDeltaByUser _),
     "win_ntile_customers" -> (ntileCustomers _),
-    "win_moving_sum_supplier" -> (movingSumSupplier _)
+    "win_moving_sum_supplier" -> (movingSumSupplier _),
+    "win_cume_dist_suppliers" -> (cumeDistSuppliers _)
   )
+
+  /** cume_dist + percent_rank per nation over supplier balances — the two
+    * distribution window functions, properly partitioned (per-nation
+    * windows, never global). Tie semantics matter: both suppliers of a
+    * tied balance share one cume_dist/percent_rank value, which both
+    * engines define identically; the rn tiebreak makes row ORDER total. */
+  def cumeDistSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"))
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+  }
 
   val oracle: Map[String, String] = Map(
     "win_rolling_hour_value" ->
@@ -207,6 +222,13 @@ object Windows {
         |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
         |FROM lineitem WHERE l_suppkey <= 20
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "win_cume_dist_suppliers" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+        |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin
   )
 }

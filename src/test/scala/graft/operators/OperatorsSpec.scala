@@ -41,7 +41,8 @@ class OperatorsSpec extends SparkSpec {
       "topk_native_pergroup", "scd2_customer_history", "ta_heavy_hitters",
       "join_salted_skew", "fn_struct_map", "agg_exact_median_2pass",
       "topk_native_hourly_users", "q12_late_shipments",
-      "q2_min_price_supplier", "agg_unpivot_priority_status")
+      "q2_min_price_supplier", "agg_unpivot_priority_status",
+      "win_cume_dist_suppliers", "agg_corr_price_qty")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
