@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(array<bigint>, array<bigint>) - intersection cardinality of sorted distinct arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(array<string>[, suffix]) - h60 of every word 3-gram in one pass"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, exprs.lift(1).map(e =>
+        e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString).getOrElse(""))))
     // whole-operator extension: rank-limit windows → native bounded top-k
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

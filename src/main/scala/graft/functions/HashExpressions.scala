@@ -31,6 +31,38 @@ object HashUtil {
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
+  /** h60 of every word 3-gram `"t[i] t[i+1] t[i+2]" + suffix` — one
+    * incremental digest per shingle, identical by definition to
+    * `hash60(concat_ws(' ', t[i], t[i+1], t[i+2]) || suffix)` but without
+    * materializing any intermediate shingle String (the md5 is fed the
+    * token bytes directly; token byte arrays are fetched once, not once
+    * per shingle). Returns an empty array for < 3 tokens. */
+  def shingleHashes60(toks: ArrayData, suffix: Array[Byte]): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](n - 2)
+    val md = tl.get()
+    i = 0
+    while (i < n - 2) {
+      md.reset()
+      md.update(bytes(i)); md.update(' '.toByte)
+      md.update(bytes(i + 1)); md.update(' '.toByte)
+      md.update(bytes(i + 2))
+      if (suffix.length > 0) md.update(suffix)
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit TF-weighted simhash over an array of tokens — one pass, equal
     * by definition to folding `(hash60(t) >> j & 1) * 2 - 1` per bit plane
     * and setting bit j where the sum is positive. */
@@ -120,5 +152,59 @@ case class Simhash32(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(array<string>[, suffix])` → array<bigint>: the h60 of
+  * every word 3-gram (optionally suffixed — the MinHash double-hash family
+  * needs h60(s) and h60(s || '~')) in one pass with no intermediate
+  * shingle strings. See [[HashUtil.shingleHashes60]]. Null if the array
+  * (or any token) is null, matching the HOF formulation's poisoning. */
+case class ShingleHashes(child: Expression, suffix: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val suffixBytes: Array[Byte] =
+    suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    HashUtil.shingleHashes60(arr, suffixBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val suffixRef = ctx.addReferenceObj("shingleSuffix", suffixBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val hasNull = ctx.freshName("hasNullTok")
+      s"""
+        boolean $hasNull = false;
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          if ($c.isNullAt($i)) { $hasNull = true; break; }
+        }
+        if ($hasNull) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+            graft.functions.HashUtil.shingleHashes60($c, $suffixRef);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }

@@ -135,5 +135,10 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head, exprs.lift(1).map(e =>
+        e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString).getOrElse("")), "built-in")
   }
 }

@@ -56,14 +56,13 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
   }
 
-  /** Distinct (doc_id, h) rows where h = h60 of a word 3-gram shingle. */
+  /** Distinct (doc_id, h) rows where h = h60 of a word 3-gram shingle.
+    * One codegen pass ([[graft.functions.ShingleHashes]]) — no 3-gram
+    * strings are ever materialized; values are definitionally
+    * hash60(concat_ws(' ', …)), which is what the oracles compute. */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        "case when size(toks) >= 3 then transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
-          "else array() end")).as("s"))
-      .select(col("doc_id"), expr(h60("s")).as("h"))
+      .select(col("doc_id"), explode(expr("shingle_hashes(toks)")).as("h"))
       .distinct()
 
   /** Exact duplicate clusters keyed by sha2-256 of the text: the kept
@@ -139,14 +138,16 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val P = "2305843009213693951L" // 2^61 - 1 (Mersenne prime)
+    // both hash families in one pass each (no shingle strings); the
+    // distinct moves AFTER hashing — the set of distinct (h1, h2m) pairs
+    // equals the hashes of distinct shingles, so results are unchanged
     val shh = tokenized(spark, dir)
       .select(col("doc_id"), explode(expr(
-        "case when size(toks) >= 3 then transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
-          "else array() end")).as("s"))
+        "zip_with(shingle_hashes(toks), shingle_hashes(toks, '~'), " +
+          "(a, b) -> named_struct('h1', a, 'h2', b))")).as("z"))
+      .select(col("doc_id"), col("z.h1").as("h1"),
+        (col("z.h2") % lit(72057594037927936L)).as("h2m"))
       .distinct()
-      .select(col("doc_id"), expr(h60("s")).as("h1"),
-        expr(h60("concat(s, '~')") + " % 72057594037927936L").as("h2m"))
     // ONE aggregation computes the full 16-hash signature (16 min columns —
     // no seed explosion, so the shuffle carries each shingle once, not 16x)
     // AND the doc's shingle-hash set for candidate verification. Every

@@ -29,6 +29,34 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("shingle_hashes == hash60 over concat_ws 3-grams, with and without suffix") {
+    Registry.register(spark)
+    // token arrays of varying length (incl. < 3 → empty), multi-byte chars
+    val tokGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.alphaNumStr.map(_.take(6)),
+        1 -> Gen.const("é中"),
+        1 -> Gen.const(""))))
+    val arrays = (0 until 60).flatMap(i =>
+      tokGen.apply(Gen.Parameters.default, Seed(31L + i)))
+    val df = arrays.toDF("toks")
+    val rows = df.selectExpr(
+      "shingle_hashes(toks) as fast",
+      "shingle_hashes(toks, '~') as fast_sfx",
+      """case when size(toks) >= 3 then transform(sequence(0, size(toks)-3),
+        |  i -> portable_hash60(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |else array() end""".stripMargin.replace("\n", " ") + " as ref",
+      """case when size(toks) >= 3 then transform(sequence(0, size(toks)-3),
+        |  i -> portable_hash60(concat(concat_ws(' ', toks[i], toks[i+1], toks[i+2]), '~')))
+        |else array() end""".stripMargin.replace("\n", " ") + " as ref_sfx")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2), "unsuffixed mismatch")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3), "suffixed mismatch")
+    }
+  }
+
   test("simhash32(toks) == the bit-plane HOF fold") {
     Registry.register(spark)
     val docs = strings(50).filter(_.nonEmpty).toDF("text")
