@@ -27,13 +27,15 @@ class GraftExtensionsSpec extends SparkSpec {
           |  cosine_sim(array(cast(1.0 as float)), array(cast(2.0 as float))) as cs,
           |  portable_hash60('x') as h,
           |  simhash32(array('x', 'y')) as sh,
-          |  sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) as sic
+          |  sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) as sic,
+          |  size(shingle_hashes(array('a', 'b', 'c', 'd'))) as nsh
           |""".stripMargin).head()
       assert(row.getLong(0) == 2L)
       assert(row.getLong(1) == 2L)
       assert(row.getDouble(2) == 1.0)
       assert(!row.isNullAt(3) && !row.isNullAt(4))
       assert(row.getLong(5) == 2L)
+      assert(row.getInt(6) == 2)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
