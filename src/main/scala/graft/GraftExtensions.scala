@@ -42,10 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
-        "shingle_hashes(array<string>[, suffix]) - h60 of every word 3-gram in one pass"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, exprs.lift(1).map(e =>
-        e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString).getOrElse(""))))
+        "shingle_hashes(array<string>[, suffix[, width]]) - h60 of every word n-gram in one pass"),
+      (exprs: Seq[Expression]) => ShingleHashes.fromArgs(exprs)))
     // whole-operator extension: rank-limit windows → native bounded top-k
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankLimitToTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -31,27 +31,30 @@ object HashUtil {
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
-  /** h60 of every word 3-gram `"t[i] t[i+1] t[i+2]" + suffix` — one
+  /** h60 of every word k-gram `"t[i] … t[i+k-1]" + suffix` — one
     * incremental digest per shingle, identical by definition to
-    * `hash60(concat_ws(' ', t[i], t[i+1], t[i+2]) || suffix)` but without
+    * `hash60(concat_ws(' ', t[i], …, t[i+k-1]) || suffix)` but without
     * materializing any intermediate shingle String (the md5 is fed the
     * token bytes directly; token byte arrays are fetched once, not once
-    * per shingle). Returns an empty array for < 3 tokens. */
-  def shingleHashes60(toks: ArrayData, suffix: Array[Byte]): ArrayData = {
+    * per shingle). Returns an empty array for < k tokens. */
+  def shingleHashes60(toks: ArrayData, suffix: Array[Byte], k: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    if (n < k) return new GenericArrayData(Array.empty[Long])
     val bytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) { bytes(i) = toks.getUTF8String(i).getBytes; i += 1 }
-    val out = new Array[Long](n - 2)
+    val out = new Array[Long](n - k + 1)
     val md = tl.get()
     i = 0
-    while (i < n - 2) {
+    while (i <= n - k) {
       md.reset()
-      md.update(bytes(i)); md.update(' '.toByte)
-      md.update(bytes(i + 1)); md.update(' '.toByte)
-      md.update(bytes(i + 2))
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes(i + j))
+        j += 1
+      }
       if (suffix.length > 0) md.update(suffix)
       val d = md.digest()
       out(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
@@ -155,13 +158,15 @@ case class Simhash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `shingle_hashes(array<string>[, suffix])` → array<bigint>: the h60 of
-  * every word 3-gram (optionally suffixed — the MinHash double-hash family
-  * needs h60(s) and h60(s || '~')) in one pass with no intermediate
-  * shingle strings. See [[HashUtil.shingleHashes60]]. Null if the array
-  * (or any token) is null, matching the HOF formulation's poisoning. */
-case class ShingleHashes(child: Expression, suffix: String)
+/** `shingle_hashes(array<string>[, suffix[, width]])` → array<bigint>: the
+  * h60 of every word `width`-gram (default 3; optionally suffixed — the
+  * MinHash double-hash family needs h60(s) and h60(s || '~')) in one pass
+  * with no intermediate shingle strings. See [[HashUtil.shingleHashes60]].
+  * Null if the array (or any token) is null, matching the HOF
+  * formulation's poisoning. */
+case class ShingleHashes(child: Expression, suffix: String, width: Int = 3)
     extends UnaryExpression {
+  require(width >= 1, "shingle width must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -182,7 +187,7 @@ case class ShingleHashes(child: Expression, suffix: String)
       if (arr.isNullAt(i)) return null
       i += 1
     }
-    HashUtil.shingleHashes60(arr, suffixBytes)
+    HashUtil.shingleHashes60(arr, suffixBytes, width)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -199,7 +204,7 @@ case class ShingleHashes(child: Expression, suffix: String)
           ${ev.isNull} = true;
         } else {
           ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
-            graft.functions.HashUtil.shingleHashes60($c, $suffixRef);
+            graft.functions.HashUtil.shingleHashes60($c, $suffixRef, $width);
         }
       """
     })
@@ -207,4 +212,18 @@ case class ShingleHashes(child: Expression, suffix: String)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Shared SQL-registration argument parsing: `shingle_hashes(toks)`,
+    * `shingle_hashes(toks, suffix)`, `shingle_hashes(toks, suffix, width)`
+    * — suffix and width must be foldable literals. */
+  def fromArgs(exprs: Seq[Expression]): ShingleHashes = {
+    val suffix = exprs.lift(1).map(e =>
+      e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString).getOrElse("")
+    val width = exprs.lift(2).map(e =>
+      e.eval(null).asInstanceOf[Number].intValue).getOrElse(3)
+    ShingleHashes(exprs.head, suffix, width)
+  }
 }

@@ -136,9 +136,6 @@ object Registry {
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "shingle_hashes",
-      exprs => ShingleHashes(exprs.head, exprs.lift(1).map(e =>
-        e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString).getOrElse("")), "built-in")
+      "shingle_hashes", exprs => ShingleHashes.fromArgs(exprs), "built-in")
   }
 }

@@ -81,6 +81,27 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** FORWARD as-of join (click → next purchase), the mirror of
+    * [[asofLastError]]: for every click, the user's earliest strictly-later
+    * purchase and the wait in whole seconds. Same single-window-pass shape —
+    * one shuffle on user_id, a running MIN over the following frame, no
+    * range join, no re-sort (both window and output share the (ts,
+    * event_id) order). NULL next_purchase_ts = the user never purchased
+    * after that click. */
+  def nextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_purchase_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("next_purchase_ts"),
+        (col("next_purchase_ts").cast("long") - col("ts").cast("long")).as("wait_s"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** Range (interval) join, expressed scalably: count how many OTHER
     * users' events fall inside each session's time span. A naive
     * `ts BETWEEN start AND end` join is a nested-loop/cartesian in Spark;
@@ -133,6 +154,7 @@ object Events {
     "evt_sessionize" -> (sessionize _),
     "evt_session_window_native" -> (sessionWindowNative _),
     "evt_asof_last_error" -> (asofLastError _),
+    "evt_next_purchase" -> (nextPurchase _),
     "evt_range_join_sessions" -> (rangeJoinSessions _)
   )
 
@@ -190,6 +212,18 @@ object Events {
         |  FROM ce)
         |SELECT user_id, event_id, ts, last_error_ts,
         |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_error_ts)) AS BIGINT) AS gap_s
+        |FROM marked WHERE event_type = 'click'
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "evt_next_purchase" ->
+      """WITH cp AS (SELECT user_id, event_id, event_type, ts FROM events
+        |            WHERE event_type IN ('click', 'purchase')),
+        |marked AS (SELECT user_id, event_id, event_type, ts,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        |  FROM cp)
+        |SELECT user_id, event_id, ts, next_purchase_ts,
+        |  CAST(floor(epoch(next_purchase_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS wait_s
         |FROM marked WHERE event_type = 'click'
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "evt_range_join_sessions" ->

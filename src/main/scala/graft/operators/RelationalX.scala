@@ -405,7 +405,113 @@ object RelationalX {
         "stack(3, 'F', F, 'O', O, 'P', P) as (status, n)")
       .orderBy("o_orderpriority", "status")
 
+  /** TPC-H Q11 core shape (adapted: no partsupp — a part's "value" is its
+    * discounted revenue through NATION_3's suppliers): parts whose value
+    * exceeds 1/1000 of the total. The global total is a 1-row broadcast;
+    * the threshold test is EXACT decimal arithmetic (`value*1000 > total`)
+    * so neither engine can disagree on a borderline part the way a
+    * double `0.001 * total` could. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 3).select("s_suppkey")
+    val pv = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .as("value_dec"))
+    val total = pv.agg(sum(col("value_dec")).as("total_dec"))
+    pv.crossJoin(broadcast(total))
+      .filter(col("value_dec") * 1000 > col("total_dec"))
+      .select(col("p_partkey"), col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16: supplier diversity per part attribute — distinct suppliers
+    * per (brand, type, size) over observed lineitem pairs, excluding one
+    * brand and suppliers in deficit (the spec's complaints filter, as a
+    * left-anti join). */
+  def q16SupplierPartCounts(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 9, 14, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 core shape (adapted: no partsupp availqty — "excess" is a
+    * supplier shipping > 50 units of one 'small *' part in a year):
+    * nested IN subqueries become a pre-aggregation + left-semi join;
+    * the quantity sum is decimal-exact so the > 50 threshold is
+    * engine-independent. */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("small %")).select("p_partkey")
+    val shippers = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1997-01-01"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 50)
+      .select("l_suppkey").distinct()
+    val nation = Tables.nation(spark, dir).filter(col("n_name") === "NATION_9")
+    Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 core shape (adapted: no receipt/commit dates — "late" is
+    * shipping > 60 days after the order date): per NATION_6 supplier, the
+    * number of finalized multi-supplier orders where it was the ONLY late
+    * supplier. The EXISTS becomes a left-semi join on (order, other
+    * supplier) pairs and the NOT EXISTS a left-anti join against the late
+    * set itself — both shuffle on orderkey, no correlated re-execution. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+    val pairs = li
+      .select(col("l_orderkey").as("p_orderkey"), col("l_suppkey").as("p_suppkey"))
+      .distinct()
+    val lateOthers = late
+      .select(col("orderkey").as("x_orderkey"), col("suppkey").as("x_suppkey"))
+    val nation = Tables.nation(spark, dir).filter(col("n_name") === "NATION_6")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    late
+      .join(pairs, col("orderkey") === col("p_orderkey") &&
+        col("p_suppkey") =!= col("suppkey"), "left_semi")
+      .join(lateOthers, col("orderkey") === col("x_orderkey") &&
+        col("x_suppkey") =!= col("suppkey"), "left_anti")
+      .join(broadcast(supp), col("suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_part_counts" -> (q16SupplierPartCounts _),
+    "q20_excess_shippers" -> (q20ExcessShippers _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q12_late_shipments" -> (q12LateShipments _),
     "q2_min_price_supplier" -> (q2MinPriceSupplier _),
     "agg_unpivot_priority_status" -> (unpivotPriorityStatus _),
@@ -429,6 +535,55 @@ object RelationalX {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q11_important_parts" ->
+      s"""WITH pv AS (
+        |  SELECT l_partkey AS p_partkey, SUM($discSql) AS v
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3
+        |  GROUP BY 1)
+        |SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE v * 1000 > (SELECT SUM(v) FROM pv)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_shippers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey AS orderkey, l_suppkey AS suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_6'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.orderkey
+        |                AND l2.l_suppkey <> l1.suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.orderkey = l1.orderkey
+        |                    AND l3.suppkey <> l1.suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q12_late_shipments" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

@@ -201,7 +201,46 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Gopher-style repetition quality signals per document (Rae et al.,
+    * "Scaling Language Models: … Gopher", 2021 §A1.1: repetitious text is
+    * a strong low-quality indicator): duplicate-word fraction, top-word
+    * fraction, and duplicate-bigram fraction.
+    *
+    * Scale shape: bigram distinctness is computed per-row with
+    * higher-order functions (no shuffle at all); word counts explode to
+    * (doc, word) rows ONCE and aggregate twice on the same doc_id key —
+    * Spark plans the second aggregation shuffle-free because the first
+    * already partitioned by doc_id's superset key. The per-doc constants
+    * ride through the explode instead of joining back. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("nbd",
+        expr("""size(array_distinct(if(size(toks) < 2, array(),
+               |transform(sequence(0, size(toks)-2),
+               |          i -> concat(toks[i], ' ', toks[i+1])))))""".stripMargin)
+          .cast("long"))
+    base
+      .select(col("doc_id"), col("n_words"), col("nbd"),
+        explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("n_words"), col("nbd"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_words"), col("nbd"))
+      .agg(count(lit(1)).as("nd"), max(col("c")).as("top"))
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - col("nd").cast("double") / col("n_words").cast("double"))
+          .as("dup_word_frac"),
+        (col("top").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        when(col("n_words") > 1,
+          lit(1.0) - col("nbd").cast("double") /
+            (col("n_words") - 1).cast("double")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> (repetition _),
     "ta_lang_id" -> (langId _),
     "ta_quality_stats" -> (qualityStats _),
     "ta_token_stats" -> (tokenStats _),
@@ -213,6 +252,23 @@ object TextAnalysis {
   private val dToks = """string_split_regex(text, '\s+')"""
 
   val oracle: Map[String, String] = Map(
+    "ta_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS nw,
+         |  len(list_distinct(list_transform(range(len(t)-1),
+         |      i -> t[i+1] || ' ' || t[i+2]))) AS nbd
+         |  FROM toks),
+         |w AS (SELECT doc_id, u.tk FROM toks, UNNEST(t) AS u(tk)),
+         |wc AS (SELECT doc_id, tk, COUNT(*) AS c FROM w GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, COUNT(*) AS nd, MAX(c) AS top FROM wc GROUP BY 1)
+         |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  1.0 - CAST(nd AS DOUBLE) / CAST(nw AS DOUBLE) AS dup_word_frac,
+         |  CAST(top AS DOUBLE) / CAST(nw AS DOUBLE) AS top_word_frac,
+         |  CASE WHEN nw > 1
+         |    THEN 1.0 - CAST(nbd AS DOUBLE) / CAST(nw - 1 AS DOUBLE)
+         |  END AS dup_bigram_frac
+         |FROM base b JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "ta_lang_id" -> {
       val scores = profiles.map { case (l, ws) =>
         s"CAST(len(list_filter($dToks, t -> t IN ${inList(ws)})) AS DOUBLE) / len($dToks) AS s_$l"

@@ -77,12 +77,60 @@ object TrainingPipeline {
       .orderBy("lang", "source")
   }
 
+  /** Benchmark decontamination — the step every serious training pipeline
+    * runs before the split: find training documents that share a word
+    * 4-gram with any held-out benchmark document (here, the deterministic
+    * doc_id % 19 == 0 slice stands in for the benchmark suite). The
+    * standard n-gram-overlap method of GPT-3 appendix C / PaLM §7
+    * (public descriptions), expressed as one inverted-index equi-join.
+    *
+    * Scale shape: shingles become 8-byte portable hashes in one codegen
+    * pass (no n-gram strings), so the join shuffles longs, never text;
+    * the benchmark side is a tiny fraction of the corpus and AQE
+    * broadcast-converts it at runtime, leaving ONE shuffle over the
+    * training shingles. Output is per contaminated doc: how many
+    * benchmark docs it collides with and on how many distinct shingles. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr("shingle_hashes(toks, '', 4)")).as("h"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    sh.filter(col("doc_id") % 19 =!= 0)
+      .join(bench, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        countDistinct(col("h")).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_training_split" -> (trainingSplitReport _),
-    "pipeline_stratified_sample" -> (stratifiedSample _)
+    "pipeline_stratified_sample" -> (stratifiedSample _),
+    "pipeline_decontamination" -> (decontamination _)
   )
 
+  private val dh60s: String =
+    """list_reduce(list_transform(range(1,16), k ->
+      |      CAST(strpos('0123456789abcdef', substr(md5(s), k, 1)) - 1 AS BIGINT)),
+      |      (a,b) -> a*16+b)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pipeline_decontamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+        |shg AS (SELECT DISTINCT doc_id,
+        |          concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4]) AS s
+        |        FROM toks, UNNEST(range(len(t)-3)) AS u(i)),
+        |sh AS (SELECT doc_id, $dh60s AS h FROM shg),
+        |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 19 = 0),
+        |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 19 <> 0)
+        |SELECT t.doc_id,
+        |  COUNT(DISTINCT bench_id) AS n_bench_docs,
+        |  COUNT(DISTINCT t.h) AS n_shared_shingles
+        |FROM train t JOIN bench b ON t.h = b.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_training_split" ->
       """WITH dedup AS (
         |  SELECT doc_id, text, lang,

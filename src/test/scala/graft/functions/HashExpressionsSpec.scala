@@ -57,6 +57,29 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes width arg == hash60 over concat_ws k-grams (k=1,2,4,5)") {
+    Registry.register(spark)
+    val tokGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.alphaNumStr.map(_.take(6)),
+        1 -> Gen.const("é中"),
+        1 -> Gen.const(""))))
+    val arrays = (0 until 40).flatMap(i =>
+      tokGen.apply(Gen.Parameters.default, Seed(97L + i)))
+    val df = arrays.toDF("toks")
+    for (k <- Seq(1, 2, 4, 5)) {
+      val slice = (0 until k).map(j => s"toks[i+$j]").mkString(", ")
+      val rows = df.selectExpr(
+        s"shingle_hashes(toks, '', $k) as fast",
+        s"""case when size(toks) >= $k then transform(sequence(0, size(toks)-$k),
+           |  i -> portable_hash60(concat_ws(' ', $slice)))
+           |else array() end""".stripMargin.replace("\n", " ") + " as ref")
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"width-$k mismatch"))
+    }
+  }
+
   test("simhash32(toks) == the bit-plane HOF fold") {
     Registry.register(spark)
     val docs = strings(50).filter(_.nonEmpty).toDF("text")

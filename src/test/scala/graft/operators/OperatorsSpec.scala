@@ -42,7 +42,9 @@ class OperatorsSpec extends SparkSpec {
       "join_salted_skew", "fn_struct_map", "agg_exact_median_2pass",
       "topk_native_hourly_users", "q12_late_shipments",
       "q2_min_price_supplier", "agg_unpivot_priority_status",
-      "win_cume_dist_suppliers", "agg_corr_price_qty")
+      "win_cume_dist_suppliers", "agg_corr_price_qty",
+      // round 4: documents/events are nonempty at every sf
+      "ta_repetition", "evt_next_purchase")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
