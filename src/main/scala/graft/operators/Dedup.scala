@@ -186,6 +186,40 @@ object Dedup {
   /** 32-bit SimHash fingerprint per document (term-frequency weighted,
     * portable h60 token hashes) + the size of each identical-fingerprint
     * cluster. One pass per doc via nested higher-order aggregates. */
+  /** SimHash near-dup PAIRS at Hamming distance ≤ 3, by banded candidate
+    * generation (Manku/Jain/Sarma, "Detecting near-duplicates for web
+    * crawling", WWW 2007): split the 32-bit fingerprint into 4 bands of 8
+    * bits — any pair within Hamming 3 differs in at most 3 bands, so by
+    * pigeonhole it agrees EXACTLY on at least one band, and only pairs
+    * sharing a (band, key) bucket are ever compared. Lossless: the oracle
+    * computes the naive all-pairs join; identical results prove the
+    * banding drops nothing. Verification is one xor + popcount per
+    * candidate.
+    *
+    * Scale note: band width must track corpus size — at web scale the
+    * public recipe is a 64-bit simhash with 16-bit bands (expected bucket
+    * size n/2^16), keeping candidate counts near-linear; 8-bit bands are
+    * right for the test corpus. The shuffle key is (band, key) — 2 longs —
+    * never text. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = tokenized(spark, dir)
+      .select(col("doc_id"), expr("simhash32(toks)").as("sh"))
+    val banded = sim.select(col("doc_id"), col("sh"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("shiftright(sh, band * 8) & 255"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .filter(expr("bit_count(sh_a ^ sh_b) <= 3"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // one-pass codegen expression: per token one md5, 32 stack counters —
     // equal by definition to the bit-plane HOF fold the oracle SQL uses
@@ -260,6 +294,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
+    "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_cc_clusters" -> (ccClusters _)
   )
 
@@ -346,6 +381,20 @@ object Dedup {
          |  FROM toks)
          |SELECT doc_id, simhash,
          |  COUNT(*) OVER (PARTITION BY simhash) AS dup_group_size
-         |FROM sim ORDER BY doc_id""".stripMargin
+         |FROM sim ORDER BY doc_id""".stripMargin,
+    // the naive ALL-PAIRS join: identical results prove the Spark side's
+    // banded candidate generation loses no pair within Hamming 3
+    "dedup_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform(t, tk ->
+         |           ((${dh60("tk")} >> j) & 1) * 2 - 1)) > 0
+         |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |  FROM toks)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

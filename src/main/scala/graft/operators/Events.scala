@@ -102,6 +102,31 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): occurrences of the
+    * behavioral pattern click → click → purchase, adjacent within the
+    * user's click/purchase stream and completing within 24 h. Expressed as
+    * two LEADs over one (user, time)-ordered window — the same single
+    * shuffle + sort as every other per-user pass; no self-joins, no
+    * per-pattern re-scan, and longer patterns are just more LEAD columns
+    * over the SAME window (Catalyst computes them in one Window operator).
+    */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts"), 2).over(w))
+      .filter(col("event_type") === "click" && col("t1") === "click" &&
+        col("t2") === "purchase" &&
+        col("ts2").cast("long") - col("ts").cast("long") <= 86400L)
+      .select(col("user_id"), col("event_id").as("start_event_id"),
+        col("ts").as("start_ts"), col("ts2").as("purchase_ts"),
+        (col("ts2").cast("long") - col("ts").cast("long")).as("span_s"))
+      .orderBy("user_id", "start_ts", "start_event_id")
+  }
+
   /** Range (interval) join, expressed scalably: count how many OTHER
     * users' events fall inside each session's time span. A naive
     * `ts BETWEEN start AND end` join is a nested-loop/cartesian in Spark;
@@ -155,6 +180,7 @@ object Events {
     "evt_session_window_native" -> (sessionWindowNative _),
     "evt_asof_last_error" -> (asofLastError _),
     "evt_next_purchase" -> (nextPurchase _),
+    "evt_pattern_match" -> (patternMatch _),
     "evt_range_join_sessions" -> (rangeJoinSessions _)
   )
 
@@ -226,6 +252,21 @@ object Events {
         |  CAST(floor(epoch(next_purchase_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS wait_s
         |FROM marked WHERE event_type = 'click'
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "evt_pattern_match" ->
+      """WITH cp AS (SELECT user_id, event_id, event_type, ts FROM events
+        |            WHERE event_type IN ('click', 'purchase')),
+        |m AS (SELECT user_id, event_id, event_type, ts,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(ts, 2) OVER w AS ts2
+        |  FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_event_id, ts AS start_ts,
+        |  ts2 AS purchase_ts,
+        |  CAST(floor(epoch(ts2)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS span_s
+        |FROM m
+        |WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+        |  AND CAST(floor(epoch(ts2)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 86400
+        |ORDER BY user_id, start_ts, start_event_id""".stripMargin,
     "evt_range_join_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,
