@@ -474,34 +474,40 @@ object RelationalX {
   /** TPC-H Q21 core shape (adapted: no receipt/commit dates — "late" is
     * shipping > 60 days after the order date): per NATION_6 supplier, the
     * number of finalized multi-supplier orders where it was the ONLY late
-    * supplier. The EXISTS becomes a left-semi join on (order, other
-    * supplier) pairs and the NOT EXISTS a left-anti join against the late
-    * set itself — both shuffle on orderkey, no correlated re-execution. */
+    * supplier.
+    *
+    * The spec's correlated EXISTS ("another supplier on this order") and
+    * NOT EXISTS ("no other LATE supplier") collapse into per-order
+    * aggregates: an order qualifies iff countDistinct(supplier) ≥ 2 and
+    * it has exactly ONE distinct late supplier — who takes the blame.
+    * That's two partial-aggregated shuffles on orderkey and one
+    * co-partitioned join, instead of the literal translation's
+    * distinct + inequality-semi + inequality-anti chain (three wide
+    * shuffles whose join conditions carry residual filters). Semantics
+    * are identical; the oracle runs the EXISTS/NOT EXISTS form. */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
     val ordF = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
-    val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+    // distinct late suppliers per finalized order; n_late==1 → its blame
+    // falls on the one supplier (min == that supplier)
+    val lateAgg = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
-      .distinct()
-    val pairs = li
-      .select(col("l_orderkey").as("p_orderkey"), col("l_suppkey").as("p_suppkey"))
-      .distinct()
-    val lateOthers = late
-      .select(col("orderkey").as("x_orderkey"), col("suppkey").as("x_suppkey"))
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_late"),
+        min(col("l_suppkey")).as("lone_supp"))
+      .filter(col("n_late") === 1)
+    val suppCnt = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .filter(col("n_supp") >= 2)
     val nation = Tables.nation(spark, dir).filter(col("n_name") === "NATION_6")
     val supp = Tables.supplier(spark, dir)
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
-    late
-      .join(pairs, col("orderkey") === col("p_orderkey") &&
-        col("p_suppkey") =!= col("suppkey"), "left_semi")
-      .join(lateOthers, col("orderkey") === col("x_orderkey") &&
-        col("x_suppkey") =!= col("suppkey"), "left_anti")
-      .join(broadcast(supp), col("suppkey") === col("s_suppkey"))
+    lateAgg.join(suppCnt, col("orderkey") === col("l_orderkey"))
+      .join(broadcast(supp), col("lone_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

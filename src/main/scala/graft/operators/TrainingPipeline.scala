@@ -106,10 +106,45 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
+  /** Context-window sequence packing: assign every document to a training
+    * sequence of ≤ 1024 tokens, greedy in doc_id order within a hash
+    * shard — the distributed form of the "pack documents into fixed-length
+    * training sequences" step of every pretraining pipeline. A document
+    * lands in the chunk where its running token total STARTS
+    * (`(cum - n) div 1024`), which is deterministic, engine-independent,
+    * and needs only a running sum — no sequential packer.
+    *
+    * Scale shape: shards are a uniform hash of doc_id, so each shard's
+    * window pass is independent and balanced; shard count (8 here) scales
+    * with the cluster, keeping every partition's cumsum bounded. Output is
+    * the packing manifest per (shard, chunk). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks"))
+      .withColumn("shard",
+        expr("portable_hash60(cast(doc_id as string)) % 8"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("chunk", expr("(cum - n_toks) div 1024"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "chunk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_training_split" -> (trainingSplitReport _),
     "pipeline_stratified_sample" -> (stratifiedSample _),
-    "pipeline_decontamination" -> (decontamination _)
+    "pipeline_decontamination" -> (decontamination _),
+    "pipeline_pack_sequences" -> (packSequences _)
   )
 
   private val dh60s: String =
@@ -118,6 +153,24 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+        |    list_reduce(list_transform(range(1,16), k ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT shard, CAST((cum - n_toks) // 1024 AS BIGINT) AS chunk,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin,
     "pipeline_decontamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
         |shg AS (SELECT DISTINCT doc_id,
