@@ -197,7 +197,22 @@ object AdvancedAggs {
     * rows-only checks. */
   val rowsOnly: Set[String] = Set("sketch_hll_users", "sketch_approx_quantiles")
 
+  /** Fixed-width numeric histogram of lineitem prices (20 buckets of
+    * 5000): one partial-aggregated scan, bucket = floor division in double
+    * space (identical IEEE result in both engines), top bucket clamped.
+    * The poor-man's `width_bucket` — DuckDB lacks the function, so both
+    * sides compute the same arithmetic directly. */
+  def histogramPrices(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(least(floor(col("l_extendedprice") / 5000.0), lit(19L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(15, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram_prices" -> (histogramPrices _),
     "agg_percentiles" -> (percentiles _),
     "agg_pivot_priority_by_status" -> (pivotPriorityByStatus _),
     "agg_salted_top_users" -> (saltedTopUsers _),
@@ -209,6 +224,11 @@ object AdvancedAggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram_prices" ->
+      """SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price,

@@ -175,7 +175,45 @@ object ScalarFunctions {
         expr("cast(size(map_keys(me)) as int)").as("me_keys"))
       .orderBy("o_orderkey")
 
+  /** Regex surface: count / extract / replace / match over document text.
+    * Patterns stay in the character-class + quantifier subset where Java
+    * regex (Spark) and RE2 (DuckDB) agree; both engines count
+    * NON-overlapping matches and return '' for a no-match extract. */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") <= 200)
+      .select(
+        col("doc_id"),
+        expr("cast(regexp_count(text, 'ta') as bigint)").as("n_ta"),
+        regexp_extract(substring(col("text"), 1, 60), "[a-z]+a[a-z]+", 0)
+          .as("first_a_word"),
+        regexp_replace(substring(col("text"), 1, 60), "[aeiou]", "")
+          .as("devoweled"),
+        col("text").rlike("spark").as("has_spark"),
+        expr("cast(regexp_count(text, '[a-z]+') as bigint)").as("n_words_re"))
+      .orderBy("doc_id")
+
+  /** Encoding surface: base64/hex/digest round trips. Spark and DuckDB
+    * agree on standard base64 (RFC 4648 with padding), uppercase hex, and
+    * lowercase md5/sha256 hex digests. */
+  def encodeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        unbase64(base64(col("c_name").cast("binary"))).cast("string")
+          .as("b64_roundtrip"),
+        hex(col("c_mktsegment").cast("binary")).as("hexed"),
+        ascii(col("c_name")).as("first_code"),
+        expr("char(65 + cast(c_custkey % 26 as int))").as("letter"),
+        md5(col("c_name").cast("binary")).as("md5_hex"),
+        sha2(col("c_name").cast("binary"), 256).as("sha256_hex"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regex" -> (regexFuncs _),
+    "fn_encode" -> (encodeFuncs _),
     "fn_struct_map" -> (structMapFuncs _),
     "fn_bitwise" -> (bitwiseFuncs _),
     "fn_string" -> (stringFuncs _),
@@ -188,6 +226,26 @@ object ScalarFunctions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'ta')) AS BIGINT) AS n_ta,
+        |  regexp_extract(substr(text, 1, 60), '[a-z]+a[a-z]+') AS first_a_word,
+        |  regexp_replace(substr(text, 1, 60), '[aeiou]', '', 'g') AS devoweled,
+        |  regexp_matches(text, 'spark') AS has_spark,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words_re
+        |FROM documents WHERE doc_id <= 200
+        |ORDER BY doc_id""".stripMargin,
+    "fn_encode" ->
+      """SELECT c_custkey,
+        |  base64(encode(c_name)) AS b64,
+        |  decode(from_base64(base64(encode(c_name)))) AS b64_roundtrip,
+        |  hex(c_mktsegment) AS hexed,
+        |  ascii(c_name) AS first_code,
+        |  chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS letter,
+        |  md5(c_name) AS md5_hex,
+        |  sha256(c_name) AS sha256_hex
+        |FROM customer WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin,
     "fn_struct_map" ->
       """SELECT o_orderkey,
         |  o_orderpriority AS pri,

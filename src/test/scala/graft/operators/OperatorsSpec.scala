@@ -44,7 +44,8 @@ class OperatorsSpec extends SparkSpec {
       "q2_min_price_supplier", "agg_unpivot_priority_status",
       "win_cume_dist_suppliers", "agg_corr_price_qty",
       // round 4: documents/events are nonempty at every sf
-      "ta_repetition", "evt_next_purchase", "pipeline_pack_sequences")
+      "ta_repetition", "evt_next_purchase", "pipeline_pack_sequences",
+      "fn_regex", "fn_encode", "agg_histogram_prices")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
