@@ -30,6 +30,47 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-batch parity: incremental tumbling windows equal the batch aggregation on real events") {
+    // the strongest streaming correctness statement available without a
+    // second engine: replaying the REAL sf0.001 events table through the
+    // streaming pipeline in chronological micro-batches must finalize
+    // exactly the windows the batch groupBy computes on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, window => fwindow}
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+      .sortBy(_._1.getTime)
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .groupBy(fwindow(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .count()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingPipelines.tumblingHourly(
+        in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      chunks.foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      // push the watermark far past the last real window so it finalizes
+      val flushTs = new Timestamp(rows.last._1.getTime + 12L * 3600 * 1000)
+      in.addData((flushTs, "flush")); q.processAllAvailable()
+      val streamed = spark.table("parity").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+        .filter { case ((_, tpe), _) => tpe != "flush" }
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed.toSet -- batch.toSet} " +
+          s"only-batch=${batch.toSet -- streamed.toSet}")
+    } finally q.stop()
+  }
+
   test("tumbling window finalizes only after the watermark passes (Append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
