@@ -102,6 +102,38 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Time-series gap filling with forward fill: per user, a dense hourly
+    * grid spanning [first event hour, last event hour], hours with no
+    * events carrying n_events = 0 and the LAST OBSERVED hourly value
+    * (`last(_, ignoreNulls)` over the time order — the standard LOCF
+    * imputation). The grid is generated per user with `sequence()` (one
+    * row per user explodes to its span — no cross join against a global
+    * calendar), joined co-partitioned on (user, bucket), and filled in the
+    * same per-user window pass; first grid hour always has data (it IS the
+    * user's first event hour) so the fill never reads before the frame. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") <= 5)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("value"))
+    val hourly = ev.groupBy(col("user_id"), col("bucket"))
+      .agg(sum(dec(col("value"))).cast("double").as("hour_value"),
+        count(lit(1)).as("n_events"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("h0"), max(col("bucket")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("bucket"))
+    grid.join(hourly, Seq("user_id", "bucket"), "left_outer")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("hour_value"),
+        last(col("hour_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Sequence-pattern detection (MATCH_RECOGNIZE-lite): occurrences of the
     * behavioral pattern click → click → purchase, adjacent within the
     * user's click/purchase stream and completing within 24 h. Expressed as
@@ -181,6 +213,7 @@ object Events {
     "evt_asof_last_error" -> (asofLastError _),
     "evt_next_purchase" -> (nextPurchase _),
     "evt_pattern_match" -> (patternMatch _),
+    "evt_gap_fill" -> (gapFill _),
     "evt_range_join_sessions" -> (rangeJoinSessions _)
   )
 
@@ -267,6 +300,27 @@ object Events {
         |WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
         |  AND CAST(floor(epoch(ts2)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 86400
         |ORDER BY user_id, start_ts, start_event_id""".stripMargin,
+    "evt_gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        |            FROM events WHERE user_id <= 5),
+        |hourly AS (SELECT user_id, bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS hour_value,
+        |    COUNT(*) AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(bucket) AS h0, MAX(bucket) AS h1
+        |          FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+        |         FROM spans)
+        |SELECT g.user_id, g.bucket,
+        |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        |  hour_value,
+        |  last_value(hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.bucket = h.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
     "evt_range_join_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,
