@@ -58,6 +58,32 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L)._1 != rows(0L)._1)
   }
 
+  test("simhash pairs: exact and near dups surface with their hamming distance") {
+    val rows = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the exact dup pair is at hamming 0; candidates never include a pair
+    // beyond hamming 3 (the verification filter is part of the contract)
+    assert(rows.get((0L, 1L)).contains(0L), s"exact dup pair missing: $rows")
+    assert(rows.values.forall(_ <= 3L))
+  }
+
+  test("property: 4x8-bit banding is lossless for any pair within hamming 3") {
+    // Manku et al.'s pigeonhole: <=3 differing bits touch <=3 of the 4
+    // bands, so one band is untouched and the pair shares its value. The
+    // planner-side banding relies on exactly this.
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong() & 0xffffffffL
+      val nBits = rnd.nextInt(4) // 0..3 flipped bits
+      val flips = Seq.fill(nBits)(rnd.nextInt(32)).distinct
+      val b = flips.foldLeft(a)((acc, j) => acc ^ (1L << j))
+      val sharesBand = (0 until 4).exists(band =>
+        ((a >> (band * 8)) & 255) == ((b >> (band * 8)) & 255))
+      assert(sharesBand,
+        f"pair a=$a%08x b=$b%08x (hamming ${java.lang.Long.bitCount(a ^ b)}) shares no band")
+    }
+  }
+
   test("prefix-filtered jaccard differentially equals set arithmetic on random corpora") {
     // the oracle gate proves equality on the shipped data; this drives the
     // prefix filter through adversarial random corpora (mutations at BOTH
