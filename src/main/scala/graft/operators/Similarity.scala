@@ -47,6 +47,33 @@ object Similarity {
   private val pairSim: Column =
     expr("dot_product(qv, embedding)") / (col("qnrm") * col("nrm"))
 
+  /** (vec_id, embedding, nrm, bucket): the hyperplane-LSH bucket assignment
+    * shared by [[topkLsh]] and [[embeddingLshDedup]]. The plane-sign matrix
+    * is a pure function of (plane, dim): hoist the 8×64 md5-derived signs
+    * to a literal computed ONCE on the driver (same hash60 definition the
+    * codegen expression and the oracle use — HashExpressionsSpec pins them
+    * equal) instead of 512 md5s PER ROW. The inner fold keeps the identical
+    * term order, so every projection double — and thus every sign
+    * boundary — is bit-identical to the oracle's recomputed version. */
+  private def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val signs: Seq[String] = (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        val h = graft.functions.HashUtil.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"pl$p:$i"))
+        if (h % 2 == 1) "1.0D" else "-1.0D" // h is a 60-bit value, ≥ 0
+      }.mkString("array(", ", ", ")")
+    }
+    val signMatrix = signs.mkString("array(", ", ", ")")
+    val bucketSql =
+      s"""aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) -> acc + if(
+        |  aggregate(sequence(0, 63), cast(0.0 as double), (s, i) ->
+        |    s + element_at(element_at($signMatrix, p + 1), i + 1)
+        |      * cast(embedding[i] as double)) > 0D,
+        |  shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
+    normed(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"), expr(bucketSql).as("bucket"))
+  }
+
   /** Top-10 exact cosine neighbors for query vectors vec_id 0..9. */
   def topkExact(spark: SparkSession, dir: String): DataFrame = {
     val emb = normed(spark, dir)
@@ -105,29 +132,7 @@ object Similarity {
     * same order, so even the proj > 0 sign boundaries agree bit-for-bit. */
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     Registry.register(spark)
-    // The plane-sign matrix is a pure function of (plane, dim): hoist the
-    // 8×64 md5-derived signs to a literal computed ONCE on the driver
-    // (same hash60 definition the codegen expression and the oracle use —
-    // HashExpressionsSpec pins them equal) instead of 512 md5s PER ROW.
-    // The inner fold keeps the identical term order, so every projection
-    // double — and thus every sign boundary — is bit-identical to the
-    // oracle's recomputed version.
-    val signs: Seq[String] = (0 until 8).map { p =>
-      (0 until 64).map { i =>
-        val h = graft.functions.HashUtil.hash60(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s"pl$p:$i"))
-        if (h % 2 == 1) "1.0D" else "-1.0D" // h is a 60-bit value, ≥ 0
-      }.mkString("array(", ", ", ")")
-    }
-    val signMatrix = signs.mkString("array(", ", ", ")")
-    val bucketSql =
-      s"""aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) -> acc + if(
-        |  aggregate(sequence(0, 63), cast(0.0 as double), (s, i) ->
-        |    s + element_at(element_at($signMatrix, p + 1), i + 1)
-        |      * cast(embedding[i] as double)) > 0D,
-        |  shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
-    val emb = normed(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("nrm"), expr(bucketSql).as("bucket"))
+    val emb = lshBucketed(spark, dir)
     val q = emb.select(col("bucket"), col("vec_id").as("query_id"),
       col("embedding").as("qv"), col("nrm").as("qnrm"))
     val c = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"))
@@ -140,12 +145,52 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding near-dup pairs through the LSH candidate generator — the
+    * scale path [[embeddingNearDup]]'s scaladoc promises: only vectors in
+    * the SAME hyperplane bucket are compared (bucket join on one long —
+    * expected bucket size n/256), each candidate verified by one exact
+    * cosine. The oracle mirrors the bucket computation term-for-term, so
+    * results are exactly checkable even though the candidate set (unlike
+    * the MinHash-banding case) deliberately trades recall for the n²→
+    * n²/256 cost cut — recall vs the exact all-pairs baseline is
+    * measured in SimilaritySpec. */
+  def embeddingLshDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = lshBucketed(spark, dir)
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding"), col("nrm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"), pairSim.as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_lsh" -> (embeddingLshDedup _),
     "sim_topk_exact" -> (topkExact _),
     "sim_topk_bucketed" -> (topkBucketed _),
     "sim_topk_lsh" -> (topkLsh _),
     "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
+
+  /** DuckDB mirror of [[lshBucketed]]'s bucket assignment (same md5 plane
+    * signs, same fold order), shared by the two LSH oracles. */
+  private val bucketedCte: String = {
+    val dh60pl =
+      """list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef',
+        |  substr(md5('pl' || p || ':' || i), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)""".stripMargin
+    s"""bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(0, 64), i ->
+       |          (CASE WHEN ($dh60pl) % 2 = 1 THEN 1.0 ELSE -1.0 END)
+       |            * CAST(embedding[i + 1] AS DOUBLE))), (a, b) -> a + b) > 0
+       |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM embeddings)""".stripMargin
+  }
 
   /** Sequential-fold cosine in DuckDB, bit-matching CosineSimilarity. */
   private def cosSql(a: String, b: String): String =
@@ -178,19 +223,8 @@ object Similarity {
          |  FROM pairs)
          |SELECT query_id, label, vec_id, sim, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "sim_topk_lsh" -> {
-      val dh60pl =
-        """list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef',
-          |  substr(md5('pl' || p || ':' || i), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)""".stripMargin
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
-         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(range(0, 64), i ->
-         |          (CASE WHEN ($dh60pl) % 2 = 1 THEN 1.0 ELSE -1.0 END)
-         |            * CAST(embedding[i + 1] AS DOUBLE))), (a, b) -> a + b) > 0
-         |      THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-         |  FROM embeddings),
+    "sim_topk_lsh" ->
+      s"""WITH $bucketedCte,
          |pairs AS (SELECT q.vec_id AS query_id, q.bucket, e.vec_id,
          |    ${cosSql("q.embedding", "e.embedding")} AS sim
          |  FROM bucketed q JOIN bucketed e
@@ -199,8 +233,15 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM pairs)
          |SELECT query_id, bucket, vec_id, sim, rank FROM ranked
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    },
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH $bucketedCte
+         |SELECT q.vec_id AS vec_a, e.vec_id AS vec_b, q.bucket,
+         |  ${cosSql("q.embedding", "e.embedding")} AS cos
+         |FROM bucketed q JOIN bucketed e
+         |  ON q.bucket = e.bucket AND q.vec_id < e.vec_id
+         |WHERE ${cosSql("q.embedding", "e.embedding")} >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos

@@ -62,4 +62,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.nonEmpty)
     info(f"bucketed ANN recall@5 vs exact on sf0.001: $recall%.3f")
   }
+
+  test("LSH near-dup pairs are a SUBSET of the exact pairs (precision 1.0), recall measured") {
+    import org.apache.spark.sql.functions._
+    Registry.register(spark)
+    // exact all-pairs at the same threshold the LSH query verifies with
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qv"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("cosine_sim(qv, embedding)").as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingLshDedup(spark, sfDir)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair is verified by exact cosine, so false positives are
+    // impossible; recall is the knob the bucket width trades away
+    assert((lsh -- exact).isEmpty, s"LSH produced non-pairs: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    info(f"LSH near-dup recall@0.3 vs exact all-pairs on sf0.001: $recall%.3f " +
+      s"(${lsh.size}/${exact.size} pairs)")
+  }
 }
