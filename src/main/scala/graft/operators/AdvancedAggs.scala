@@ -211,7 +211,22 @@ object AdvancedAggs {
           .cast("double").as("sum_price"))
       .orderBy("bucket")
 
+  /** Boolean/conditional aggregate surface: count_if / bool_and (every) /
+    * bool_or (any) per group — all order-independent, so exactly
+    * hash-gateable with no decimal machinery. */
+  def boolStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("count_if(o_totalprice > 150000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_final"),
+        expr("count_if(o_orderstatus = 'O' and o_totalprice < 50000)")
+          .as("n_small_open"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bool_stats" -> (boolStats _),
     "agg_histogram_prices" -> (histogramPrices _),
     "agg_percentiles" -> (percentiles _),
     "agg_pivot_priority_by_status" -> (pivotPriorityByStatus _),
@@ -224,6 +239,14 @@ object AdvancedAggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_bool_stats" ->
+      """SELECT o_orderpriority,
+        |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'F') AS any_final,
+        |  CAST(count_if(o_orderstatus = 'O' AND o_totalprice < 50000) AS BIGINT) AS n_small_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_histogram_prices" ->
       """SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 19) AS BIGINT) AS bucket,
         |  COUNT(*) AS n,

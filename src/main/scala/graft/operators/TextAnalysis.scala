@@ -207,11 +207,13 @@ object TextAnalysis {
     * fraction, and duplicate-bigram fraction.
     *
     * Scale shape: bigram distinctness is computed per-row with
-    * higher-order functions (no shuffle at all); word counts explode to
-    * (doc, word) rows ONCE and aggregate twice on the same doc_id key —
-    * Spark plans the second aggregation shuffle-free because the first
-    * already partitioned by doc_id's superset key. The per-doc constants
-    * ride through the explode instead of joining back. */
+    * higher-order functions (no shuffle at all), and the ONE shuffle is a
+    * doc_id repartition BEFORE the explode — it moves compact document
+    * rows, never token rows, and both downstream aggregations reuse that
+    * partitioning (HashPartitioning(doc_id) satisfies both grouping keys'
+    * distributions, doc_id being a subset of each), so the exploded
+    * (doc, word) stream aggregates fully partition-local. The per-doc
+    * constants ride through the explode instead of joining back. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
@@ -222,6 +224,7 @@ object TextAnalysis {
                |          i -> concat(toks[i], ' ', toks[i+1])))))""".stripMargin)
           .cast("long"))
     base
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("n_words"), col("nbd"),
         explode(col("toks")).as("w"))
       .groupBy(col("doc_id"), col("n_words"), col("nbd"), col("w"))

@@ -45,7 +45,8 @@ class OperatorsSpec extends SparkSpec {
       "win_cume_dist_suppliers", "agg_corr_price_qty",
       // round 4: documents/events are nonempty at every sf
       "ta_repetition", "evt_next_purchase", "pipeline_pack_sequences",
-      "fn_regex", "fn_encode", "agg_histogram_prices", "evt_gap_fill")
+      "fn_regex", "fn_encode", "agg_histogram_prices", "evt_gap_fill",
+      "agg_bool_stats")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
