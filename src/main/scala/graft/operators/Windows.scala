@@ -146,7 +146,22 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Ratio-to-report: each customer's share of its nation's total balance —
+    * the classic reporting window (value / SUM OVER partition). The
+    * denominator is a DECIMAL window sum (order-independent, exact), so
+    * the one double division at the end is bit-identical in both engines;
+    * a raw double window sum would hash-diverge with partition order. */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("nation_total", sum(dec(col("c_acctbal"))).over(w).cast("double"))
+      .withColumn("share", col("c_acctbal") / col("nation_total"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_share_of_total" -> (shareOfTotal _),
     "win_rolling_hour_value" -> (rollingHourValue _),
     "win_first_last_value" -> (firstLastValue _),
     "win_rank_top3_orders_per_cust" -> (rankTop3OrdersPerCust _),
@@ -172,6 +187,14 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "win_share_of_total" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2)))
+        |    OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_total,
+        |  c_acctbal / CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2)))
+        |    OVER (PARTITION BY c_nationkey) AS DOUBLE) AS share
+        |FROM customer
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "win_rolling_hour_value" ->
       """SELECT user_id, event_id, ts,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER

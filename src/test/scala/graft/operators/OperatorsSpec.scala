@@ -46,7 +46,7 @@ class OperatorsSpec extends SparkSpec {
       // round 4: documents/events are nonempty at every sf
       "ta_repetition", "evt_next_purchase", "pipeline_pack_sequences",
       "fn_regex", "fn_encode", "agg_histogram_prices", "evt_gap_fill",
-      "agg_bool_stats")
+      "agg_bool_stats", "win_share_of_total")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
