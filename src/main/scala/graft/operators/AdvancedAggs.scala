@@ -225,7 +225,47 @@ object AdvancedAggs {
           .as("n_small_open"))
       .orderBy("o_orderpriority")
 
+  /** Ordered string aggregation (SQL LISTAGG): nation names per region as
+    * a sorted CSV. Spark composes it as collect_list → array_sort →
+    * array_join, which keeps the aggregation order-INDEPENDENT (the sort
+    * canonicalizes whatever arrival order the shuffle produced) — the only
+    * way a concatenation aggregate can be deterministic on a cluster.
+    * Bounded output per group (listagg of an unbounded group is an OOM at
+    * scale regardless of engine — this one is dimension-sized). */
+  def stringAggNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"))
+      .orderBy("r_name")
+
+  /** Exact MODE with a deterministic tiebreak (max count, then min value)
+    * — built-in `mode()` is tie-nondeterministic on both engines, so the
+    * operator is spelled as count-then-rank: one hash aggregation on the
+    * (status, priority) pair, then a window over the per-status counts.
+    * The windowed input is already aggregated (|statuses|×|priorities|
+    * rows), so the rank pass is negligible at any scale. */
+  def modePriority(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("cnt").desc, col("o_orderpriority"))))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg_nations" -> (stringAggNations _),
+    "agg_mode_priority" -> (modePriority _),
     "agg_bool_stats" -> (boolStats _),
     "agg_histogram_prices" -> (histogramPrices _),
     "agg_percentiles" -> (percentiles _),
@@ -239,6 +279,20 @@ object AdvancedAggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_string_agg_nations" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_mode_priority" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_orderpriority, cnt,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_bool_stats" ->
       """SELECT o_orderpriority,
         |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,

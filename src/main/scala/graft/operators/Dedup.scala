@@ -289,7 +289,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Word-order-insensitive exact dedup: the fingerprint is md5 of the
+    * SORTED token multiset, so shuffled copies of the same bag of words
+    * collapse into one group — the cheap middle ground between byte-exact
+    * dedup (misses reorderings) and MinHash (pays a near-dup machine for
+    * what is really an exact-match problem). Per-row expression work plus
+    * one window over the fingerprint; `keep` marks the min-doc_id
+    * representative, mirroring [[exactDedup]]'s keep rule. */
+  def bowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy(col("bow_fp"))
+    Tables.documents(spark, dir)
+      .withColumn("bow_fp",
+        md5(concat_ws(" ", array_sort(split(col("text"), "\\s+")))))
+      .withColumn("bow_group_size", count(lit(1)).over(byFp))
+      .withColumn("keep",
+        (col("doc_id") === min(col("doc_id")).over(byFp)).cast("long"))
+      .select(col("doc_id"), col("bow_fp"), col("bow_group_size"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bow" -> (bowFingerprint _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -311,6 +332,15 @@ object Dedup {
       |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_bow" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(string_split_regex(text, '\s+')), ' ')) AS bow_fp
+        |FROM documents)
+        |SELECT doc_id, bow_fp,
+        |  COUNT(*) OVER (PARTITION BY bow_fp) AS bow_group_size,
+        |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY bow_fp)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -206,7 +206,24 @@ object Events {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** SLIDING (hopping) window aggregate — 1 h windows every 15 min — the
+    * one time-window shape tumbling/session don't cover. Spark's `window()`
+    * with a slide expands each event into size/slide = 4 window rows
+    * before the hash aggregation (partial agg still applies), exactly the
+    * cost model a streaming hopping window has; the oracle reproduces the
+    * same epoch-grid starts with pure timestamp arithmetic. */
+  def slidingQuarterHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sliding_15m" -> (slidingQuarterHour _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sessionize" -> (sessionize _),
     "evt_session_window_native" -> (sessionWindowNative _),
@@ -218,6 +235,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_sliding_15m" ->
+      """WITH e AS (SELECT ts, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |w AS (SELECT
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + to_seconds((es - es % 900) - 900 * g.i) AS win_start,
+        |    event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) g)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_tumbling_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         |  COUNT(*) AS n_events,

@@ -211,7 +211,28 @@ object ScalarFunctions {
         sha2(col("c_name").cast("binary"), 256).as("sha256_hex"))
       .orderBy("c_custkey")
 
+  /** URL parsing surface: Spark's native `parse_url` (HOST / PATH / QUERY
+    * / keyed QUERY / PROTOCOL) over URLs built from document columns.
+    * DuckDB has no parse_url, so the oracle extracts the same components
+    * with anchored regexes — safe because the generated URLs are
+    * well-formed by construction (no fragments, no escapes). */
+  def urlFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") <= 200)
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&n="), col("n_chars").cast("string")))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url" -> (urlFuncs _),
     "fn_regex" -> (regexFuncs _),
     "fn_encode" -> (encodeFuncs _),
     "fn_struct_map" -> (structMapFuncs _),
@@ -226,6 +247,18 @@ object ScalarFunctions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+        |    || '?lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS url
+        |FROM documents WHERE doc_id <= 200)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_regex" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, 'ta')) AS BIGINT) AS n_ta,

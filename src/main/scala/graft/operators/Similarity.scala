@@ -167,11 +167,65 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-vector symmetric int8 quantization report (the scalar-quantization
+    * half of PQ-style vector compression): scale = max|v|/127, q_i =
+    * round-half-up(v_i/scale), plus the L1 mass of the codes and the exact
+    * reconstruction MSE. Everything is per-row expression work over one
+    * scan — no shuffle at all — and stays bit-checkable because the MSE
+    * fold runs the identical IEEE operations in the identical element
+    * order on both engines (round is spelled floor(x+0.5) so neither
+    * engine's native rounding mode is involved). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("scale", expr(
+        "greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), 1e-12d) / 127.0d"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as bigint))"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        expr("aggregate(q, cast(0 as bigint), (a, b) -> a + abs(b))").as("q_l1"),
+        expr("""aggregate(transform(sequence(0, 63), i ->
+               |  (cast(embedding[i] as double) - q[i] * scale)
+               |    * (cast(embedding[i] as double) - q[i] * scale)),
+               |cast(0.0 as double), (a, b) -> a + b) / 64.0d""".stripMargin).as("mse"))
+      .orderBy("vec_id")
+
+  /** Exact cosine between per-label centroids. Centroid components are
+    * fixed-point sums (round-half-up(v·10⁶) per element, summed as exact
+    * BIGINTs — a float mean would be accumulation-order-dependent and
+    * unhashable), and the pairwise cosine divides exact integer dot/norm
+    * sums only at the very end. Shape at scale: posexplode → one hash
+    * aggregation on (label, component) — partial aggregation does the
+    * heavy lifting map-side — then a tiny (labels × dims) self-join;
+    * the raw vectors are never joined pairwise. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "i", "v")
+      .groupBy(col("label"), col("i"))
+      .agg(sum(expr("cast(floor(cast(v as double) * 1000000.0d + 0.5d) as bigint)")).as("s"))
+    val a = comp.select(col("label").as("label_a"), col("i"), col("s").as("sa"))
+    val b = comp.select(col("label").as("label_b"), col("i"), col("s").as("sb"))
+    a.join(b, Seq("i"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sb") * col("sb")).as("nb2"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_lsh" -> (embeddingLshDedup _),
     "sim_topk_exact" -> (topkExact _),
     "sim_topk_bucketed" -> (topkBucketed _),
     "sim_topk_lsh" -> (topkLsh _),
+    "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_label_centroids" -> (labelCentroids _),
     "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
 
@@ -247,6 +301,38 @@ object Similarity {
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, embedding, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+        |  FROM base)
+        |SELECT vec_id, label, scale,
+        |  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(0, 64), i ->
+        |      (CAST(embedding[i + 1] AS DOUBLE) - qv[i + 1] * scale)
+        |        * (CAST(embedding[i + 1] AS DOUBLE) - qv[i + 1] * scale))),
+        |    (a, b) -> a + b) / 64.0 AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "sim_label_centroids" ->
+      """WITH comp AS (
+        |  SELECT label, i,
+        |    CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings, range(0, 64) r(i)
+        |  GROUP BY label, i)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(SUM(a.s * b.s) AS DOUBLE) /
+        |    (sqrt(CAST(SUM(a.s * a.s) AS DOUBLE))
+        |     * sqrt(CAST(SUM(b.s * b.s) AS DOUBLE))) AS centroid_cos
+        |FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -242,7 +242,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher/C4-style document quality GATE (Rae et al. 2021 §A1.1;
+    * Raffel et al., "Exploring the Limits of Transfer Learning with a
+    * Unified Text-to-Text Transformer", JMLR 2020 §2.2 — the C4 heuristic
+    * family): per-document pass/fail on four fleet-standard filters —
+    * word-count band, mean-word-length band, max-word-length cap, and a
+    * stopword floor — rolled up per (lang, source) with per-filter fail
+    * counts, so a pipeline owner sees WHICH rule rejects a corpus slice.
+    *
+    * Determinism: every rule is evaluated on exact integers (the
+    * mean-length band is cross-multiplied — `2n ≤ Σlen ≤ 12n` — so no
+    * division ever happens); the rollup sums 0/1 longs. One scan, one
+    * low-cardinality hash aggregation — the same shape as qualityStats. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = tokenized(spark, dir)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("sum_tok_len",
+        expr("cast(aggregate(toks, 0, (a, t) -> a + length(t)) as bigint)"))
+      .withColumn("max_tok_len",
+        expr("cast(array_max(transform(toks, t -> length(t))) as bigint)"))
+      .withColumn("n_stop",
+        expr(s"cast(size(filter(toks, t -> t in ${inList(profiles.toMap.apply("en"))})) as bigint)"))
+      .withColumn("f_nwords",
+        (col("n_toks") < 10 || col("n_toks") > 10000).cast("long"))
+      .withColumn("f_meanlen",
+        (col("sum_tok_len") < col("n_toks") * 2 ||
+          col("sum_tok_len") > col("n_toks") * 12).cast("long"))
+      .withColumn("f_maxword", (col("max_tok_len") > 25).cast("long"))
+      .withColumn("f_stop", (col("n_stop") < 2).cast("long"))
+      .withColumn("pass",
+        (col("f_nwords") + col("f_meanlen") + col("f_maxword") + col("f_stop") === 0)
+          .cast("long"))
+    d.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_pass"),
+        sum(col("f_nwords")).as("f_nwords"),
+        sum(col("f_meanlen")).as("f_meanlen"),
+        sum(col("f_maxword")).as("f_maxword"),
+        sum(col("f_stop")).as("f_stop"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_quality_filter" -> (qualityFilter _),
     "ta_repetition" -> (repetition _),
     "ta_lang_id" -> (langId _),
     "ta_quality_stats" -> (qualityStats _),
@@ -255,6 +298,27 @@ object TextAnalysis {
   private val dToks = """string_split_regex(text, '\s+')"""
 
   val oracle: Map[String, String] = Map(
+    "ta_quality_filter" ->
+      s"""WITH d AS (SELECT lang, source,
+         |  CAST(len($dToks) AS BIGINT) AS n_toks,
+         |  CAST(list_sum(list_transform($dToks, t -> length(t))) AS BIGINT) AS sum_tok_len,
+         |  CAST(list_max(list_transform($dToks, t -> length(t))) AS BIGINT) AS max_tok_len,
+         |  CAST(len(list_filter($dToks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+         |FROM documents),
+         |flags AS (SELECT lang, source,
+         |  CASE WHEN n_toks < 10 OR n_toks > 10000 THEN 1 ELSE 0 END AS f_nwords,
+         |  CASE WHEN sum_tok_len < n_toks * 2 OR sum_tok_len > n_toks * 12 THEN 1 ELSE 0 END AS f_meanlen,
+         |  CASE WHEN max_tok_len > 25 THEN 1 ELSE 0 END AS f_maxword,
+         |  CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+         |FROM d)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN f_nwords + f_meanlen + f_maxword + f_stop = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(f_nwords) AS BIGINT) AS f_nwords,
+         |  CAST(SUM(f_meanlen) AS BIGINT) AS f_meanlen,
+         |  CAST(SUM(f_maxword) AS BIGINT) AS f_maxword,
+         |  CAST(SUM(f_stop) AS BIGINT) AS f_stop
+         |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "ta_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
          |base AS (SELECT doc_id, t, len(t) AS nw,

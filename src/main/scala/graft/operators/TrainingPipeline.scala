@@ -140,11 +140,33 @@ object TrainingPipeline {
       .orderBy("shard", "chunk")
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * portable_hash60("fold:" ++ doc_id) mod 5, reported as fold × lang
+    * doc/char counts. Hashing a SALTED doc_id (rather than reusing the
+    * stratified-sample hash) makes the fold split statistically
+    * independent of every other hash-derived split in the pipeline —
+    * the standard trick for composing reproducible splits. One scan,
+    * one 25-key hash aggregation; at 100 TB the fold column is a pure
+    * map-side expression, so folds can also feed a partitioned write. */
+  def kfold(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("fold",
+        expr("portable_hash60(concat('fold:', cast(doc_id as string))) % 5"))
+      .groupBy("fold", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("fold", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_training_split" -> (trainingSplitReport _),
     "pipeline_stratified_sample" -> (stratifiedSample _),
     "pipeline_decontamination" -> (decontamination _),
-    "pipeline_pack_sequences" -> (packSequences _)
+    "pipeline_pack_sequences" -> (packSequences _),
+    "pipeline_kfold" -> (kfold _)
   )
 
   private val dh60s: String =
@@ -209,6 +231,17 @@ object TrainingPipeline {
         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM splits GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "pipeline_kfold" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    list_reduce(list_transform(range(1,16), k ->
+        |      CAST(strpos('0123456789abcdef', substr(md5('fold:' || CAST(doc_id AS VARCHAR)), k, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 5 AS fold
+        |  FROM documents)
+        |SELECT fold, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM f GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
     "pipeline_stratified_sample" ->
       """WITH d AS (
         |  SELECT lang, source, doc_id,

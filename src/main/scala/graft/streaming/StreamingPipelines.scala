@@ -43,6 +43,18 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n_events"))
 
+  /** Sliding (hopping) 1-hour windows every 15 minutes with a 2-hour
+    * watermark — the streaming twin of the batch
+    * [[graft.operators.Events.slidingQuarterHour]]. Each event updates
+    * size/slide = 4 window states; watermark-expired windows finalize in
+    * Append mode exactly as tumbling ones do. */
+  def slidingQuarterHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** Watermarked stream-stream join: each click paired with same-user
     * errors from the preceding 10 minutes. Both sides carry watermarks and
     * the join condition bounds event-time distance, so Spark can expire

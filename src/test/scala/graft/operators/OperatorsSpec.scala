@@ -46,7 +46,11 @@ class OperatorsSpec extends SparkSpec {
       // round 4: documents/events are nonempty at every sf
       "ta_repetition", "evt_next_purchase", "pipeline_pack_sequences",
       "fn_regex", "fn_encode", "agg_histogram_prices", "evt_gap_fill",
-      "agg_bool_stats", "win_share_of_total")
+      "agg_bool_stats", "win_share_of_total",
+      // round 5: documents/embeddings/events/orders are nonempty at every sf
+      "evt_sliding_15m", "sim_quantize_int8", "sim_label_centroids",
+      "dedup_bow", "agg_mode_priority", "agg_string_agg_nations",
+      "ta_quality_filter", "pipeline_kfold", "fn_url")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")

@@ -71,6 +71,42 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-batch parity: sliding 15m windows equal the batch hopping aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, window => fwindow}
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+      .sortBy(_._1.getTime)
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .groupBy(fwindow(col("ts"), "1 hour", "15 minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .count()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingPipelines.slidingQuarterHour(
+        in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("slide_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      chunks.foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val flushTs = new Timestamp(rows.last._1.getTime + 12L * 3600 * 1000)
+      in.addData((flushTs, "flush")); q.processAllAvailable()
+      val streamed = spark.table("slide_parity").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+        .filter { case ((_, tpe), _) => tpe != "flush" }
+      assert(streamed == batch,
+        s"stream/batch sliding divergence: only-stream=${streamed.toSet -- batch.toSet} " +
+          s"only-batch=${batch.toSet -- streamed.toSet}")
+    } finally q.stop()
+  }
+
   test("tumbling window finalizes only after the watermark passes (Append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
