@@ -152,9 +152,50 @@ object Multimodal {
       .orderBy("media_type")
   }
 
+  /** Aspect-preserving resize plan for every decoded item (32-px box) —
+    * oracle-gated: [[resizeMeta]]'s integer fit arithmetic is mirrored in
+    * SQL over the stub dimensions. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    resizeMeta(featureExtract(media, StubDecoder), 32)
+      .toDF("doc_id", "r_width", "r_height")
+      .orderBy("doc_id")
+  }
+
+  /** Frame-level exact dedup across videos: every sampled frame's content
+    * slice is fingerprinted (md5) and counted corpus-wide — the multimodal
+    * twin of [[graft.operators.Dedup.exactDedup]], catching payload reuse
+    * across containers (e.g. the same intro frames in many videos). The
+    * slice arithmetic is [[frameSample]]'s, applied to the payload text so
+    * the oracle can recompute identical fingerprints; the ONE shuffle is
+    * the fingerprint window. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    val frames = media.filter(_.media_type == "video").flatMap { r =>
+      val s = new String(r.media, java.nio.charset.StandardCharsets.UTF_8)
+      val total = s.length.toLong
+      val stride = math.max(total / 4, 1L)
+      (0 until 4).iterator.map { i =>
+        val off = math.min(i * stride, total)
+        val len = math.min(stride, math.max(total - off, 0L))
+        (r.doc_id, i, s.substring(off.toInt, (off + len).toInt))
+      }
+    }.toDF("doc_id", "frame_idx", "frame_text")
+    frames
+      .withColumn("frame_fp", md5(col("frame_text")))
+      .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(col("frame_fp"))))
+      .select(col("doc_id"), col("frame_idx"), col("frame_fp"), col("fp_count"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_stats" -> (mediaStats _),
-    "mm_frame_stats" -> (frameStats _)
+    "mm_frame_stats" -> (frameStats _),
+    "mm_resize_stats" -> (resizeStats _),
+    "mm_frame_dedup" -> (frameDedup _)
   )
 
   /** The oracle re-derives the stub's deterministic metadata arithmetic in
@@ -169,6 +210,27 @@ object Multimodal {
         |  CAST(SUM(n_bytes % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_width,
         |  CAST(SUM((n_bytes * 7) % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_height
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "mm_resize_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |wh AS (SELECT doc_id,
+        |  CAST(n % 64 + 1 AS BIGINT) AS w,
+        |  CAST((n * 7) % 64 + 1 AS BIGINT) AS h FROM m)
+        |SELECT doc_id,
+        |  CAST(greatest((w * 32) // greatest(w, h), 1) AS INTEGER) AS r_width,
+        |  CAST(greatest((h * 32) // greatest(w, h), 1) AS INTEGER) AS r_height
+        |FROM wh ORDER BY doc_id""".stripMargin,
+    "mm_frame_dedup" ->
+      """WITH vids AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS total,
+        |    greatest(CAST(length(text) AS BIGINT) // 4, 1) AS stride
+        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) + 1 = 3),
+        |frames AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    md5(substr(text, CAST(least(i * stride, total) AS INTEGER) + 1,
+        |        CAST(least(stride, greatest(total - i * stride, 0)) AS INTEGER))) AS frame_fp
+        |  FROM vids, UNNEST(range(4)) AS u(i))
+        |SELECT doc_id, frame_idx, frame_fp,
+        |  COUNT(*) OVER (PARTITION BY frame_fp) AS fp_count
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_stats" ->
       """WITH vids AS (
         |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS total,

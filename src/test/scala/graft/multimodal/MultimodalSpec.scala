@@ -57,4 +57,14 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum ==
       graft.core.Tables.documents(spark, sfDir).count())
   }
+
+  test("frameDedup emits 4 fingerprinted frames per video with consistent counts") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).as[MediaRecord]
+    val videos = media.filter(_.media_type == "video").count()
+    val rows = Multimodal.frameDedup(spark, sfDir).collect()
+    assert(rows.length == videos * 4)
+    // fp_count is the global multiplicity of that fingerprint
+    val byFp = rows.groupBy(_.getString(2)).view.mapValues(_.length.toLong)
+    assert(rows.forall(r => r.getLong(3) == byFp(r.getString(2))))
+  }
 }

@@ -50,7 +50,8 @@ class OperatorsSpec extends SparkSpec {
       // round 5: documents/embeddings/events/orders are nonempty at every sf
       "evt_sliding_15m", "sim_quantize_int8", "sim_label_centroids",
       "dedup_bow", "agg_mode_priority", "agg_string_agg_nations",
-      "ta_quality_filter", "pipeline_kfold", "fn_url")
+      "ta_quality_filter", "pipeline_kfold", "fn_url",
+      "mm_resize_stats", "mm_frame_dedup")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
