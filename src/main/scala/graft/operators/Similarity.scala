@@ -219,7 +219,80 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** TRAINED coarse quantizer: k-means (k = 8, 2 Lloyd iterations,
+    * deterministic init = vectors 0..7) — the training step [[topkBucketed]]
+    * assumes precomputed and [[topkLsh]] avoids. Exactly oracle-checkable
+    * because every step is determinized: centroid means come from exact
+    * fixed-point BIGINT sums (Σ round-half-up(v·10⁶)) — never a float sum
+    * whose accumulation order could differ — and distances fold identical
+    * IEEE terms in identical order on both engines, so even argmin
+    * boundaries agree bit-for-bit; ties break on centroid id.
+    *
+    * Scale shape per iteration: assignment is a broadcast of k tiny
+    * centroid rows against one corpus scan (no shuffle of vectors), and
+    * the update is one partial-aggregated (cid, component) hash agg —
+    * exactly how distributed k-means is deployed; iterations are a fixed
+    * small constant (quantizer training, not convergence-chasing). */
+  private def kmeansAssigned(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val init = emb.filter(col("vec_id") <= 7)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("c"))
+
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          """aggregate(sequence(0, 63), cast(0.0 as double),
+            |  (acc, i) -> acc + (cast(embedding[i] as double) - c[i])
+            |                * (cast(embedding[i] as double) - c[i]))""".stripMargin))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"), col("dist"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .toDF("cid", "i", "v")
+        .groupBy(col("cid"), col("i"))
+        .agg(
+          sum(expr("cast(floor(cast(v as double) * 1000000.0d + 0.5d) as bigint)")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / 1000000.0 / col("n"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("c"))
+
+    assign(update(assign(init)))
+  }
+
+  /** Final k-means cell assignment per vector (2 trained iterations). */
+  def ivfKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(spark, dir)
+      .select(col("vec_id"), col("label"), col("cid"), col("dist"))
+      .orderBy("vec_id")
+
+  /** IVF search over the TRAINED cells: top-3 cosine neighbors within each
+    * vector's k-means cell — [[topkBucketed]] with a real trained quantizer
+    * instead of the label stand-in. Bucket join on one int key. */
+  def topkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssigned(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+    val q = asg.select(col("cid"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val c = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    q.join(c, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cid"), col("vec_id"), pairSim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_kmeans" -> (ivfKmeans _),
+    "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "dedup_embedding_lsh" -> (embeddingLshDedup _),
     "sim_topk_exact" -> (topkExact _),
     "sim_topk_bucketed" -> (topkBucketed _),
@@ -255,7 +328,62 @@ object Similarity {
        |   * sqrt(list_reduce(list_transform(range(1, len($b) + 1),
        |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
 
+  /** DuckDB mirror of [[kmeansAssigned]]: the same two unrolled Lloyd
+    * iterations with fixed-point centroid means and in-order distance
+    * folds, ending at `asg2` = (vec_id, label, embedding, cid, dist). */
+  private val kmeansCte: String =
+    """init AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS cid,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      |  FROM embeddings WHERE vec_id <= 7),
+      |a1 AS (
+      |  SELECT e.vec_id, e.label, e.embedding, i.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 64), j ->
+      |        (CAST(e.embedding[j + 1] AS DOUBLE) - i.c[j + 1])
+      |          * (CAST(e.embedding[j + 1] AS DOUBLE) - i.c[j + 1]))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM embeddings e CROSS JOIN init i),
+      |asg1 AS (
+      |  SELECT vec_id, label, embedding, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM a1) WHERE rn = 1),
+      |upd AS (
+      |  SELECT cid, j,
+      |    CAST(SUM(CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM asg1, range(0, 64) r(j)
+      |  GROUP BY cid, j),
+      |cent2 AS (
+      |  SELECT cid, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY j) AS c
+      |  FROM upd GROUP BY cid),
+      |a2 AS (
+      |  SELECT e.vec_id, e.label, e.embedding, i.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 64), j ->
+      |        (CAST(e.embedding[j + 1] AS DOUBLE) - i.c[j + 1])
+      |          * (CAST(e.embedding[j + 1] AS DOUBLE) - i.c[j + 1]))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM embeddings e CROSS JOIN cent2 i),
+      |asg2 AS (
+      |  SELECT vec_id, label, embedding, cid, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM a2) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_kmeans" ->
+      s"""WITH $kmeansCte
+         |SELECT vec_id, label, cid, dist FROM asg2 ORDER BY vec_id""".stripMargin,
+    "sim_topk_ivf_trained" ->
+      s"""WITH $kmeansCte,
+         |pairs AS (SELECT q.vec_id AS query_id, q.cid, e.vec_id,
+         |    ${cosSql("q.embedding", "e.embedding")} AS sim
+         |  FROM asg2 q JOIN asg2 e ON q.cid = e.cid AND e.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, cid, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT query_id, cid, vec_id, sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id <= 9),

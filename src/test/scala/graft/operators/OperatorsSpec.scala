@@ -51,7 +51,8 @@ class OperatorsSpec extends SparkSpec {
       "evt_sliding_15m", "sim_quantize_int8", "sim_label_centroids",
       "dedup_bow", "agg_mode_priority", "agg_string_agg_nations",
       "ta_quality_filter", "pipeline_kfold", "fn_url",
-      "mm_resize_stats", "mm_frame_dedup")
+      "mm_resize_stats", "mm_frame_dedup",
+      "sim_ivf_kmeans", "sim_topk_ivf_trained")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")

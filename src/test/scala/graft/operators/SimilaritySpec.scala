@@ -86,4 +86,53 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH near-dup recall@0.3 vs exact all-pairs on sf0.001: $recall%.3f " +
       s"(${lsh.size}/${exact.size} pairs)")
   }
+
+  test("trained k-means assigns every vector once, to a seed cell, with nonneg distance") {
+    import org.apache.spark.sql.functions._
+    val asg = Similarity.ivfKmeans(spark, sfDir)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    assert(asg.count() == emb.count())
+    assert(asg.select(col("vec_id")).distinct().count() == emb.count())
+    assert(asg.filter(col("cid") < 0 || col("cid") > 7).count() == 0)
+    assert(asg.filter(col("dist") < 0.0).count() == 0)
+  }
+
+  test("Lloyd iteration does not increase total SSE (trained vs init assignment)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // SSE of assigning to the INIT centroids (vectors 0..7) directly
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val init = emb.filter(col("vec_id") <= 7)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("c"))
+    val sse0 = emb.crossJoin(broadcast(init))
+      .withColumn("dist", expr(
+        """aggregate(sequence(0, 63), cast(0.0 as double),
+          |  (acc, i) -> acc + (cast(embedding[i] as double) - c[i])
+          |                * (cast(embedding[i] as double) - c[i]))""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+      .agg(sum(col("dist"))).head.getDouble(0)
+    val sse1 = Similarity.ivfKmeans(spark, sfDir)
+      .agg(sum(col("dist"))).head.getDouble(0)
+    assert(sse1 <= sse0 + 1e-9, s"Lloyd update increased SSE: $sse0 -> $sse1")
+    info(f"k-means SSE: init-assign $sse0%.4f -> after-update assign $sse1%.4f")
+  }
+
+  test("trained-IVF top-k similarities are a subset of each query's exact top ranking") {
+    import org.apache.spark.sql.functions._
+    // within-cell top-3 can't beat the exact global top-3, but every
+    // reported sim must equal the exact cosine for that pair
+    Registry.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val got = Similarity.topkIvfTrained(spark, sfDir)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val b = emb.select(col("vec_id"), col("embedding"))
+    val recomputed = got.join(a, "query_id").join(b, "vec_id")
+      .withColumn("sim2", expr("cosine_sim(qv, embedding)"))
+      .filter(col("sim") =!= col("sim2"))
+    assert(recomputed.count() == 0, "reported sim differs from exact cosine")
+  }
 }
