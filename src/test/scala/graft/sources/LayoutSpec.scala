@@ -68,4 +68,43 @@ class LayoutSpec extends SparkSpec {
     val b = spark.read.parquet(scatterDir).orderBy("l_orderkey", "l_quantity").collect()
     assert(a.length == b.length && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("z-order layout bounds BOTH dimensions' footer spans; single-sort only one") {
+    val base = Tables.lineitem(spark, sfDir)
+      .selectExpr("cast(l_orderkey % 256 as long) as x",
+        "cast(l_partkey % 256 as long) as y")
+    val zDir = "/tmp/graft_layout_zorder"
+    val xDir = "/tmp/graft_layout_xsorted"
+    Layout.writeZOrdered(base, "x", "y", zDir, 16, bits = 8)
+    Layout.writeSorted(base, "x", xDir, 16)
+
+    val zx = fileRanges(zDir, "x"); val zy = fileRanges(zDir, "y")
+    val sx = fileRanges(xDir, "x"); val sy = fileRanges(xDir, "y")
+    def avgSpan(rs: Seq[(Long, Long)]): Double =
+      rs.map { case (lo, hi) => hi - lo }.sum.toDouble / rs.size
+
+    // x-sorted: tight on x, but every file spans the whole y domain
+    assert(avgSpan(sx) < 64.0, s"sx=$sx")
+    // (y = l_partkey % 256 tops out just under 200 at this sf, so the
+    // "full domain" span is ~199, not 255)
+    assert(avgSpan(sy) > 190.0, s"sy=$sy")
+    // z-order: both dimensions bounded well under the 256 domain (ideal
+    // quadrant span is 64; range-boundary straddle can widen some files)
+    assert(avgSpan(zx) < 160.0, s"zx=$zx")
+    assert(avgSpan(zy) < 160.0, s"zy=$zy")
+
+    // pruning consequence: a filter on y ALONE (y in [128, 159]) must
+    // skip most z-ordered files but can skip no x-sorted file
+    val (q0, q1) = (128L, 159L)
+    val zHits = zy.count { case (lo, hi) => lo <= q1 && q0 <= hi }
+    val sHits = sy.count { case (lo, hi) => lo <= q1 && q0 <= hi }
+    assert(sHits == sy.size, s"x-sorted layout unexpectedly pruned y: $sy")
+    assert(zHits * 2 <= zy.size,
+      s"z-order pruned too little on y: $zHits of ${zy.size} files match")
+
+    // and the z-layout round-trips the data exactly
+    val a = spark.read.parquet(zDir).orderBy("x", "y").collect()
+    val b = base.orderBy("x", "y").collect()
+    assert(a.length == b.length && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }
