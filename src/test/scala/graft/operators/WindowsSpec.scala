@@ -48,4 +48,27 @@ class WindowsSpec extends SparkSpec {
       assert(math.abs(ap - ex) / ex <= 0.1, s"$k: approx $ap vs exact $ex")
     }
   }
+
+  test("approx quantiles respect the configured rank-error bound vs exact order stats") {
+    // approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
+    // assert the looser 1/100 so the check is robust, not flaky
+    val approx = AdvancedAggs.sketchQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val byFlag = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val qs = Seq(0.5, 0.95, 0.99)
+    val eps = 0.01
+    approx.foreach { case (flag, vals) =>
+      val xs = byFlag(flag)
+      val n = xs.length
+      qs.zip(vals).foreach { case (q, v) =>
+        val lo = xs(math.max(0, math.ceil((q - eps) * n).toInt - 1))
+        val hi = xs(math.min(n - 1, math.ceil((q + eps) * n).toInt - 1))
+        assert(v >= lo && v <= hi, s"$flag q=$q: approx $v outside rank band [$lo, $hi]")
+      }
+    }
+  }
 }
