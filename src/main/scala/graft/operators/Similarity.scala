@@ -263,7 +263,46 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("c"))
 
-    assign(update(assign(init)))
+    // Materialize the TRAINED centroid table — k tiny rows of quantizer
+    // metadata, the IVF "codebook". Collecting it (like any dim lookup)
+    // makes the final assignment a pure map-side expression, so a
+    // downstream self-join doesn't re-run training per branch and the
+    // assignment costs one codegen'd argmin per row, no crossJoin, no
+    // window, no shuffle. Training itself (both Lloyd passes) still runs
+    // fully distributed, exactly once.
+    val cents: Array[(Int, Array[Double])] = update(assign(init))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+    // The codebook rides into the plan as ONE literal array<array<double>>
+    // (bit-exact — no string round trip) and the per-row distance loop is
+    // a compact HOF fold, not an unrolled 8×64 expression tree (which
+    // projection collapse would duplicate into every use site and janino
+    // would choke on). dists is in ascending-cid order, so
+    // array_position-of-min picks the FIRST minimum — exactly the
+    // oracle's ORDER BY dist, cid tiebreak; each per-centroid fold adds
+    // terms in ascending component order, matching the oracle's
+    // list_reduce.
+    val centMatrix: Column = array(cents.toSeq.map { case (_, c) =>
+      array(c.toSeq.map(lit): _*)
+    }: _*)
+    val cidArr: Column = array(cents.toSeq.map(c => lit(c._1)): _*)
+    val dists: Column = transform(
+      sequence(lit(0), lit(cents.length - 1)),
+      j => aggregate(
+        sequence(lit(0), lit(63)), lit(0.0),
+        (acc, i) => {
+          val d = element_at(col("embedding"), (i + 1).cast("int")).cast("double") -
+            element_at(element_at(centMatrix, (j + 1).cast("int")), (i + 1).cast("int"))
+          acc + d * d
+        }))
+    emb
+      .withColumn("dists", dists)
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cid",
+        element_at(cidArr, array_position(col("dists"), col("dist")).cast("int")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"), col("dist"))
   }
 
   /** Final k-means cell assignment per vector (2 trained iterations). */
