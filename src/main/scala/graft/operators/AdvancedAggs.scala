@@ -120,6 +120,29 @@ object AdvancedAggs {
       .orderBy("l_returnflag")
   }
 
+  /** Dispersion moments per group — sample variance and stddev — from the
+    * same exact decimal moment sums [[corrPriceQty]] uses (n, Σx, Σx²):
+    * built-in stddev_samp streams float partials whose accumulation order
+    * is shuffle-dependent, so it can never hash-match a second engine;
+    * one final double evaluation of exact sums can and does. */
+  def dispersionQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val varCol = (col("n") * col("sxx") - col("sx") * col("sx")) /
+      (col("n").cast("double") * (col("n") - 1))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(q * q).cast("double").as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        varCol.as("var_qty"),
+        sqrt(varCol).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** EXACT k-th smallest (here: the median, k = ceil(n/2)) by two-pass
     * bucket selection — the scale path for exact order statistics that a
     * global sort can't offer: pass 1 scans once building a 10k-bucket
@@ -266,6 +289,7 @@ object AdvancedAggs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_string_agg_nations" -> (stringAggNations _),
     "agg_mode_priority" -> (modePriority _),
+    "agg_dispersion_qty" -> (dispersionQty _),
     "agg_bool_stats" -> (boolStats _),
     "agg_histogram_prices" -> (histogramPrices _),
     "agg_percentiles" -> (percentiles _),
@@ -284,6 +308,17 @@ object AdvancedAggs {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_dispersion_qty" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS var_qty,
+        |  sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_mode_priority" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
