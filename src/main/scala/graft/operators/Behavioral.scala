@@ -63,9 +63,37 @@ object Behavioral {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** DAU / WAU / stickiness per day — the rolling-distinct-user metric,
+    * expressed scale-safely: the event stream first collapses to DISTINCT
+    * (day, user) pairs (the only pass over raw events), and the trailing
+    * 7-day WAU membership comes from expanding each compact pair to the
+    * ≤7 target days it can serve — a 7× blowup of the DEDUPED pairs, not
+    * of the raw stream — followed by a second distinct + count. No
+    * per-day window over raw events, no COUNT(DISTINCT … RANGE) state.
+    * Stickiness is one final double division of exact counts; day ships
+    * as an ISO string (DATE columns compare shakily through
+    * parquet/pandas). */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_funnel_conversion" -> (funnelConversion _),
-    "evt_cohort_retention" -> (cohortRetention _)
+    "evt_cohort_retention" -> (cohortRetention _),
+    "evt_dau_wau" -> (dauWau _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -84,6 +112,17 @@ object Behavioral {
         |  (SELECT COUNT(*) FROM s) AS n_signup,
         |  (SELECT COUNT(*) FROM c) AS n_signup_click,
         |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin,
+    "evt_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        |expanded AS (
+        |  SELECT DISTINCT day + CAST(i AS INTEGER) AS day, user_id
+        |  FROM du, UNNEST(range(7)) AS u(i)),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM expanded GROUP BY day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day_s, dau, wau,
+        |  CAST(dau AS DOUBLE) / wau AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY day_s""".stripMargin,
     "evt_cohort_retention" ->
       """WITH first AS (SELECT user_id, MIN(ts) AS first_ts
         |               FROM events GROUP BY user_id)

@@ -284,7 +284,19 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** Language-ID confusion matrix — the evaluation half of [[langId]]:
+    * actual label × predicted label counts, the standard classifier-eval
+    * shape a corpus pipeline reports after any heuristic tagger. Reuses
+    * the langId pipeline so predictions can never drift from the scored
+    * query; the rollup is one low-cardinality hash aggregation. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lang_confusion" -> (langConfusion _),
     "ta_quality_filter" -> (qualityFilter _),
     "ta_repetition" -> (repetition _),
     "ta_lang_id" -> (langId _),
@@ -297,7 +309,30 @@ object TextAnalysis {
 
   private val dToks = """string_split_regex(text, '\s+')"""
 
+  /** Shared scored/pred CTE for the lang-id oracles. */
+  private def langPredSql: String = {
+    val scores = profiles.map { case (l, ws) =>
+      s"CAST(len(list_filter($dToks, t -> t IN ${inList(ws)})) AS DOUBLE) / len($dToks) AS s_$l"
+    }.mkString(",\n  ")
+    s"""scored AS (SELECT doc_id, lang,
+       |  $scores
+       |FROM documents),
+       |pred AS (SELECT doc_id, lang,
+       |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang,
+       |  s_de, s_en, s_es, s_fr, s_zh
+       |FROM scored)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ta_lang_confusion" ->
+      s"""WITH $langPredSql
+         |SELECT lang, pred_lang, COUNT(*) AS n_docs
+         |FROM pred GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin,
     "ta_quality_filter" ->
       s"""WITH d AS (SELECT lang, source,
          |  CAST(len($dToks) AS BIGINT) AS n_toks,

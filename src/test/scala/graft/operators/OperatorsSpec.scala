@@ -52,7 +52,8 @@ class OperatorsSpec extends SparkSpec {
       "dedup_bow", "agg_mode_priority", "agg_string_agg_nations",
       "ta_quality_filter", "pipeline_kfold", "fn_url",
       "mm_resize_stats", "mm_frame_dedup",
-      "sim_ivf_kmeans", "sim_topk_ivf_trained", "agg_dispersion_qty")
+      "sim_ivf_kmeans", "sim_topk_ivf_trained", "agg_dispersion_qty",
+      "evt_dau_wau", "ta_lang_confusion")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
