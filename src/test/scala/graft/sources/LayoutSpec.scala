@@ -107,4 +107,25 @@ class LayoutSpec extends SparkSpec {
     val b = base.orderBy("x", "y").collect()
     assert(a.length == b.length && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("zValue is an exact bit interleave: deinterleave recovers both keys (200 cases)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+      .withColumn("z", Layout.zValue(col("a"), col("b")))
+      .collect()
+    df.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (ra, rb) = (0L, 0L)
+      (0 until 21).foreach { i =>
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z deinterleaved to ($ra,$rb), expected ($a,$b)")
+    }
+    // monotone in the box sense: z of (0,0) is the global minimum
+    val zmin = spark.range(1).select(Layout.zValue(lit(0L), lit(0L))).head.getLong(0)
+    assert(zmin == 0L)
+  }
 }
