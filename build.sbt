@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. With the
+// default LoggedOutput strategy sbt prefixes forked-process stdout with
+// "[info] " and appends a "[success] Total time" banner after it — both
+// break that parse. Inherit the process's stdout verbatim and drop the
+// success banner so graft.Bench's JSON line is the final line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
