@@ -143,6 +143,50 @@ object AdvancedAggs {
       .orderBy("l_returnflag")
   }
 
+  /** Higher-moment shape statistics (population skewness and excess
+    * kurtosis) from EXACT integer power sums — the natural extension of
+    * [[dispersionQty]]: quantities become integer cents (≤ 5000, so the
+    * fourth power still fits a long per row), the four power sums
+    * accumulate as DECIMAL(38,0) (overflow-proof at any scale, and
+    * order-independent unlike built-in skewness/kurtosis, which stream
+    * float partials), and the moment algebra is a fixed tree of IEEE
+    * double ops spelled identically in the oracle. pow(m2, 1.5) is
+    * deliberately written m2·sqrt(m2): sqrt and · are correctly rounded
+    * everywhere, libm pow is not. */
+  def skewKurtQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val q = (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast(d38)).as("s1r"),
+        sum((col("q") * col("q")).cast(d38)).as("s2r"),
+        sum((col("q") * col("q") * col("q")).cast(d38)).as("s3r"),
+        sum((col("q") * col("q") * col("q") * col("q")).cast(d38)).as("s4r"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1r").cast("double") / 1e2).as("sx"),
+        (col("s2r").cast("double") / 1e4).as("sxx"),
+        (col("s3r").cast("double") / 1e6).as("sx3"),
+        (col("s4r").cast("double") / 1e8).as("sx4"))
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("m2", col("sxx") / col("n") - col("m") * col("m"))
+      .withColumn("m3", col("sx3") / col("n")
+        - lit(3.0) * col("m") * (col("sxx") / col("n"))
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", col("sx4") / col("n")
+        - lit(4.0) * col("m") * (col("sx3") / col("n"))
+        + lit(6.0) * col("m") * col("m") * (col("sxx") / col("n"))
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .select(col("l_returnflag"), col("n"),
+        col("m").as("mean_qty"), col("m2").as("m2_qty"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew_qty"),
+        (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** EXACT k-th smallest (here: the median, k = ceil(n/2)) by two-pass
     * bucket selection — the scale path for exact order statistics that a
     * global sort can't offer: pass 1 scans once building a 10k-bucket
@@ -290,6 +334,7 @@ object AdvancedAggs {
     "agg_string_agg_nations" -> (stringAggNations _),
     "agg_mode_priority" -> (modePriority _),
     "agg_dispersion_qty" -> (dispersionQty _),
+    "agg_skew_kurt" -> (skewKurtQty _),
     "agg_bool_stats" -> (boolStats _),
     "agg_histogram_prices" -> (histogramPrices _),
     "agg_percentiles" -> (percentiles _),
@@ -308,6 +353,27 @@ object AdvancedAggs {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH r AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+        |FROM lineitem),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(q) AS DOUBLE) / 1e2 AS sx,
+        |  CAST(SUM(q*q) AS DOUBLE) / 1e4 AS sxx,
+        |  CAST(SUM(q*q*q) AS DOUBLE) / 1e6 AS sx3,
+        |  CAST(SUM(q*q*q*q) AS DOUBLE) / 1e8 AS sx4
+        |FROM r GROUP BY 1),
+        |mm AS (SELECT l_returnflag, n, sx, sxx, sx3, sx4, sx / n AS m FROM s),
+        |mo AS (SELECT l_returnflag, n, m,
+        |  sxx / n - m * m AS m2,
+        |  sx3 / n - 3.0 * m * (sxx / n) + 2.0 * m * m * m AS m3,
+        |  sx4 / n - 4.0 * m * (sx3 / n) + 6.0 * m * m * (sxx / n)
+        |    - 3.0 * m * m * m * m AS m4
+        |FROM mm)
+        |SELECT l_returnflag, n, m AS mean_qty, m2 AS m2_qty,
+        |  m3 / (m2 * sqrt(m2)) AS skew_qty,
+        |  m4 / (m2 * m2) - 3.0 AS kurt_qty
+        |FROM mo ORDER BY l_returnflag""".stripMargin,
     "agg_dispersion_qty" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -90,10 +90,41 @@ object Behavioral {
       .orderBy("day_s")
   }
 
+  /** First-order Markov transition matrix over each user's event stream:
+    * for every (from_type, to_type) adjacent pair under the total order
+    * (ts, event_id), the transition count and conditional probability
+    * P(to | from). The probability is ONE final double division of two
+    * exactly-counted longs.
+    *
+    * Scale shape: a per-user sequence window (shuffle keyed on user_id —
+    * state per task is one row of lookback, not the user's history),
+    * then a hash aggregation on the tiny (from, to) key space; the
+    * per-from denominator is a window over the aggregated matrix
+    * (|types|² rows), never over raw events. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seqW))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts
+      .withColumn("from_total",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("from_total"),
+        (col("n_trans").cast("double") / col("from_total")).as("p_trans"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_funnel_conversion" -> (funnelConversion _),
     "evt_cohort_retention" -> (cohortRetention _),
-    "evt_dau_wau" -> (dauWau _)
+    "evt_dau_wau" -> (dauWau _),
+    "evt_markov_transitions" -> (markovTransitions _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,6 +163,19 @@ object Behavioral {
         |    // 604800 AS week_offset,
         |  COUNT(DISTINCT e.user_id) AS n_active
         |FROM events e JOIN first ON e.user_id = first.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_markov_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+        |      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  CAST(n_trans AS DOUBLE) /
+        |    CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_trans
+        |FROM m ORDER BY from_type, to_type""".stripMargin
   )
 }

@@ -295,7 +295,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred_lang")
 
+  /** Lexical-diversity quality signals per document: type-token ratio,
+    * Gini-Simpson diversity (1 - Σpᵢ²), and repeat rate (the birthday
+    * collision probability Σcᵢ(cᵢ-1)/n(n-1)). These are the log-free
+    * diversity measures — Shannon entropy is deliberately avoided because
+    * libm log is not bit-reproducible across engines, while these are
+    * exact integer sums with one final IEEE division each (same
+    * rationale as the tfidf ranking).
+    *
+    * Scale shape: same as [[repetition]] — one doc_id repartition before
+    * the explode (document rows, not token rows, cross the wire) and both
+    * aggregations stay partition-local under that partitioning. */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("n"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(col("c") * (col("c") - 1)).as("sum_cc1"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n")).as("ttr"),
+        (lit(1.0) - col("sum_c2").cast("double")
+          / (col("n") * col("n")).cast("double")).as("simpson_diversity"),
+        when(col("n") > 1, col("sum_cc1").cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")).as("repeat_rate"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_diversity" -> (diversity _),
     "ta_lang_confusion" -> (langConfusion _),
     "ta_quality_filter" -> (qualityFilter _),
     "ta_repetition" -> (repetition _),
@@ -328,6 +361,21 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |w AS (SELECT doc_id, len(t) AS n, u.tk FROM toks, UNNEST(t) AS u(tk)),
+         |wc AS (SELECT doc_id, n, tk, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+         |agg AS (SELECT doc_id, CAST(n AS BIGINT) AS n, COUNT(*) AS n_types,
+         |  CAST(SUM(c*c) AS BIGINT) AS sum_c2,
+         |  CAST(SUM(c*(c-1)) AS BIGINT) AS sum_cc1
+         |FROM wc GROUP BY 1, 2)
+         |SELECT doc_id, n AS n_tokens, n_types,
+         |  CAST(n_types AS DOUBLE) / n AS ttr,
+         |  1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n*n AS DOUBLE) AS simpson_diversity,
+         |  CASE WHEN n > 1
+         |    THEN CAST(sum_cc1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)
+         |  END AS repeat_rate
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "ta_lang_confusion" ->
       s"""WITH $langPredSql
          |SELECT lang, pred_lang, COUNT(*) AS n_docs

@@ -160,7 +160,33 @@ object Windows {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** Exact rolling median of order totals per customer (ROWS BETWEEN 4
+    * PRECEDING AND CURRENT ROW). Spark has no holistic median window
+    * function, so the frame is materialized explicitly: collect_list over
+    * the 5-row frame, sort, average the two middle elements — the textbook
+    * even/odd median on exact integer cents (DECIMAL(12,2)·100), with the
+    * only floating-point ops two final IEEE divisions spelled identically
+    * in the oracle. Frames are O(1) rows, so the materialization cost is a
+    * constant per row regardless of table size — safe at 100 TB where a
+    * growing frame would not be. */
+  def rollingMedianOrders(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("cents"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("""(cast(arr[(size(arr)+1) div 2 - 1] as double)
+               | + cast(arr[size(arr) div 2] as double)) / 2.0 / 100.0"""
+          .stripMargin).as("rolling_median"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_median" -> (rollingMedianOrders _),
     "win_share_of_total" -> (shareOfTotal _),
     "win_rolling_hour_value" -> (rollingHourValue _),
     "win_first_last_value" -> (firstLastValue _),
@@ -252,6 +278,16 @@ object Windows {
         |  percent_rank() OVER w AS pr
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
-        |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin
+        |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin,
+    "win_rolling_median" ->
+      """WITH f AS (SELECT o_custkey, o_orderkey,
+        |  list_sort(list(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  (CAST(arr[(len(arr)+1)//2] AS DOUBLE)
+        |   + CAST(arr[len(arr)//2 + 1] AS DOUBLE)) / 2.0 / 100.0 AS rolling_median
+        |FROM f ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Invariants and differential checks for the round-5 extension batch:
+  * rolling median, Markov transitions, lexical diversity, and
+  * skewness/kurtosis from exact power sums. */
+class Round5bSpec extends SparkSpec {
+
+  test("rolling median stays inside the frame's min/max and matches a " +
+    "brute-force window recompute") {
+    val med = Windows.rollingMedianOrders(spark, sfDir)
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, 0)
+    val mm = base
+      .withColumn("lo", min(col("o_totalprice")).over(w))
+      .withColumn("hi", max(col("o_totalprice")).over(w))
+      .select(col("o_orderkey"), col("lo"), col("hi"))
+    val joined = med.join(mm, "o_orderkey")
+    val viol = joined.filter(
+      col("rolling_median") < col("lo") - 1e-9 ||
+        col("rolling_median") > col("hi") + 1e-9).count()
+    assert(viol == 0, s"$viol rolling medians escape their frame bounds")
+    assert(med.count() == base.count())
+  }
+
+  test("markov transition counts: per-from totals are consistent and the " +
+    "grand total is n_events - n_users(with events)") {
+    val m = Behavioral.markovTransitions(spark, sfDir).collect()
+    val byFrom = m.groupBy(_.getAs[String]("from_type"))
+    byFrom.foreach { case (_, rows) =>
+      val tot = rows.map(_.getAs[Long]("n_trans")).sum
+      rows.foreach(r => assert(r.getAs[Long]("from_total") == tot))
+    }
+    val grand = m.map(_.getAs[Long]("n_trans")).sum
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(grand == expected, s"grand=$grand expected=$expected")
+  }
+
+  test("diversity invariants: ttr in (0,1], simpson in [0,1), and the " +
+    "three measures agree through the sum-of-squares identity") {
+    val d = TextAnalysis.diversity(spark, sfDir).collect()
+    d.foreach { r =>
+      val n = r.getAs[Long]("n_tokens").toDouble
+      val ttr = r.getAs[Double]("ttr")
+      val simp = r.getAs[Double]("simpson_diversity")
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(simp >= 0 && simp < 1.0)
+      if (n > 1) {
+        // sum_c2 = n^2 (1 - simpson); repeat = (sum_c2 - n) / (n (n-1))
+        val sumC2 = n * n * (1.0 - simp)
+        val expect = (sumC2 - n) / (n * (n - 1))
+        assert(math.abs(r.getAs[Double]("repeat_rate") - expect) < 1e-9)
+      }
+    }
+  }
+
+  test("exact-power-sum skewness/kurtosis matches Spark's built-in " +
+    "population moments within float tolerance") {
+    val ours = AdvancedAggs.skewKurtQty(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("skew_qty"), r.getAs[Double]("kurt_qty"))).toMap
+    // Spark's skewness/kurtosis are the same population definitions
+    // (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3) computed with streaming
+    // float partials — equal up to accumulation noise.
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("s"), kurtosis(col("l_quantity")).as("k"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("s"), r.getAs[Double]("k"))).toMap
+    assert(ours.keySet == ref.keySet)
+    ours.foreach { case (flag, (s, k)) =>
+      assert(math.abs(s - ref(flag)._1) < 1e-6, s"skew mismatch for $flag")
+      assert(math.abs(k - ref(flag)._2) < 1e-6, s"kurt mismatch for $flag")
+    }
+  }
+}
