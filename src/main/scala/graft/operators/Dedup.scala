@@ -309,7 +309,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sub-document (span-level) dedup accounting — the scalable form of
+    * exact-substring training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, which uses a
+    * suffix array; fixed-width non-overlapping token windows are the
+    * shuffle-friendly approximation): every document is cut into 8-token
+    * spans, span multiplicity is counted corpus-wide on 60-bit span
+    * hashes, and each document reports how much of it is duplicated text.
+    *
+    * Scale shape: the explode emits |tokens|/8 hashes per doc (8-byte
+    * shuffle keys), multiplicity is one hash aggregation, and the
+    * join back to spans is on the same key — no pair join, no suffix
+    * array, nothing driver-side. The left join keeps sub-8-token docs
+    * with n_spans = 0, so the output is a total accounting. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(toks) < 8, array(),
+          |  transform(sequence(0, size(toks) div 8 - 1),
+          |    i -> portable_hash60(concat_ws(' ', slice(toks, i*8+1, 8)))))"""
+          .stripMargin)).as("h"))
+    val mult = spans.groupBy("h").agg(count(lit(1)).as("m"))
+    val perDoc = spans.join(mult, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans")).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> (spanDedup _),
     "dedup_bow" -> (bowFingerprint _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -332,6 +370,23 @@ object Dedup {
       |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |spn AS (SELECT doc_id,
+         |          array_to_string(list_slice(t, i*8+1, i*8+8), ' ') AS s
+         |        FROM toks, UNNEST(range(len(t)//8)) AS u(i)),
+         |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM spn),
+         |mult AS (SELECT h, COUNT(*) AS m FROM sh GROUP BY h),
+         |per AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |          CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |        FROM sh JOIN mult USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN n_spans > 0
+         |    THEN CAST(n_dup_spans AS DOUBLE) / n_spans END AS dup_span_frac
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_bow" ->
       """WITH f AS (SELECT doc_id,
         |  md5(array_to_string(list_sort(string_split_regex(text, '\s+')), ' ')) AS bow_fp

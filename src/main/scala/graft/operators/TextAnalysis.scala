@@ -327,7 +327,30 @@ object TextAnalysis {
           / (col("n") * (col("n") - 1)).cast("double")).as("repeat_rate"))
       .orderBy("doc_id")
 
+  /** Inverted-index build — the retrieval primitive under every search /
+    * RAG corpus: per token, collection frequency, document frequency, and
+    * the head of the sorted posting list (first 5 doc_ids, shipped as a
+    * CSV string because list-typed columns don't survive the
+    * parquet→pandas compare). One explode + one hash aggregation on the
+    * token key; posting lists aggregate as sets so within-doc repeats
+    * cost nothing, and the head-slice caps per-token output regardless of
+    * how hot the token is (a full posting list for a stopword would be
+    * corpus-sized — the cap is the 100 TB guard, and df/cf still report
+    * the true totals). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("cf"),
+        countDistinct(col("doc_id")).as("df"),
+        expr("array_join(transform(slice(sort_array(collect_set(doc_id)), 1, 5), " +
+          "x -> cast(x as string)), ',')").as("postings_head"))
+      .orderBy("token")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_inverted_index" -> (invertedIndex _),
     "ta_diversity" -> (diversity _),
     "ta_lang_confusion" -> (langConfusion _),
     "ta_quality_filter" -> (qualityFilter _),
@@ -361,6 +384,14 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id, u.tk AS token
+         |FROM (SELECT doc_id, $dToks AS t FROM documents), UNNEST(t) AS u(tk)
+         |WHERE u.tk <> '')
+         |SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df,
+         |  array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 5), ',')
+         |    AS postings_head
+         |FROM w GROUP BY token ORDER BY token""".stripMargin,
     "ta_diversity" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
          |w AS (SELECT doc_id, len(t) AS n, u.tk FROM toks, UNNEST(t) AS u(tk)),

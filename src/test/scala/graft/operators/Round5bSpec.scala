@@ -64,6 +64,50 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("span dedup equals a naive string-span grouping and accounts for " +
+    "every 8-token window") {
+    val d = Dedup.spanDedup(spark, sfDir)
+    // Naive recompute on raw span STRINGS (no hashing): same multiplicity.
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(toks) < 8, array(),
+          |  transform(sequence(0, size(toks) div 8 - 1),
+          |    i -> concat_ws(' ', slice(toks, i*8+1, 8))))""".stripMargin)).as("s"))
+    val mult = spans.groupBy("s").agg(count(lit(1)).as("m"))
+    val naive = spans.join(mult, "s").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    val mismatches = d.filter(col("n_spans") > 0)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+      .exceptAll(naive).count()
+    assert(mismatches == 0, s"$mismatches docs disagree with naive span grouping")
+    // Total spans = sum over docs of len div 8.
+    val totalSpans = d.agg(sum(col("n_spans"))).head.getLong(0)
+    val expected = Tables.documents(spark, sfDir)
+      .select(expr("size(split(text, '\\\\s+')) div 8").cast("long").as("k"))
+      .agg(sum(col("k"))).head.getLong(0)
+    assert(totalSpans == expected)
+  }
+
+  test("inverted index: df <= cf, cf sums to the token stream size, and " +
+    "the postings head is a sorted prefix of df") {
+    val idx = TextAnalysis.invertedIndex(spark, sfDir).collect()
+    idx.foreach { r =>
+      val cf = r.getAs[Long]("cf"); val df = r.getAs[Long]("df")
+      assert(df <= cf && df >= 1)
+      val head = r.getAs[String]("postings_head").split(",").map(_.toLong)
+      assert(head.length == math.min(df, 5L))
+      assert(head.sorted.sameElements(head), "postings head not sorted")
+    }
+    val totalCf = idx.map(_.getAs[Long]("cf")).sum
+    val expected = Tables.documents(spark, sfDir)
+      .select(expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))")
+        .cast("long").as("k"))
+      .agg(sum(col("k"))).head.getLong(0)
+    assert(totalCf == expected)
+  }
+
   test("exact-power-sum skewness/kurtosis matches Spark's built-in " +
     "population moments within float tolerance") {
     val ours = AdvancedAggs.skewKurtQty(spark, sfDir).collect()
