@@ -18,6 +18,7 @@ run / fork := true
 // success banner so graft.Bench's JSON line is the final line of output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -329,7 +329,97 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization (Jégou/Douze/Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011) — the codebook half that
+    * completes the vector-compression story next to [[quantizeInt8]]
+    * (scalar) and [[ivfKmeans]] (coarse): the 64-dim space splits into 4
+    * subspaces of 16 dims, each with its own k=4 k-means codebook (one
+    * trained Lloyd iteration, deterministic init = subvectors of vectors
+    * 0..3), and every vector compresses to 4 codes (8 bits here, 4·log₂k
+    * in general) plus a reconstruction MSE.
+    *
+    * All four subspace quantizers train in ONE distributed pipeline —
+    * subspace id is just another grouping key, so the assignment is one
+    * broadcast of 16 tiny centroid rows against one corpus scan and the
+    * update one (s, cid, component) hash agg, exactly [[kmeansAssigned]]'s
+    * shape with a wider key. Determinism discipline is identical: exact
+    * fixed-point centroid sums, in-order IEEE distance folds, first-min
+    * argmin = the oracle's (dist, cid) tiebreak. The trained codebook
+    * (4·4·16 doubles) rides back into the final per-row assignment as a
+    * literal matrix — quantizer metadata, no string round trip — and the
+    * total MSE adds the four subspace minima in fixed subspace order. */
+  def productQuantize(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val init = emb.filter(col("vec_id") <= 3)
+      .select(col("vec_id").cast("int").as("cid"), explode(expr(
+        """transform(sequence(0, 3), s -> named_struct(
+          |  's', s,
+          |  'c', slice(transform(embedding, x -> cast(x as double)), s*16+1, 16)))"""
+          .stripMargin)).as("sc"))
+      .select(col("sc.s").as("s"), col("cid"), col("sc.c").as("c"))
+
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          """aggregate(sequence(0, 15), cast(0.0 as double),
+            |  (acc, i) -> acc + (cast(embedding[s*16 + i] as double) - c[i])
+            |                * (cast(embedding[s*16 + i] as double) - c[i]))"""
+            .stripMargin))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("s"))
+            .orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("s"), col("cid"))
+
+    val trained = assign(init)
+      .select(col("s"), col("cid"),
+        posexplode(expr("slice(embedding, s*16+1, 16)")))
+      .toDF("s", "cid", "i", "v")
+      .groupBy(col("s"), col("cid"), col("i"))
+      .agg(
+        sum(expr("cast(floor(cast(v as double) * 1000000.0d + 0.5d) as bigint)")).as("ss"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("ss").cast("double") / 1000000.0 / col("n"))
+      .groupBy(col("s"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("c"))
+
+    // Codebook: Map s -> (cids sorted, centroid matrix), 256 doubles total.
+    val cb: Map[Int, Array[(Int, Array[Double])]] = trained.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+
+    val withDists = (0 until 4).foldLeft(emb) { case (df, s) =>
+      val cells = cb(s)
+      val m = array(cells.toSeq.map { case (_, c) =>
+        array(c.toSeq.map(lit): _*)
+      }: _*)
+      val cidArr = array(cells.toSeq.map(c => lit(c._1)): _*)
+      val dists = transform(
+        sequence(lit(0), lit(cells.length - 1)),
+        j => aggregate(
+          sequence(lit(0), lit(15)), lit(0.0),
+          (acc, k) => {
+            val d = element_at(col("embedding"), (lit(s * 16) + k + 1).cast("int"))
+              .cast("double") -
+              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
+            acc + d * d
+          }))
+      df.withColumn(s"dists$s", dists)
+        .withColumn(s"d$s", array_min(col(s"dists$s")))
+        .withColumn(s"code$s", element_at(cidArr,
+          array_position(col(s"dists$s"), col(s"d$s")).cast("int")))
+    }
+    withDists
+      .select(col("vec_id"), col("label"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        ((col("d0") + col("d1") + col("d2") + col("d3")) / 64.0).as("mse"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq" -> (productQuantize _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
     "dedup_embedding_lsh" -> (embeddingLshDedup _),
@@ -409,7 +499,58 @@ object Similarity {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
+  private val pqCte: String =
+    """init AS (
+      |  SELECT r.s, CAST(vec_id AS INTEGER) AS cid,
+      |    list_transform(range(0, 16), k -> CAST(embedding[r.s*16 + k + 1] AS DOUBLE)) AS c
+      |  FROM embeddings, range(0, 4) r(s) WHERE vec_id <= 3),
+      |a1 AS (
+      |  SELECT e.vec_id, e.embedding, ci.s, ci.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 16), k ->
+      |        (CAST(e.embedding[ci.s*16 + k + 1] AS DOUBLE) - ci.c[k + 1])
+      |          * (CAST(e.embedding[ci.s*16 + k + 1] AS DOUBLE) - ci.c[k + 1]))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM embeddings e CROSS JOIN init ci),
+      |asg1 AS (
+      |  SELECT vec_id, embedding, s, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+      |    FROM a1) WHERE rn = 1),
+      |upd AS (
+      |  SELECT s, cid, k,
+      |    CAST(SUM(CAST(floor(CAST(embedding[s*16 + k + 1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS ss,
+      |    COUNT(*) AS n
+      |  FROM asg1, range(0, 16) r(k)
+      |  GROUP BY s, cid, k),
+      |cent2 AS (
+      |  SELECT s, cid, list(CAST(ss AS DOUBLE) / 1000000.0 / n ORDER BY k) AS c
+      |  FROM upd GROUP BY s, cid),
+      |a2 AS (
+      |  SELECT e.vec_id, e.label, ci.s, ci.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 16), k ->
+      |        (CAST(e.embedding[ci.s*16 + k + 1] AS DOUBLE) - ci.c[k + 1])
+      |          * (CAST(e.embedding[ci.s*16 + k + 1] AS DOUBLE) - ci.c[k + 1]))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM embeddings e CROSS JOIN cent2 ci),
+      |asg2 AS (
+      |  SELECT vec_id, label, s, cid, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+      |    FROM a2) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_pq" ->
+      s"""WITH $pqCte
+         |SELECT vec_id, label,
+         |  MAX(CASE WHEN s = 0 THEN cid END) AS code0,
+         |  MAX(CASE WHEN s = 1 THEN cid END) AS code1,
+         |  MAX(CASE WHEN s = 2 THEN cid END) AS code2,
+         |  MAX(CASE WHEN s = 3 THEN cid END) AS code3,
+         |  (MAX(CASE WHEN s = 0 THEN dist END) + MAX(CASE WHEN s = 1 THEN dist END)
+         |   + MAX(CASE WHEN s = 2 THEN dist END) + MAX(CASE WHEN s = 3 THEN dist END))
+         |    / 64.0 AS mse
+         |FROM asg2 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
     "sim_ivf_kmeans" ->
       s"""WITH $kmeansCte
          |SELECT vec_id, label, cid, dist FROM asg2 ORDER BY vec_id""".stripMargin,
