@@ -120,11 +120,59 @@ object Behavioral {
       .orderBy("from_type", "to_type")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation with FIXED
+    * business thresholds — deliberately not quantile-based: quantile RFM
+    * needs three global sorts (see [[Windows.ntileCustomers]] for that
+    * machinery), while threshold RFM is one user_id aggregation plus a
+    * broadcast of the corpus max timestamp, with every score decided on
+    * exact integers/decimals — the shape that survives a billion users.
+    * Recency is integer days behind the newest event corpus-wide;
+    * monetary sums purchase values as DECIMAL (exact) and becomes double
+    * only at the comparison boundary. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, dir)
+    val ref = ev.agg(max(col("ts")).as("max_ts"))
+    val perUser = ev.groupBy("user_id")
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        coalesce(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast(DecimalType(15, 2)))).cast("double"),
+          lit(0.0)).as("monetary"))
+    perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_d",
+        expr("(cast(max_ts as bigint) - cast(last_ts as bigint)) div 86400"))
+      .withColumn("r_score",
+        when(col("recency_d") <= 2, 4).when(col("recency_d") <= 7, 3)
+          .when(col("recency_d") <= 14, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("n_events") >= 50, 4).when(col("n_events") >= 20, 3)
+          .when(col("n_events") >= 10, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("monetary") >= 500.0, 4).when(col("monetary") >= 100.0, 3)
+          .when(col("monetary") > 0.0, 2).otherwise(1))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3,
+          "champion")
+          .when(col("r_score") >= 3 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .otherwise("hibernating"))
+      .select(col("user_id"), col("recency_d"), col("n_events"),
+        col("n_purchases"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_funnel_conversion" -> (funnelConversion _),
     "evt_cohort_retention" -> (cohortRetention _),
     "evt_dau_wau" -> (dauWau _),
-    "evt_markov_transitions" -> (markovTransitions _)
+    "evt_markov_transitions" -> (markovTransitions _),
+    "evt_rfm" -> (rfmSegments _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +212,33 @@ object Behavioral {
         |  COUNT(DISTINCT e.user_id) AS n_active
         |FROM events e JOIN first ON e.user_id = first.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_rfm" ->
+      """WITH ref AS (SELECT MAX(ts) AS max_ts FROM events),
+        |pu AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(15,2)) END) AS DOUBLE), 0.0) AS monetary
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, n_events, n_purchases, monetary,
+        |    (CAST(floor(epoch(max_ts)) AS BIGINT)
+        |     - CAST(floor(epoch(last_ts)) AS BIGINT)) // 86400 AS recency_d
+        |  FROM pu CROSS JOIN ref),
+        |s AS (SELECT user_id, recency_d, n_events, n_purchases, monetary,
+        |    CASE WHEN recency_d <= 2 THEN 4 WHEN recency_d <= 7 THEN 3
+        |         WHEN recency_d <= 14 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN n_events >= 50 THEN 4 WHEN n_events >= 20 THEN 3
+        |         WHEN n_events >= 10 THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN monetary >= 500.0 THEN 4 WHEN monetary >= 100.0 THEN 3
+        |         WHEN monetary > 0.0 THEN 2 ELSE 1 END AS m_score
+        |  FROM r)
+        |SELECT user_id, recency_d, n_events, n_purchases, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+        |       WHEN r_score >= 3 AND f_score <= 2 THEN 'new'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       ELSE 'hibernating' END AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
     "evt_markov_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type AS from_type,

@@ -349,6 +349,19 @@ object Similarity {
     * literal matrix — quantizer metadata, no string round trip — and the
     * total MSE adds the four subspace minima in fixed subspace order. */
   def productQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val (withDists, _) = pqAssigned(spark, dir)
+    withDists
+      .select(col("vec_id"), col("label"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        ((col("d0") + col("d1") + col("d2") + col("d3")) / 64.0).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** Trains the PQ codebook and assigns codes — shared by [[productQuantize]]
+    * and [[topkPqAdc]]. Returns (per-vector frame with code/dist columns,
+    * codebook as s -> cid-sorted (cid, centroid)). */
+  private def pqAssigned(spark: SparkSession, dir: String)
+      : (DataFrame, Map[Int, Array[(Int, Array[Double])]]) = {
     Registry.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val init = emb.filter(col("vec_id") <= 3)
@@ -411,14 +424,67 @@ object Similarity {
         .withColumn(s"code$s", element_at(cidArr,
           array_position(col(s"dists$s"), col(s"d$s")).cast("int")))
     }
-    withDists
-      .select(col("vec_id"), col("label"),
-        col("code0"), col("code1"), col("code2"), col("code3"),
-        ((col("d0") + col("d1") + col("d2") + col("d3")) / 64.0).as("mse"))
-      .orderBy("vec_id")
+    (withDists, cb)
+  }
+
+  /** PQ search by ASYMMETRIC DISTANCE COMPUTATION (ADC; Jégou et al. 2011
+    * §III) — the payoff of [[productQuantize]]: each query vector computes
+    * one tiny distance table (k·4 = 16 doubles) against the codebook, and
+    * database vectors are then scanned as 4 CODES ONLY — the raw database
+    * embeddings never participate, which is the entire point of PQ at
+    * 100 TB (the code table is ~64× smaller than the vectors). Approx
+    * distance = Σ_s dt_s[code_s] added in fixed subspace order; top-3 per
+    * query by (adc, vec_id).
+    *
+    * Scale shape: 10 query rows broadcast against one scan of the compact
+    * code table; ranking windows over per-query candidate sets. */
+  def topkPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val (withDists, cb) = pqAssigned(spark, dir)
+    val codes = withDists.select(col("vec_id"),
+      col("code0"), col("code1"), col("code2"), col("code3"))
+    val queriesDf0 = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // Per query: distance table dt_s[j] to every codeword, then a
+    // CASE-chain lookup by the database row's code (cid values may be
+    // sparse if a cell emptied, so lookup goes through the cid list).
+    val withDt = (0 until 4).foldLeft(queriesDf0) { case (df, s) =>
+      val cells = cb(s)
+      val m = array(cells.toSeq.map { case (_, c) =>
+        array(c.toSeq.map(lit): _*)
+      }: _*)
+      val dt = transform(
+        sequence(lit(0), lit(cells.length - 1)),
+        j => aggregate(
+          sequence(lit(0), lit(15)), lit(0.0),
+          (acc, k) => {
+            val d = element_at(col("embedding"), (lit(s * 16) + k + 1).cast("int"))
+              .cast("double") -
+              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
+            acc + d * d
+          }))
+      df.withColumn(s"dt$s", dt)
+    }
+    def lookup(s: Int): Column = {
+      val cells = cb(s)
+      cells.zipWithIndex.tail.foldLeft(
+        when(col(s"code$s") === cells.head._1,
+          element_at(col(s"dt$s"), 1))) { case (acc, ((cid, _), idx)) =>
+        acc.when(col(s"code$s") === cid, element_at(col(s"dt$s"), idx + 1))
+      }
+    }
+    broadcast(withDt.drop("embedding")).crossJoin(codes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (lookup(0) + lookup(1) + lookup(2) + lookup(3)).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_pq_adc" -> (topkPqAdc _),
     "sim_pq" -> (productQuantize _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
@@ -540,6 +606,31 @@ object Similarity {
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_topk_pq_adc" ->
+      s"""WITH $pqCte,
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id <= 9),
+         |dt AS (SELECT q.query_id, c.s, c.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (CAST(q.embedding[c.s*16 + k + 1] AS DOUBLE) - c.c[k + 1])
+         |          * (CAST(q.embedding[c.s*16 + k + 1] AS DOUBLE) - c.c[k + 1]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM q CROSS JOIN cent2 c),
+         |adc AS (SELECT dd.query_id, a.vec_id,
+         |    (MAX(CASE WHEN a.s = 0 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 1 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 2 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 3 THEN dd.d END)) AS adc
+         |  FROM asg2 a JOIN dt dd ON dd.s = a.s AND dd.cid = a.cid
+         |  WHERE a.vec_id <> dd.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, vec_id, adc, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_pq" ->
       s"""WITH $pqCte
          |SELECT vec_id, label,

@@ -349,7 +349,43 @@ object TextAnalysis {
           "x -> cast(x as string)), ',')").as("postings_head"))
       .orderBy("token")
 
+  /** Corpus-level bigram collocation mining: for every adjacent token pair
+    * occurring ≥ 5 times, its count and LIFT = P(xy)/(P(x)·P(y)) — the
+    * log-free core of PMI (log is monotone, so the collocation RANKING is
+    * the PMI ranking; libm log itself is not bit-reproducible across
+    * engines, same rationale as the tfidf score). lift = (n_xy·N)/(n_x·n_y)
+    * — exact integer products below 2⁵³, one IEEE division.
+    *
+    * Scale shape: bigrams explode per doc (no cross-doc work), aggregate
+    * on the (x, y) pair key, then two shuffle joins against the unigram
+    * count table on compact token keys (broadcastable under AQE when the
+    * vocabulary is small) and a broadcast of the scalar N. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenized(spark, dir)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val n = uni.agg(sum(col("n_w")).as("n_total"))
+    val bi = toks.select(explode(expr(
+      """if(size(toks) < 2, array(),
+        |  transform(sequence(0, size(toks)-2),
+        |    i -> named_struct('x', toks[i], 'y', toks[i+1])))""".stripMargin))
+        .as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    bi.join(uni.select(col("w").as("x"), col("n_w").as("n_x")), "x")
+      .join(uni.select(col("w").as("y"), col("n_w").as("n_y")), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        ((col("n_xy") * col("n_total")).cast("double")
+          / (col("n_x") * col("n_y")).cast("double")).as("lift"))
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_collocations" -> (collocations _),
     "ta_inverted_index" -> (invertedIndex _),
     "ta_diversity" -> (diversity _),
     "ta_lang_confusion" -> (langConfusion _),
@@ -384,6 +420,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |w AS (SELECT u.tk AS w FROM toks, UNNEST(t) AS u(tk) WHERE u.tk <> ''),
+         |uni AS (SELECT w, COUNT(*) AS n_w FROM w GROUP BY w),
+         |n AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+         |bg AS (SELECT t[i+1] AS x, t[i+2] AS y
+         |       FROM toks, UNNEST(range(len(t)-1)) AS u(i)
+         |       WHERE t[i+1] <> '' AND t[i+2] <> ''),
+         |bi AS (SELECT x, y, COUNT(*) AS n_xy FROM bg GROUP BY x, y
+         |       HAVING COUNT(*) >= 5)
+         |SELECT x, y, n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+         |  CAST(n_xy * n_total AS DOUBLE) / CAST(ux.n_w * uy.n_w AS DOUBLE) AS lift
+         |FROM bi JOIN uni ux ON bi.x = ux.w
+         |        JOIN uni uy ON bi.y = uy.w
+         |        CROSS JOIN n
+         |ORDER BY x, y""".stripMargin,
     "ta_inverted_index" ->
       s"""WITH w AS (SELECT doc_id, u.tk AS token
          |FROM (SELECT doc_id, $dToks AS t FROM documents), UNNEST(t) AS u(tk)

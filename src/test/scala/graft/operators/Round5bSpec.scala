@@ -153,6 +153,57 @@ class Round5bSpec extends SparkSpec {
     assert(trainedTotal <= initTotal + 1e-9, "Lloyd step regressed the objective")
   }
 
+  test("ADC search: 3 ranked rows per query, adc nondecreasing in rank, " +
+    "and adc >= 0") {
+    val adc = Similarity.topkPqAdc(spark, sfDir).collect()
+    val byQ = adc.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(Array(1, 2, 3)))
+      val ds = sorted.map(_.getAs[Double]("adc"))
+      assert(ds.forall(_ >= 0.0))
+      assert(ds.sameElements(ds.sorted), "adc not nondecreasing in rank")
+    }
+  }
+
+  test("RFM: scores in 1..4, segment rules hold, purchases bounded by events") {
+    val rfm = Behavioral.rfmSegments(spark, sfDir).collect()
+    assert(rfm.length == Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count())
+    rfm.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score"))
+      assert(Seq(rs, fs, ms).forall(s => s >= 1 && s <= 4))
+      assert(r.getAs[Long]("n_purchases") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("recency_d") >= 0)
+      assert(r.getAs[Double]("monetary") >= 0.0)
+      val seg = r.getAs[String]("segment")
+      val expect =
+        if (rs >= 3 && fs >= 3 && ms >= 3) "champion"
+        else if (rs >= 3 && fs <= 2) "new"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else "hibernating"
+      assert(seg == expect)
+    }
+  }
+
+  test("collocations: counts >= 5, unigram counts dominate bigram counts, " +
+    "lift agrees with the count identity") {
+    val c = TextAnalysis.collocations(spark, sfDir).collect()
+    val nTotal = Tables.documents(spark, sfDir)
+      .select(expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))")
+        .cast("long").as("k"))
+      .agg(sum(col("k"))).head.getLong(0)
+    c.foreach { r =>
+      val (nxy, nx, ny) = (r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"),
+        r.getAs[Long]("n_y"))
+      assert(nxy >= 5 && nx >= nxy && ny >= nxy)
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - (nxy * nTotal).toDouble / (nx * ny).toDouble) < 1e-12)
+    }
+  }
+
   test("exact-power-sum skewness/kurtosis matches Spark's built-in " +
     "population moments within float tolerance") {
     val ours = AdvancedAggs.skewKurtQty(spark, sfDir).collect()
