@@ -330,7 +330,46 @@ object AdvancedAggs {
       .orderBy("o_orderstatus")
   }
 
+  /** Per-user OLS trend of event value over time — closed-form simple
+    * linear regression from EXACT integer sums (built-in regr_slope
+    * streams float partials and can never hash-match a second engine).
+    * x = seconds since the user's first event (windowed min — keeps the
+    * products small), y = integer cents; Σx, Σy, Σxy, Σx² accumulate as
+    * DECIMAL(38,0) and the slope/intercept algebra is a fixed IEEE tree
+    * spelled identically in the oracle. Degenerate users (all events in
+    * one second) yield NULL. One user_id window + one user_id hash agg. */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("es"),
+        (col("value").cast(DecimalType(15, 2)) * 100).cast("long").as("cents"))
+      .withColumn("x",
+        col("es") - min(col("es")).over(Window.partitionBy(col("user_id"))))
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
+    base.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sxr"),
+        sum(col("cents").cast(d38)).as("syr"),
+        sum((col("x") * col("cents")).cast(d38)).as("sxyr"),
+        sum((col("x") * col("x")).cast(d38)).as("sxxr"))
+      .select(col("user_id"), col("n"),
+        col("sxr").cast("double").as("sx"),
+        col("syr").cast("double").as("sy"),
+        col("sxyr").cast("double").as("sxy"),
+        col("sxxr").cast("double").as("sxx"))
+      .select(col("user_id"), col("n"),
+        when(denom > 0.0, slope).as("slope_cents_per_s"),
+        when(denom > 0.0,
+          (col("sy") - slope * col("sx")) / col("n")).as("intercept_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ols_trend" -> (olsTrend _),
     "agg_string_agg_nations" -> (stringAggNations _),
     "agg_mode_priority" -> (modePriority _),
     "agg_dispersion_qty" -> (dispersionQty _),
@@ -353,6 +392,25 @@ object AdvancedAggs {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_ols_trend" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |xs AS (SELECT user_id,
+        |    es - MIN(es) OVER (PARTITION BY user_id) AS x, cents FROM b),
+        |s AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(cents) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*cents) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+        |  FROM xs GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |  END AS slope_cents_per_s,
+        |  CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |  END AS intercept_cents
+        |FROM s ORDER BY user_id""".stripMargin,
     "agg_skew_kurt" ->
       """WITH r AS (SELECT l_returnflag,
         |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q

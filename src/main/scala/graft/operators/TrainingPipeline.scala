@@ -161,7 +161,47 @@ object TrainingPipeline {
       .orderBy("fold", "lang")
   }
 
+  /** Data-mixing quota enforcement: a 50k-token training budget is split
+    * across sources proportionally to their token mass (floor division —
+    * exact integers), and each source contributes documents in doc_id
+    * order until its quota is filled. "A document is selected iff its
+    * running token total STARTS below the quota" is the same
+    * deterministic cumsum rule [[packSequences]] uses, so the greedy
+    * selection needs one per-source window pass — no sequential driver
+    * loop, and each source's pass is independent and balanced.
+    * Output is the per-source manifest: quota, selected docs/tokens,
+    * and the realized fill fraction (one final double division). */
+  def mixQuota(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 50000L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks"))
+    val srcTotals = docs.groupBy("source").agg(sum(col("n_toks")).as("src_toks"))
+    val grand = srcTotals.agg(sum(col("src_toks")).as("all_toks"))
+    val withQuota = srcTotals.crossJoin(broadcast(grand))
+      .withColumn("quota", expr(s"($budget * src_toks) div all_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("cum_end", sum(col("n_toks")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_toks"))
+      .join(withQuota, "source")
+      .withColumn("selected", (col("cum_start") < col("quota")).cast("long"))
+      .groupBy("source", "src_toks", "quota")
+      .agg(
+        sum(col("selected")).as("n_sel_docs"),
+        sum(col("selected") * col("n_toks")).as("n_sel_toks"))
+      .select(col("source"), col("src_toks"), col("quota"),
+        col("n_sel_docs"), col("n_sel_toks"),
+        when(col("quota") > 0,
+          col("n_sel_toks").cast("double") / col("quota")).as("fill_frac"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix_quota" -> (mixQuota _),
     "pipeline_training_split" -> (trainingSplitReport _),
     "pipeline_stratified_sample" -> (stratifiedSample _),
     "pipeline_decontamination" -> (decontamination _),
@@ -175,6 +215,31 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_mix_quota" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |st AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks
+        |       FROM docs GROUP BY source),
+        |g AS (SELECT CAST(SUM(src_toks) AS BIGINT) AS all_toks FROM st),
+        |q AS (SELECT source, src_toks, (50000 * src_toks) // all_toks AS quota
+        |      FROM st CROSS JOIN g),
+        |c AS (SELECT doc_id, source, n_toks,
+        |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_toks AS cum_start
+        |  FROM docs),
+        |sel AS (SELECT c.source, n_toks,
+        |    CASE WHEN cum_start < quota THEN 1 ELSE 0 END AS selected
+        |  FROM c JOIN q ON c.source = q.source)
+        |SELECT q.source, src_toks, quota,
+        |  CAST(SUM(selected) AS BIGINT) AS n_sel_docs,
+        |  CAST(SUM(selected * n_toks) AS BIGINT) AS n_sel_toks,
+        |  CASE WHEN quota > 0
+        |    THEN CAST(SUM(selected * n_toks) AS DOUBLE) / quota END AS fill_frac
+        |FROM sel JOIN q ON sel.source = q.source
+        |GROUP BY q.source, src_toks, quota
+        |ORDER BY q.source""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -185,7 +185,30 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exponentially weighted moving average of event value per user over a
+    * bounded 16-event lookback (α = 0.25). EWMA's recursion is not a SQL
+    * window aggregate, so the frame is materialized (O(1) rows — the
+    * truncation both bounds memory and keeps the 100 TB shape) and folded
+    * OLDEST→NEWEST with the oldest value as seed: exactly DuckDB's
+    * list_reduce semantics, so both engines run the identical IEEE op
+    * sequence on identical doubles — bit-equal without any quantization. */
+  def ewmaValueByUser(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(-15, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 25 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("arr", collect_list(col("value")).over(w))
+      .withColumn("ewma", expr(
+        "aggregate(slice(arr, 2, size(arr) - 1), arr[0]," +
+          " (acc, x) -> 0.25d * x + 0.75d * acc)"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
+      .orderBy(col("user_id") +: order: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma" -> (ewmaValueByUser _),
     "win_rolling_median" -> (rollingMedianOrders _),
     "win_share_of_total" -> (shareOfTotal _),
     "win_rolling_hour_value" -> (rollingHourValue _),
@@ -279,6 +302,14 @@ object Windows {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
         |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin,
+    "win_ewma" ->
+      """WITH f AS (SELECT user_id, event_id, ts, value,
+        |  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |FROM events WHERE user_id % 25 = 0)
+        |SELECT user_id, event_id, ts, value,
+        |  list_reduce(arr, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
     "win_rolling_median" ->
       """WITH f AS (SELECT o_custkey, o_orderkey,
         |  list_sort(list(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))

@@ -204,6 +204,74 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("EWMA: first event equals its value, later values stay inside the " +
+    "frame's min/max hull") {
+    val e = Windows.ewmaValueByUser(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withBounds = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lo", min(col("value")).over(w.rowsBetween(-15, 0)))
+      .withColumn("hi", max(col("value")).over(w.rowsBetween(-15, 0)))
+    assert(withBounds.filter(col("rn") === 1 && col("ewma") =!= col("value"))
+      .count() == 0, "first event's ewma should equal its value")
+    assert(withBounds.filter(
+      col("ewma") < col("lo") - 1e-9 || col("ewma") > col("hi") + 1e-9)
+      .count() == 0, "ewma escaped the frame hull")
+  }
+
+  test("mix quota: quotas sum to at most the budget and the greedy fill " +
+    "overshoots by less than one document") {
+    val m = TrainingPipeline.mixQuota(spark, sfDir).collect()
+    assert(m.map(_.getAs[Long]("quota")).sum <= 50000L)
+    val maxDoc = Tables.documents(spark, sfDir)
+      .select(expr("cast(size(split(text, '\\\\s+')) as bigint)").as("k"))
+      .agg(max(col("k"))).head.getLong(0)
+    m.foreach { r =>
+      val (quota, selToks) = (r.getAs[Long]("quota"), r.getAs[Long]("n_sel_toks"))
+      if (quota > 0) {
+        assert(r.getAs[Long]("n_sel_docs") >= 1)
+        // greedy rule: last selected doc STARTS below quota
+        assert(selToks < quota + maxDoc, "overshoot exceeds one document")
+        assert(selToks >= math.min(quota, r.getAs[Long]("src_toks")) ||
+          selToks >= quota, "quota underfilled despite available tokens")
+      }
+    }
+  }
+
+  test("exact-power-sum OLS trend matches Spark's built-in regr_slope / " +
+    "regr_intercept within float tolerance") {
+    val ours = AdvancedAggs.olsTrend(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Double]("slope_cents_per_s")),
+          Option(r.getAs[java.lang.Double]("intercept_cents")))).toMap
+    val ref = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "cast(ts as long) as es",
+        "cast(cast(value as decimal(15,2)) * 100 as long) as cents")
+      .withColumn("x", col("es") - min(col("es")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .groupBy("user_id")
+      .agg(expr("regr_slope(cents, x)").as("s"),
+        expr("regr_intercept(cents, x)").as("i"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Double]("s")),
+          Option(r.getAs[java.lang.Double]("i")))).toMap
+    assert(ours.keySet == ref.keySet)
+    ours.foreach { case (u, (s, i)) =>
+      (s, ref(u)._1) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6,
+          s"slope mismatch for user $u: $a vs $b")
+        case _ => // degenerate x-variance users: both engines may emit null
+      }
+      (i, ref(u)._2) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-4,
+          s"intercept mismatch for user $u: $a vs $b")
+        case _ =>
+      }
+    }
+  }
+
   test("exact-power-sum skewness/kurtosis matches Spark's built-in " +
     "population moments within float tolerance") {
     val ours = AdvancedAggs.skewKurtQty(spark, sfDir).collect()
