@@ -167,7 +167,70 @@ object Behavioral {
       .orderBy("user_id")
   }
 
+  /** Per-user 3σ outlier flagging with the comparison done ENTIRELY in
+    * exact integer arithmetic: |x-μ| > 3σ cross-multiplies to
+    * (n·x - Σx)² > 9·(n·Σx² - (Σx)²), every term an exact DECIMAL(38,0)
+    * of integer cents — so outlier membership is decided with zero
+    * floating point and hash-matches any engine (a float z-score would
+    * flip membership on boundary events). σ itself ships as one final
+    * sqrt/division for reporting. One user_id window + one rollup; no
+    * second scan, no join. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(15, 2)) * 100).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("cents").cast(d38)).over(w))
+      .withColumn("sxx", sum((col("cents") * col("cents")).cast(d38)).over(w))
+      .withColumn("dev", col("n").cast(d38) * col("cents").cast(d38) - col("sx"))
+      .withColumn("varn2", col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("is_out",
+        (col("dev") * col("dev") > lit(9).cast(d38) * col("varn2")).cast("long"))
+      .groupBy(col("user_id"), col("n"), col("varn2"))
+      .agg(sum(col("is_out")).as("n_outliers"))
+      .select(col("user_id"), col("n"), col("n_outliers"),
+        (sqrt(col("varn2").cast("double")) / col("n")).as("sigma_cents"))
+      .orderBy("user_id")
+  }
+
+  /** Gaps-and-islands: longest streak of CONSECUTIVE active days per user.
+    * The classic trick — day minus row_number is constant exactly within a
+    * consecutive run — needs one per-user window over the DEDUPED
+    * (user, day) pairs (the only pass over raw events is the distinct),
+    * then two tiny aggregations. All arithmetic is integer date math;
+    * the longest streak's start date breaks ties toward the earliest run
+    * and ships as an ISO string. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val runs = du
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .withColumn("island", expr("date_sub(day, rn)"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("run_start"))
+    runs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("len").desc, col("run_start"))))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(when(col("rk") === 1,
+          date_format(col("run_start"), "yyyy-MM-dd"))).as("longest_start"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_outliers" -> (outliers _),
+    "evt_streaks" -> (streaks _),
     "evt_funnel_conversion" -> (funnelConversion _),
     "evt_cohort_retention" -> (cohortRetention _),
     "evt_dau_wau" -> (dauWau _),
@@ -212,6 +275,44 @@ object Behavioral {
         |  COUNT(DISTINCT e.user_id) AS n_active
         |FROM events e JOIN first ON e.user_id = first.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_outliers" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (SELECT user_id, cents,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(cents) OVER w AS sx,
+        |    SUM(cents * cents) OVER w AS sxx
+        |  FROM b WINDOW w AS (PARTITION BY user_id)),
+        |f AS (SELECT user_id, n, n * sxx - sx * sx AS varn2,
+        |    CASE WHEN (n * cents - sx) * (n * cents - sx) > 9 * (n * sxx - sx * sx)
+        |      THEN 1 ELSE 0 END AS is_out
+        |  FROM s)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+        |  sqrt(CAST(varn2 AS DOUBLE)) / n AS sigma_cents
+        |FROM f GROUP BY user_id, n, varn2
+        |ORDER BY user_id""".stripMargin,
+    "evt_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS rn
+        |  FROM du),
+        |runs AS (SELECT user_id, day - rn AS island,
+        |    COUNT(*) AS len, MIN(day) AS run_start
+        |  FROM r GROUP BY user_id, day - rn),
+        |rk AS (SELECT user_id, len, run_start,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY len DESC, run_start) AS rk
+        |  FROM runs)
+        |SELECT user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  MIN(CASE WHEN rk = 1 THEN strftime(run_start, '%Y-%m-%d') END)
+        |    AS longest_start
+        |FROM rk GROUP BY user_id ORDER BY user_id""".stripMargin,
     "evt_rfm" ->
       """WITH ref AS (SELECT MAX(ts) AS max_ts FROM events),
         |pu AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,

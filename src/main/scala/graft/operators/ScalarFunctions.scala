@@ -231,6 +231,29 @@ object ScalarFunctions {
         expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
       .orderBy("doc_id")
 
+  /** Conditional / null-handling surface: COALESCE, NULLIF, IF, LEAST,
+    * GREATEST, and a searched CASE — ANSI forms only, so both engines
+    * parse the identical expression text. NULLIF deliberately feeds
+    * COALESCE to exercise null propagation through a chain. */
+  def conditionalFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") <= 200)
+      .select(
+        col("s_suppkey"),
+        expr("coalesce(nullif(s_nationkey, 0), -1)").as("nation_or_neg1"),
+        expr("nullif(s_suppkey % 5, 0)").as("mod5_nulled"),
+        expr("if(s_acctbal >= 0, 'credit', 'debit')").as("balance_side"),
+        expr("least(s_suppkey, s_nationkey * 10)").as("least_v"),
+        expr("greatest(s_suppkey, s_nationkey * 10)").as("greatest_v"),
+        expr("""case when s_suppkey % 15 = 0 then 'fizzbuzz'
+               |     when s_suppkey % 3 = 0 then 'fizz'
+               |     when s_suppkey % 5 = 0 then 'buzz'
+               |     else cast(s_suppkey as string) end""".stripMargin)
+          .as("fizzbuzz"),
+        expr("coalesce(nullif(substr(s_name, 1, 8), 'Supplier'), 'XX')")
+          .as("name_prefix"))
+      .orderBy("s_suppkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_url" -> (urlFuncs _),
     "fn_regex" -> (regexFuncs _),
@@ -242,6 +265,7 @@ object ScalarFunctions {
     "fn_date" -> (dateFuncs _),
     "fn_date2" -> (dateFuncs2 _),
     "fn_math" -> (mathFuncs _),
+    "fn_conditional" -> (conditionalFuncs _),
     "fn_json" -> (jsonFuncs _),
     "fn_array" -> (arrayFuncs _)
   )
@@ -344,6 +368,20 @@ object ScalarFunctions {
         |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
         |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since
         |FROM events WHERE event_id <= 500 ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT s_suppkey,
+        |  COALESCE(NULLIF(s_nationkey, 0), -1) AS nation_or_neg1,
+        |  NULLIF(s_suppkey % 5, 0) AS mod5_nulled,
+        |  IF(s_acctbal >= 0, 'credit', 'debit') AS balance_side,
+        |  LEAST(s_suppkey, s_nationkey * 10) AS least_v,
+        |  GREATEST(s_suppkey, s_nationkey * 10) AS greatest_v,
+        |  CASE WHEN s_suppkey % 15 = 0 THEN 'fizzbuzz'
+        |       WHEN s_suppkey % 3 = 0 THEN 'fizz'
+        |       WHEN s_suppkey % 5 = 0 THEN 'buzz'
+        |       ELSE CAST(s_suppkey AS VARCHAR) END AS fizzbuzz,
+        |  COALESCE(NULLIF(substr(s_name, 1, 8), 'Supplier'), 'XX') AS name_prefix
+        |FROM supplier WHERE s_suppkey <= 200
+        |ORDER BY s_suppkey""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  abs(l_extendedprice - 50000.0) AS abs_dev,

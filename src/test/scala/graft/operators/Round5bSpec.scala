@@ -239,6 +239,48 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("exact-integer outlier flags match a BigInt recompute of the " +
+    "cross-multiplied 3-sigma rule") {
+    val got = Behavioral.outliers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"))).toMap
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "cast(cast(value as decimal(15,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getLong(0), BigInt(r.getLong(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    events.foreach { case (u, xs) =>
+      val n = BigInt(xs.length); val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val varn2 = n * sxx - sx * sx
+      val nOut = xs.count(x => { val d = n * x - sx; d * d > 9 * varn2 })
+      assert(got(u) == (xs.length.toLong, nOut.toLong), s"user $u mismatch")
+    }
+  }
+
+  test("streaks: islands recompute matches, and totals are consistent") {
+    val got = Behavioral.streaks(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"), r.getAs[String]("longest_start"))).toMap
+    val days = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "cast(cast(ts as date) as string) as day").distinct()
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    days.foreach { case (u, ds) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(java.time.LocalDate, Long)]
+      var start = ds.head; var len = 1L
+      ds.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        if (b.toEpochDay == a.toEpochDay + 1) len += 1
+        else { runs += ((start, len)); start = b; len = 1 }
+      }
+      runs += ((start, len))
+      val longest = runs.map(_._2).max
+      val firstLongest = runs.filter(_._2 == longest).map(_._1).minBy(_.toEpochDay)
+      assert(got(u) == (ds.length.toLong, runs.length.toLong, longest,
+        firstLongest.toString), s"user $u streak mismatch")
+    }
+  }
+
   test("exact-power-sum OLS trend matches Spark's built-in regr_slope / " +
     "regr_intercept within float tolerance") {
     val ours = AdvancedAggs.olsTrend(spark, sfDir).collect()
