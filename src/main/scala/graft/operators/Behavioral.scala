@@ -228,7 +228,33 @@ object Behavioral {
       .orderBy("user_id")
   }
 
+  /** Entity-correlated sampling: keep the ~10% of USERS whose salted
+    * portable hash lands in residue 0, and with them ALL of their events —
+    * the sampling unit is the user, not the row. Row-level sampling of an
+    * event stream destroys every within-user structure (sessions, funnels,
+    * retention curves); entity-level sampling preserves them exactly on
+    * the kept users, which is why it is the standard downsampling mode for
+    * behavioral data. Membership is a pure hash of user_id: reproducible
+    * across engines and stable as history grows (a kept user stays kept).
+    *
+    * Scale shape: the hash predicate is a scan-level filter (no shuffle,
+    * no membership table, no join against a user list), then one
+    * low-cardinality hash aggregation over the surviving ~10%. */
+  def sampleUsers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.events(spark, dir)
+      .filter(expr("portable_hash60(concat('usamp:', cast(user_id as string))) % 10 = 0"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(15,2)")).cast("double").as("sum_value"),
+        min(col("event_id")).as("first_event"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sample_users" -> (sampleUsers _),
     "evt_outliers" -> (outliers _),
     "evt_streaks" -> (streaks _),
     "evt_funnel_conversion" -> (funnelConversion _),
@@ -239,6 +265,18 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_sample_users" ->
+      """WITH kept AS (
+        |  SELECT * FROM events
+        |  WHERE list_reduce(list_transform(range(1,16), k ->
+        |      CAST(strpos('0123456789abcdef', substr(md5('usamp:' || CAST(user_id AS VARCHAR)), k, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 10 = 0)
+        |SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS first_event
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_funnel_conversion" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
         |           WHERE event_type = 'signup' GROUP BY user_id),

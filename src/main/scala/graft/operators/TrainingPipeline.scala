@@ -200,7 +200,35 @@ object TrainingPipeline {
       .orderBy("source")
   }
 
+  /** Exact-k per-stratum subsample: each (lang, source) stratum contributes
+    * its k=5 documents with the smallest salted portable hash — a uniform
+    * without-replacement sample whose membership is a pure function of
+    * doc_id (reproducible across runs/engines, and stable under corpus
+    * growth *within* the kept set's hash prefix). This is the exact-count
+    * complement of [[stratifiedSample]]'s fixed-RATE sampler: mixing
+    * recipes quota domains by document COUNT, which a rate cannot hit
+    * exactly on a skewed corpus.
+    *
+    * Scale shape: the rank-then-filter window is rewritten by
+    * [[graft.plans.RewriteRankLimitToTopK]] into the native bounded-heap
+    * top-k exec — each partition keeps at most k rows per stratum before
+    * the shuffle, so a billion-doc stratum moves k rows, not its whole
+    * membership, and no full per-stratum sort ever happens. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(expr("portable_hash60(concat('samp:', cast(doc_id as string)))"),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_group_sample" -> (groupSample _),
     "pipeline_mix_quota" -> (mixQuota _),
     "pipeline_training_split" -> (trainingSplitReport _),
     "pipeline_stratified_sample" -> (stratifiedSample _),
@@ -215,6 +243,18 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_group_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    list_reduce(list_transform(range(1,16), k ->
+        |      CAST(strpos('0123456789abcdef', substr(md5('samp:' || CAST(doc_id AS VARCHAR)), k, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars, rn FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS INTEGER) AS rn
+        |  FROM h)
+        |WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin,
     "pipeline_mix_quota" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
