@@ -234,6 +234,63 @@ object AdvancedAggs {
     median.select(col("median"), lit(nn).as("n_rows"))
   }
 
+  /** EXACT weighted median: the smallest price v per return flag such that
+    * the lineitems priced ≤ v carry at least half the total quantity mass.
+    * Weighted order statistics are what "median price paid" actually means
+    * when rows have multiplicity — the unweighted median answers a
+    * different question on any skewed basket.
+    *
+    * Exactness discipline: weights are whole-number quantities cast to
+    * BIGINT, folded by an exact windowed sum over values GROUPED BY v
+    * first — collapsing duplicate values before the cumsum removes every
+    * row-order ambiguity, so the `2·cum ≥ W` threshold is engine-
+    * independent without any tiebreak column. The selected v itself is
+    * never arithmetic'd. Scale: the per-flag sort runs over DISTINCT
+    * prices (already aggregated), and the bucket-selection trick of
+    * [[exactMedianTwoPass]] generalizes verbatim to weighted ranks when
+    * even that sort is too big. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    byVal
+      .withColumn("cum", sum(col("w")).over(win))
+      .withColumn("total_w", sum(col("w")).over(tot))
+      .filter(col("cum") * 2 >= col("total_w"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("weighted_median"),
+        max(col("total_w")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Count-min sketch, built exactly: 4 hash rows × 256 columns over the
+    * event stream's user_ids, each row keyed by an independently-salted
+    * portable hash. A CMS is DETERMINISTIC given its hash family — every
+    * cell is an exact SUM, so unlike HLL/t-digest (whose internals are
+    * engine-private, see [[sketchDistinct]]) the whole sketch table is
+    * hash-gated against the oracle. Construction is one groupBy over
+    * (row, column) pairs — partial-aggregated map-side, mergeable across
+    * partitions/days by cell-wise addition, which is the whole point of a
+    * CMS at 100 TB: frequency estimates for any user in 4 KB of state. */
+  def cmsUsers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val rows = (0 until 4).map { r =>
+      Tables.events(spark, dir).select(
+        lit(r).as("sketch_row"),
+        expr(s"portable_hash60(concat('cms$r:', cast(user_id as string))) % 256")
+          .as("sketch_col"))
+    }.reduce(_ unionAll _)
+    rows.groupBy(col("sketch_row"), col("sketch_col"))
+      .agg(count(lit(1)).as("cell_count"))
+      .orderBy("sketch_row", "sketch_col")
+  }
+
   /** Sketch aggregates — the sublinear-memory path for 100 TB cardinality
     * and quantile estimation: HyperLogLog++ distinct counts and t-digest
     * style approximate percentiles. Sketch internals differ across engines,
@@ -381,6 +438,8 @@ object AdvancedAggs {
     "agg_salted_top_users" -> (saltedTopUsers _),
     "join_salted_skew" -> (saltedSkewJoin _),
     "agg_exact_median_2pass" -> (exactMedianTwoPass _),
+    "agg_weighted_median" -> (weightedMedian _),
+    "sketch_cms_users" -> (cmsUsers _),
     "agg_corr_price_qty" -> (corrPriceQty _),
     "sketch_hll_users" -> (sketchDistinct _),
     "sketch_approx_quantiles" -> (sketchQuantiles _)
@@ -507,6 +566,32 @@ object AdvancedAggs {
       """WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
         |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
         |                  COUNT(*) OVER () AS n FROM s)
-        |SELECT v AS median, n AS n_rows FROM ranked WHERE rn = (n + 1) // 2""".stripMargin
+        |SELECT v AS median, n AS n_rows FROM ranked WHERE rn = (n + 1) // 2""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH byval AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |c AS (
+        |  SELECT l_returnflag, v, w,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total_w
+        |  FROM byval)
+        |SELECT l_returnflag, MIN(v) AS weighted_median,
+        |  MAX(total_w) AS total_weight
+        |FROM c WHERE cum * 2 >= total_w
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sketch_cms_users" ->
+      """WITH rows_ AS (
+        |  SELECT g.r AS sketch_row,
+        |    list_reduce(list_transform(range(1,16), k ->
+        |      CAST(strpos('0123456789abcdef', substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), k, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 256 AS sketch_col
+        |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) g)
+        |SELECT CAST(sketch_row AS INTEGER) AS sketch_row, sketch_col,
+        |  COUNT(*) AS cell_count
+        |FROM rows_ GROUP BY sketch_row, sketch_col
+        |ORDER BY sketch_row, sketch_col""".stripMargin
   )
 }

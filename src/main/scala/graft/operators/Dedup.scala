@@ -346,7 +346,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance-1 entity linkage over supplier names via FastSS
+    * deletion-neighborhood blocking (Bocek et al., "Fast Similarity
+    * Search in Large Dictionaries", 2007): two strings within one edit
+    * (insert/delete/substitute) necessarily share a member of each
+    * other's {self} ∪ {one-char-deletions} set, so an equi-join on those
+    * variants finds every candidate pair without an O(n²) cross join —
+    * the string-world analogue of MinHash banding. Candidates are then
+    * verified with exact Levenshtein (identical DP on both engines); the
+    * deletion block over-generates distance-2 pairs, the verify kills
+    * them.
+    *
+    * Scale shape: |name|+1 short variant keys per name, one shuffle on
+    * the variant, pair verification only inside blocks. A hot block (two
+    * names sharing a variant with k others) costs k², which is the
+    * inherent output size of the linkage, not an artifact. */
+  def edit1Names(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.supplier(spark, dir)
+      .select(col("s_name").as("name")).distinct()
+    val variants = names.select(col("name"), explode(expr(
+      """array_union(
+        |  transform(sequence(0, length(name) - 1),
+        |    i -> concat(substring(name, 1, i), substring(name, i + 2, length(name)))),
+        |  array(name))""".stripMargin)).as("v"))
+    val a = variants.select(col("name").as("name_a"), col("v"))
+    val b = variants.select(col("name").as("name_b"), col("v"))
+    a.join(b, "v")
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit1_names" -> (edit1Names _),
     "dedup_spans" -> (spanDedup _),
     "dedup_bow" -> (bowFingerprint _),
     "dedup_exact" -> (exactDedup _),
@@ -370,6 +404,22 @@ object Dedup {
       |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_edit1_names" ->
+      """WITH names AS (SELECT DISTINCT s_name AS name FROM supplier),
+        |vars AS (
+        |  SELECT name, unnest(list_append(
+        |    list_transform(range(0, length(name)),
+        |      i -> substr(name, 1, i) || substr(name, i + 2, length(name))),
+        |    name)) AS v
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM vars a JOIN vars b ON a.v = b.v
+        |  WHERE a.name < b.name)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "dedup_spans" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
          |spn AS (SELECT doc_id,

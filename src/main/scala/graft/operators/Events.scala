@@ -222,7 +222,42 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** Debounce / burst-dedup: drop any event that repeats its (user, type)
+    * key within 5 minutes of the previous kept-or-dropped occurrence — the
+    * standard instrumentation-noise cleaner (double-clicks, retry storms,
+    * at-least-once delivery) run before any behavioral analytics. The
+    * lag-based rule ("previous same-key event ≤ 300 s ago") needs one
+    * window pass over the (user, type) partition; no self-join, no state
+    * beyond the sort. Report per event type: total, kept, dropped, and
+    * the kept events' value mass.
+    *
+    * Note the rule is lag-vs-PREVIOUS-EVENT (any previous), not
+    * lag-vs-previous-KEPT: the recursive "kept" variant is sequential by
+    * nature; the previous-event form is the one every SQL engine ships,
+    * and is identical on streams whose bursts are shorter than the gap. */
+  def debounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("kept",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 300L, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_dropped"),
+        sum(when(col("kept") === 1L, dec(col("value")))).cast("double")
+          .as("kept_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_debounce" -> (debounce _),
     "evt_sliding_15m" -> (slidingQuarterHour _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sessionize" -> (sessionize _),
@@ -235,6 +270,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_debounce" ->
+      """WITH k AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+        |                                               ORDER BY ts, event_id))) AS BIGINT) > 300
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  COUNT(*) - CAST(SUM(kept) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN kept = 1 THEN CAST(value AS DECIMAL(15,2)) END) AS DOUBLE) AS kept_value
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_sliding_15m" ->
       """WITH e AS (SELECT ts, event_type, value,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
