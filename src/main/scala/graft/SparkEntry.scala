@@ -33,7 +33,8 @@ object SparkEntry {
       (AdvancedAggs.queries, AdvancedAggs.oracle),
       (graft.agg.TopK.queries, graft.agg.TopK.oracle),
       (graft.plans.NativeTopK.queries, graft.plans.NativeTopK.oracle),
-      (TrainingPipeline.queries, TrainingPipeline.oracle)
+      (TrainingPipeline.queries, TrainingPipeline.oracle),
+      (Diagnostics.queries, Diagnostics.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

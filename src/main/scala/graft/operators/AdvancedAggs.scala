@@ -291,6 +291,52 @@ object AdvancedAggs {
       .orderBy("sketch_row", "sketch_col")
   }
 
+  /** Bloom filter, built and probed exactly: a 1024-bit / 4-hash filter
+    * over "customers who ordered in 1996Q1", stored as 32 32-bit words (BIGINT lanes — DuckDB forbids 1<<63)
+    * built by one `bit_or` aggregation, then probed by the full customer
+    * dimension with exact false-positive accounting. Like the CMS
+    * ([[cmsUsers]]), a Bloom filter is deterministic given its hash
+    * family, so filter content AND the probe outcome are hash-gated —
+    * the structure Spark itself builds for runtime-filter semi-join
+    * pushdown, here as a first-class queryable artifact. The 32-word
+    * bitmap is broadcast to the probe side; build and probe are each one
+    * scan + one tiny aggregation. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val members = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_custkey").as("k")).distinct()
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("k"), explode(expr(
+        """transform(sequence(0, 3),
+          |  r -> portable_hash60(concat('bloom', r, ':', cast(k as string))) % 1024)"""
+          .stripMargin)).as("pos"))
+      .select(col("k"), expr("pos div 32").as("word"), expr("pos % 32").as("bit"))
+    val bitmap = positions(members)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").as("wv"))
+    val probe = positions(
+      Tables.customer(spark, dir).select(col("c_custkey").as("k")))
+      .join(broadcast(bitmap), Seq("word"), "left")
+      .withColumn("hit",
+        expr("cast((shiftright(coalesce(wv, cast(0 as bigint)), cast(bit as int)) & 1) as bigint)"))
+      .groupBy(col("k"))
+      .agg(min(col("hit")).as("maybe"))
+    probe
+      .join(members.withColumn("is_member", lit(1L)), Seq("k"), "left")
+      .withColumn("is_member", coalesce(col("is_member"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("is_member")).as("n_members"),
+        sum(col("maybe")).as("n_maybe"),
+        sum(when(col("maybe") === 1L && col("is_member") === 0L, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_rate",
+        col("n_false_pos").cast("double") /
+          (col("n_customers") - col("n_members")))
+  }
+
   /** Sketch aggregates — the sublinear-memory path for 100 TB cardinality
     * and quantile estimation: HyperLogLog++ distinct counts and t-digest
     * style approximate percentiles. Sketch internals differ across engines,
@@ -440,6 +486,7 @@ object AdvancedAggs {
     "agg_exact_median_2pass" -> (exactMedianTwoPass _),
     "agg_weighted_median" -> (weightedMedian _),
     "sketch_cms_users" -> (cmsUsers _),
+    "sketch_bloom_probe" -> (bloomProbe _),
     "agg_corr_price_qty" -> (corrPriceQty _),
     "sketch_hll_users" -> (sketchDistinct _),
     "sketch_approx_quantiles" -> (sketchQuantiles _)
@@ -582,6 +629,43 @@ object AdvancedAggs {
         |  MAX(total_w) AS total_weight
         |FROM c WHERE cum * 2 >= total_w
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sketch_bloom_probe" ->
+      """WITH members AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |mpos AS (
+        |  SELECT k,
+        |    list_reduce(list_transform(range(1,16), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5('bloom' || CAST(g.r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 1024 AS pos
+        |  FROM members CROSS JOIN (SELECT unnest(range(4)) AS r) g),
+        |bitmap AS (
+        |  SELECT pos // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS wv
+        |  FROM mpos GROUP BY 1),
+        |cpos AS (
+        |  SELECT c_custkey AS k,
+        |    list_reduce(list_transform(range(1,16), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5('bloom' || CAST(g.r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a,b) -> a*16+b) % 1024 AS pos
+        |  FROM customer CROSS JOIN (SELECT unnest(range(4)) AS r) g),
+        |probe AS (
+        |  SELECT k,
+        |    MIN(CAST((COALESCE(wv, 0) >> CAST(pos % 32 AS INTEGER)) & 1 AS BIGINT)) AS maybe
+        |  FROM cpos LEFT JOIN bitmap ON cpos.pos // 32 = bitmap.word
+        |  GROUP BY k),
+        |j AS (
+        |  SELECT p.k, p.maybe,
+        |    CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+        |  FROM probe p LEFT JOIN members m ON p.k = m.k)
+        |SELECT COUNT(*) AS n_customers,
+        |  CAST(SUM(is_member) AS BIGINT) AS n_members,
+        |  CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+        |  CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        |  CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (COUNT(*) - SUM(is_member)) AS fp_rate
+        |FROM j""".stripMargin,
     "sketch_cms_users" ->
       """WITH rows_ AS (
         |  SELECT g.r AS sketch_row,

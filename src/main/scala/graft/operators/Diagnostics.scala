@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Data-distribution diagnostics — the queries an operator of a 100 TB
+  * pipeline runs BEFORE picking a physical strategy: per-key skew profiles
+  * for the heavy join/aggregation keys. A key whose top value carries a
+  * large share of the rows is the signal to slat (salt) that join or rely
+  * on AQE skew splitting; `join_salted_skew` and `agg_salted_top_users`
+  * are the treatments, this is the diagnosis.
+  *
+  * Exactness: per-key counts, max, and key cardinality are exact integers
+  * from one hash aggregation per table; the only doubles are final
+  * divisions. The three per-table profiles union into one small report.
+  */
+object Diagnostics {
+
+  private def profile(df: DataFrame, table: String, key: String): DataFrame =
+    df.select(col(key).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_per_key"))
+      .select(
+        lit(table).as("table_name"),
+        lit(key).as("key_name"),
+        col("n_rows"), col("n_keys"), col("max_per_key"),
+        (col("max_per_key").cast("double") / col("n_rows")).as("top_share"),
+        (col("n_rows").cast("double") / col("n_keys")).as("mean_per_key"))
+
+  /** Join-key skew report over the three hottest keys in the schema. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(spark, dir), "orders", "o_custkey")
+      .unionAll(profile(Tables.lineitem(spark, dir), "lineitem", "l_partkey"))
+      .unionAll(profile(Tables.events(spark, dir), "events", "user_id"))
+      .orderBy("table_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diag_key_skew" -> (keySkew _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "diag_key_skew" ->
+      """WITH p AS (
+        |  SELECT 'orders' AS table_name, 'o_custkey' AS key_name,
+        |    COUNT(*) AS c FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_partkey', COUNT(*) FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', COUNT(*) FROM events GROUP BY user_id)
+        |SELECT table_name, key_name,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_per_key,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share,
+        |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_per_key
+        |FROM p GROUP BY table_name, key_name
+        |ORDER BY table_name""".stripMargin
+  )
+}

@@ -68,6 +68,35 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter admits every true member (no false negatives) and " +
+    "the report's accounting is internally consistent") {
+    val r = AdvancedAggs.bloomProbe(spark, sfDir).head()
+    val nCust = r.getAs[Long]("n_customers")
+    val nMem = r.getAs[Long]("n_members")
+    val nMaybe = r.getAs[Long]("n_maybe")
+    val nFp = r.getAs[Long]("n_false_pos")
+    // no false negatives: maybe ⊇ members, and maybe = members + fp
+    assert(nMaybe == nMem + nFp, s"maybe=$nMaybe members=$nMem fp=$nFp")
+    assert(nMem <= nMaybe && nMaybe <= nCust)
+    assert(nCust == Tables.customer(spark, sfDir).count())
+  }
+
+  test("key-skew diagnostics: per-table row totals match the raw tables " +
+    "and top_share is bounded by (1/n_keys, 1]") {
+    val d = Diagnostics.keySkew(spark, sfDir).collect()
+    val expected = Map(
+      "orders" -> Tables.orders(spark, sfDir).count(),
+      "lineitem" -> Tables.lineitem(spark, sfDir).count(),
+      "events" -> Tables.events(spark, sfDir).count())
+    assert(d.length == 3)
+    d.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == expected(r.getAs[String]("table_name")))
+      val share = r.getAs[Double]("top_share")
+      assert(share > 0 && share <= 1.0)
+      assert(share >= 1.0 / r.getAs[Long]("n_keys"))
+    }
+  }
+
   test("edit-1 linkage equals the brute-force all-pairs join on the " +
     "supplier name dictionary") {
     val fast = Dedup.edit1Names(spark, sfDir)
