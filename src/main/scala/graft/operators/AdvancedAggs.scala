@@ -280,13 +280,16 @@ object AdvancedAggs {
     * CMS at 100 TB: frequency estimates for any user in 4 KB of state. */
   def cmsUsers(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
-    val rows = (0 until 4).map { r =>
-      Tables.events(spark, dir).select(
-        lit(r).as("sketch_row"),
-        expr(s"portable_hash60(concat('cms$r:', cast(user_id as string))) % 256")
-          .as("sketch_col"))
-    }.reduce(_ unionAll _)
-    rows.groupBy(col("sketch_row"), col("sketch_col"))
+    // one scan: each event explodes into its 4 (row, column) cells — not a
+    // 4-way union of full scans, which would read the stream 4 times
+    Tables.events(spark, dir)
+      .select(explode(expr(
+        """transform(sequence(0, 3), r -> named_struct(
+          |  'r', r,
+          |  'c', portable_hash60(concat('cms', r, ':', cast(user_id as string))) % 256))"""
+          .stripMargin)).as("x"))
+      .select(col("x.r").as("sketch_row"), col("x.c").as("sketch_col"))
+      .groupBy("sketch_row", "sketch_col")
       .agg(count(lit(1)).as("cell_count"))
       .orderBy("sketch_row", "sketch_col")
   }

@@ -485,6 +485,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_pq_adc" -> (topkPqAdc _),
+    "sim_ann_recall" -> (annRecall _),
     "sim_pq" -> (productQuantize _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
@@ -496,6 +497,48 @@ object Similarity {
     "sim_label_centroids" -> (labelCentroids _),
     "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
+
+  /** ANN-recall evaluation: recall@3 of the hyperplane-LSH search
+    * ([[topkLsh]]) against the exact brute-force top-3, over a
+    * deterministic 20% query sample (vec_id % 5 = 0). This is the
+    * standard quality metric for any approximate index — the number that
+    * justifies (or vetoes) the n²→n²/256 cost cut the LSH path buys.
+    * Recall evaluation ALWAYS runs on a sample: the exact side is the
+    * all-pairs scan the index exists to avoid, so the sample is the only
+    * place it is ever paid.
+    *
+    * Exactness: both top-3 sets use the same sequential-fold cosines and
+    * vec_id tiebreaks as their parent queries, so the overlap counts are
+    * engine-exact; the only double is the final recall division. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = lshBucketed(spark, dir)
+    val q = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    def top3(cands: DataFrame): DataFrame = cands
+      .select(col("query_id"), col("vec_id"), pairSim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+    val exact3 = top3(emb.join(broadcast(q.drop("qbucket")),
+      col("vec_id") =!= col("query_id")))
+    val lsh3 = top3(emb.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
+    val ov = exact3.join(lsh3, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    q.select("query_id")
+      .join(ov, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("n_hits"),
+        sum(when(col("hits") === 3L, 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("hits") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("recall_at_3",
+        col("n_hits").cast("double") / (col("n_queries") * 3))
+  }
 
   /** DuckDB mirror of [[lshBucketed]]'s bucket assignment (same md5 plane
     * signs, same fold order), shared by the two LSH oracles. */
@@ -606,6 +649,37 @@ object Similarity {
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_ann_recall" ->
+      s"""WITH $bucketedCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+         |      FROM bucketed WHERE vec_id % 5 = 0),
+         |epairs AS (SELECT q.query_id, e.vec_id,
+         |    ${cosSql("q.qv", "e.embedding")} AS sim
+         |  FROM q JOIN bucketed e ON e.vec_id <> q.query_id),
+         |exact3 AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM epairs) WHERE rk <= 3),
+         |lpairs AS (SELECT q.query_id, e.vec_id,
+         |    ${cosSql("q.qv", "e.embedding")} AS sim
+         |  FROM q JOIN bucketed e
+         |    ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+         |lsh3 AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM lpairs) WHERE rk <= 3),
+         |ov AS (SELECT exact3.query_id, COUNT(*) AS hits
+         |  FROM exact3 JOIN lsh3
+         |    ON exact3.query_id = lsh3.query_id AND exact3.vec_id = lsh3.vec_id
+         |  GROUP BY exact3.query_id),
+         |perq AS (SELECT q.query_id, COALESCE(ov.hits, 0) AS hits
+         |  FROM q LEFT JOIN ov ON q.query_id = ov.query_id)
+         |SELECT COUNT(*) AS n_queries,
+         |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 3) AS recall_at_3
+         |FROM perq""".stripMargin,
     "sim_topk_pq_adc" ->
       s"""WITH $pqCte,
          |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
