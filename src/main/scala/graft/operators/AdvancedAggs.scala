@@ -145,8 +145,8 @@ object AdvancedAggs {
 
   /** Higher-moment shape statistics (population skewness and excess
     * kurtosis) from EXACT integer power sums — the natural extension of
-    * [[dispersionQty]]: quantities become integer cents (≤ 5000, so the
-    * fourth power still fits a long per row), the four power sums
+    * [[dispersionQty]]: quantities are whole units (≤ 50, integral in
+    * TPC-H — so Σq⁴ stays double-exact, see below), the four power sums
     * accumulate as DECIMAL(38,0) (overflow-proof at any scale, and
     * order-independent unlike built-in skewness/kurtosis, which stream
     * float partials), and the moment algebra is a fixed tree of IEEE
@@ -156,7 +156,15 @@ object AdvancedAggs {
   def skewKurtQty(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    val q = (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
+    // Whole-unit quantities (≤ 50, integral in TPC-H), NOT cents: q⁴ ≤
+    // 6.25e6, so every power sum stays below 2^53 through ~10⁹ rows per
+    // group and the decimal→double cast is EXACT on both engines. The
+    // earlier cents formulation pushed Σq⁴ past 2^63 at sf0.1, where
+    // DuckDB's HUGEINT→DOUBLE cast (upper·2⁶⁴ + lower, two roundings) is
+    // not correctly rounded and drifted ~50 ulps from Spark's BigDecimal
+    // cast. Beyond ~10⁹ rows/group, bridge the cast through a decimal
+    // string (strtod is correctly rounded everywhere) or split the sum.
+    val q = col("l_quantity").cast("long")
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), q.as("q"))
       .groupBy("l_returnflag")
@@ -167,10 +175,10 @@ object AdvancedAggs {
         sum((col("q") * col("q") * col("q")).cast(d38)).as("s3r"),
         sum((col("q") * col("q") * col("q") * col("q")).cast(d38)).as("s4r"))
       .select(col("l_returnflag"), col("n"),
-        (col("s1r").cast("double") / 1e2).as("sx"),
-        (col("s2r").cast("double") / 1e4).as("sxx"),
-        (col("s3r").cast("double") / 1e6).as("sx3"),
-        (col("s4r").cast("double") / 1e8).as("sx4"))
+        col("s1r").cast("double").as("sx"),
+        col("s2r").cast("double").as("sxx"),
+        col("s3r").cast("double").as("sx3"),
+        col("s4r").cast("double").as("sx4"))
       .withColumn("m", col("sx") / col("n"))
       .withColumn("m2", col("sxx") / col("n") - col("m") * col("m"))
       .withColumn("m3", col("sx3") / col("n")
@@ -522,13 +530,13 @@ object AdvancedAggs {
         |FROM s ORDER BY user_id""".stripMargin,
     "agg_skew_kurt" ->
       """WITH r AS (SELECT l_returnflag,
-        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+        |  CAST(l_quantity AS BIGINT) AS q
         |FROM lineitem),
         |s AS (SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(q) AS DOUBLE) / 1e2 AS sx,
-        |  CAST(SUM(q*q) AS DOUBLE) / 1e4 AS sxx,
-        |  CAST(SUM(q*q*q) AS DOUBLE) / 1e6 AS sx3,
-        |  CAST(SUM(q*q*q*q) AS DOUBLE) / 1e8 AS sx4
+        |  CAST(SUM(q) AS DOUBLE) AS sx,
+        |  CAST(SUM(q*q) AS DOUBLE) AS sxx,
+        |  CAST(SUM(q*q*q) AS DOUBLE) AS sx3,
+        |  CAST(SUM(q*q*q*q) AS DOUBLE) AS sx4
         |FROM r GROUP BY 1),
         |mm AS (SELECT l_returnflag, n, sx, sxx, sx3, sx4, sx / n AS m FROM s),
         |mo AS (SELECT l_returnflag, n, m,
