@@ -170,11 +170,13 @@ object Multimodal {
     * slice arithmetic is [[frameSample]]'s, applied to the payload text so
     * the oracle can recompute identical fingerprints; the ONE shuffle is
     * the fingerprint window. */
-  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, frame_idx, frame_text) for every sampled video frame —
+    * [[frameSample]]'s slice arithmetic applied to the payload text so
+    * oracles can recompute identical content. */
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val media = mediaFromDocuments(spark, dir).as[MediaRecord]
-    val frames = media.filter(_.media_type == "video").flatMap { r =>
+    media.filter(_.media_type == "video").flatMap { r =>
       val s = new String(r.media, java.nio.charset.StandardCharsets.UTF_8)
       val total = s.length.toLong
       val stride = math.max(total / 4, 1L)
@@ -184,14 +186,40 @@ object Multimodal {
         (r.doc_id, i, s.substring(off.toInt, (off + len).toInt))
       }
     }.toDF("doc_id", "frame_idx", "frame_text")
-    frames
+  }
+
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    videoFrames(spark, dir)
       .withColumn("frame_fp", md5(col("frame_text")))
       .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(col("frame_fp"))))
       .select(col("doc_id"), col("frame_idx"), col("frame_fp"), col("fp_count"))
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Scene-change (shot-boundary) detection per video: a cut is a sampled
+    * frame whose fingerprint differs from its predecessor's — the
+    * fingerprint-lag formulation every video pipeline uses for cheap
+    * shot segmentation (with real decode the fp would be a perceptual
+    * hash; the Spark plumbing is identical). One lag window per video,
+    * partitioned by doc_id; output is a per-video summary. */
+  def sceneChange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videoFrames(spark, dir)
+      .withColumn("frame_fp", md5(col("frame_text")))
+      .withColumn("prev_fp", lag(col("frame_fp"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev_fp").isNotNull && col("prev_fp") =!= col("frame_fp"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("is_cut")).as("n_cuts"),
+        countDistinct(col("frame_fp")).as("n_distinct_frames"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_change" -> (sceneChange _),
     "mm_media_stats" -> (mediaStats _),
     "mm_frame_stats" -> (frameStats _),
     "mm_resize_stats" -> (resizeStats _),
@@ -201,6 +229,25 @@ object Multimodal {
   /** The oracle re-derives the stub's deterministic metadata arithmetic in
     * SQL over the same payload bytes. */
   val oracle: Map[String, String] = Map(
+    "mm_scene_change" ->
+      """WITH vids AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS total,
+        |    greatest(CAST(length(text) AS BIGINT) // 4, 1) AS stride
+        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) + 1 = 3),
+        |frames AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    md5(substr(text, CAST(least(i * stride, total) AS INTEGER) + 1,
+        |        CAST(least(stride, greatest(total - i * stride, 0)) AS INTEGER))) AS frame_fp
+        |  FROM vids, UNNEST(range(4)) AS u(i)),
+        |cuts AS (SELECT doc_id, frame_fp,
+        |    CASE WHEN lag(frame_fp) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |              IS NOT NULL
+        |          AND lag(frame_fp) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |              <> frame_fp
+        |         THEN 1 ELSE 0 END AS is_cut
+        |  FROM frames)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+        |  COUNT(DISTINCT frame_fp) AS n_distinct_frames
+        |FROM cuts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_media_stats" ->
       """WITH m AS (SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,

@@ -482,7 +482,118 @@ object AdvancedAggs {
       .orderBy("user_id")
   }
 
+  /** HyperLogLog built EXACTLY: the register table of a 64-register
+    * (p = 6) HLL over the event stream's users, keyed by the engine's
+    * portable md5-derived 60-bit hash. Register = top 6 hash bits; rank =
+    * leading-zero count of the remaining 54-bit field plus one (via the
+    * binary-string length of `bin()`, which both engines define
+    * identically). Unlike the engine-private HLL++ in [[sketchDistinct]],
+    * every register value here is a deterministic MAX, so the whole sketch
+    * is hash-gated against the oracle — the same trick that makes
+    * [[cmsUsers]] gateable.
+    *
+    * Scale: max is idempotent, so NO distinct pass over users is needed —
+    * one scan, partial-aggregated map-side into at most 64 groups. That is
+    * the entire point of an HLL at 100 TB: the shuffle carries ≤64 rows
+    * per partition no matter how many events feed it, and region-level
+    * sketches merge by register-wise MAX. */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    spark.range(64).select(col("id").as("register"))
+      .join(hllRegisterAgg(spark, dir), Seq("register"), "left")
+      .select(col("register"),
+        coalesce(col("max_rank"), lit(0)).as("max_rank"))
+      .orderBy("register")
+  }
+
+  /** Shared register aggregation for [[hllRegisters]]/[[hllEstimate]]:
+    * (register, max rank) pairs for registers that saw at least one hash. */
+  private def hllRegisterAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.events(spark, dir)
+      .select(expr("portable_hash60(concat('hll:', cast(user_id as string)))")
+        .as("h"))
+      // 2^54 splits the 60-bit hash: top 6 bits = register, low 54 = rank field
+      .select(expr("h div 18014398509481984").as("register"),
+        expr("h % 18014398509481984").as("rem"))
+      .select(col("register"),
+        when(col("rem") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("rem")))).cast("int").as("rnk"))
+      .groupBy("register")
+      .agg(max(col("rnk")).as("max_rank"))
+  }
+
+  /** The HLL cardinality estimate from [[hllRegisters]]' register table,
+    * computed without a single nondeterministic float: the harmonic
+    * denominator Σ 2^-M_j is carried as the exact integer Σ 2^(55-M_j)
+    * (common denominator 2^55 — every term is a BIGINT power of two), and
+    * the raw estimate α·m²·2^55 / harmonic_num is ONE double division of
+    * exact operands. exact_distinct and the relative error ride along so
+    * the sketch's accuracy claim is itself oracle-checked. */
+  def hllEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val regs = spark.range(64).select(col("id").as("register"))
+      .join(hllRegisterAgg(spark, dir), Seq("register"), "left")
+      .select(coalesce(col("max_rank"), lit(0)).as("m_j"))
+    val summary = regs.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("n_zero"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(55 - m_j as int))"))
+        .as("harmonic_num"))
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    summary.crossJoin(exact)
+      .withColumn("estimate_raw",
+        lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16)
+          / col("harmonic_num").cast("double"))
+      .withColumn("rel_err_pct",
+        (col("estimate_raw") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double") * lit(100.0))
+      .select(col("m"), col("n_zero"), col("harmonic_num"),
+        col("estimate_raw"), col("exact_distinct"), col("rel_err_pct"))
+  }
+
+  /** Mann-Kendall trend test over each return flag's monthly revenue
+    * series — the nonparametric "is this metric trending" statistic, and
+    * unlike OLS it is EXACT end-to-end: S = Σ sign(rev_j − rev_i) over all
+    * i<j month pairs (integer cents comparisons), and the variance ships
+    * as the integer 18·Var[S] = n(n−1)(2n+5) − Σ t(t−1)(2t+5) with the
+    * exact tie correction. No float appears in any column.
+    *
+    * Scale: the O(T²) pair join runs on the AGGREGATED monthly series
+    * (time-bounded: T months per flag, not data-proportional), after one
+    * partial-aggregated shuffle of lineitem on (flag, month). The series
+    * side is broadcast. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev"))
+    val pairs = series.select(col("l_returnflag"), col("mon").as("m1"), col("rev").as("r1"))
+      .join(broadcast(series.select(col("l_returnflag"), col("mon").as("m2"), col("rev").as("r2"))),
+        Seq("l_returnflag"))
+      .filter(col("m1") < col("m2"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("r2") > col("r1"), 1L)
+        .when(col("r2") < col("r1"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = series.groupBy(col("l_returnflag"), col("rev"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("t")).as("n_months"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    ties.join(pairs, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_months"), col("s_stat"),
+        (col("n_months") * (col("n_months") - 1) * (col("n_months") * 2 + 5)
+          - col("tie_term")).as("var_s_x18"),
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_registers" -> (hllRegisters _),
+    "sketch_hll_estimate" -> (hllEstimate _),
+    "agg_mann_kendall" -> (mannKendall _),
     "agg_ols_trend" -> (olsTrend _),
     "agg_string_agg_nations" -> (stringAggNations _),
     "agg_mode_priority" -> (modePriority _),
@@ -503,7 +614,55 @@ object AdvancedAggs {
     "sketch_approx_quantiles" -> (sketchQuantiles _)
   )
 
+  /** DuckDB equivalent of `portable_hash60(x)`: first 15 hex chars of
+    * md5(x) folded to a BIGINT. */
+  private def h60Sql(x: String): String =
+    s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+
+  /** Shared register-table CTE body for the two HLL oracles. */
+  private val hllRegSql: String =
+    s"""h AS (SELECT ${h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |r AS (SELECT h // 18014398509481984 AS register, h % 18014398509481984 AS rem FROM h),
+       |rk AS (SELECT register, CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END AS rnk FROM r),
+       |mx AS (SELECT register, MAX(rnk) AS max_rank FROM rk GROUP BY register),
+       |regs AS (SELECT g.i AS register, CAST(COALESCE(max_rank, 0) AS INTEGER) AS max_rank
+       |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sketch_hll_registers" ->
+      s"""WITH $hllRegSql
+         |SELECT register, max_rank FROM regs ORDER BY register""".stripMargin,
+    "sketch_hll_estimate" ->
+      s"""WITH $hllRegSql,
+         |s AS (SELECT COUNT(*) AS m,
+         |    CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |    CAST(SUM(1::BIGINT << (55 - max_rank)) AS BIGINT) AS harmonic_num
+         |  FROM regs),
+         |e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+         |SELECT m, n_zero, harmonic_num,
+         |  7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(harmonic_num AS DOUBLE) AS estimate_raw,
+         |  exact_distinct,
+         |  (7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(harmonic_num AS DOUBLE)
+         |     - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) * 1.0e2 AS rel_err_pct
+         |FROM s, e""".stripMargin,
+    "agg_mann_kendall" ->
+      """WITH s AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT a.l_returnflag,
+        |    CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM s a JOIN s b ON a.l_returnflag = b.l_returnflag AND a.mon < b.mon
+        |  GROUP BY 1),
+        |ti AS (SELECT l_returnflag, CAST(SUM(t) AS BIGINT) AS n_months,
+        |    CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT l_returnflag, rev, COUNT(*) AS t FROM s GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT ti.l_returnflag, n_months, s_stat,
+        |  n_months*(n_months-1)*(2*n_months+5) - tie_term AS var_s_x18,
+        |  CASE WHEN s_stat > 0 THEN 'increasing' WHEN s_stat < 0 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM ti JOIN p ON ti.l_returnflag = p.l_returnflag
+        |ORDER BY 1""".stripMargin,
     "agg_string_agg_nations" ->
       """SELECT r_name, COUNT(*) AS n_nations,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv

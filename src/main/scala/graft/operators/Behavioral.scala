@@ -253,7 +253,72 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** Seasonal (hour-of-day) anomaly detection over the error stream: a
+    * (day, hour) cell is anomalous when its error count exceeds that
+    * hour-of-day's cross-day baseline by 3σ. The σ test is spelled with
+    * EXACT integers only — dev = c·n − Σc > 0 AND dev² > 9·(n·Σc² − (Σc)²)
+    * is literally c > mean + 3σ with both sides cross-multiplied by n² —
+    * so the flag decision never touches a float (the reported
+    * baseline_mean is one final display-only division). Baselines are per
+    * OBSERVED cell (hours with zero errors contribute no cell).
+    *
+    * Scale: events collapse to day×hour cells in one partial-aggregated
+    * pass; the baseline is a ≤24-row broadcast. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val base = cells.groupBy(col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    cells.join(broadcast(base), Seq("hod"))
+      .withColumn("dev", col("c") * col("n") - col("s1"))
+      .filter(col("dev") > 0 &&
+        col("dev") * col("dev") > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("hod").as("hour_of_day"), col("c").as("n_errors"),
+        col("n").as("n_days"),
+        (col("s1").cast("double") / col("n").cast("double")).as("baseline_mean"))
+      .orderBy("day", "hour_of_day")
+  }
+
+  /** Value-concentration (Pareto / Lorenz) report: per event type, users
+    * are ranked by exact value mass and cut into rank deciles; each decile
+    * row carries its user count, value mass, and the cumulative share —
+    * "the top 10% of users carry X% of value". Money is integer cents end
+    * to end; the share is one final division. Every window partitions by
+    * event_type (rank, count, running sum — never a global window), and
+    * the windows run over the per-user AGGREGATE, not raw events. */
+  def paretoValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val users = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((col("value").cast(DecimalType(15, 2)) * 100).cast("long"))
+        .as("cents"))
+    val rnW = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").desc, col("user_id"))
+    val nW = Window.partitionBy(col("event_type"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users
+      .withColumn("rn", row_number().over(rnW).cast("long"))
+      .withColumn("nu", count(lit(1)).over(nW))
+      .withColumn("decile", expr("((rn - 1) * 10) div nu"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("bin_cents"))
+      .withColumn("cum_cents", sum(col("bin_cents")).over(cumW))
+      .withColumn("cum_share", col("cum_cents").cast("double")
+        / sum(col("bin_cents")).over(nW).cast("double"))
+      .select(col("event_type"), col("decile"), col("n_users"),
+        col("bin_cents"), col("cum_cents"), col("cum_share"))
+      .orderBy("event_type", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_seasonal_anomaly" -> (seasonalAnomaly _),
+    "evt_pareto" -> (paretoValue _),
     "evt_sample_users" -> (sampleUsers _),
     "evt_outliers" -> (outliers _),
     "evt_streaks" -> (streaks _),
@@ -265,6 +330,39 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_seasonal_anomaly" ->
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod, COUNT(*) AS c
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |base AS (SELECT hod, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c*c) AS BIGINT) AS s2
+        |  FROM cells GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, hod AS hour_of_day,
+        |  c AS n_errors, n AS n_days,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS baseline_mean
+        |FROM cells JOIN base USING (hod)
+        |WHERE c*n - s1 > 0
+        |  AND (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)
+        |ORDER BY 1, 2""".stripMargin,
+    "evt_pareto" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nu
+        |  FROM u),
+        |b AS (SELECT event_type, ((rn - 1) * 10) // nu AS decile,
+        |    COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS bin_cents
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, decile, n_users, bin_cents,
+        |  CAST(SUM(bin_cents) OVER (PARTITION BY event_type ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |  CAST(SUM(bin_cents) OVER (PARTITION BY event_type ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(SUM(bin_cents) OVER (PARTITION BY event_type) AS DOUBLE) AS cum_share
+        |FROM b ORDER BY event_type, decile""".stripMargin,
     "evt_sample_users" ->
       """WITH kept AS (
         |  SELECT * FROM events

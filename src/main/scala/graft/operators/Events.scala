@@ -256,7 +256,61 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Last-touch attribution: each purchase is credited to the campaign
+    * (`props.k`) of the user's most recent click no older than 24 h;
+    * purchases with no qualifying click land in the NULL-campaign bucket,
+    * so the report accounts for every purchase. The "most recent click"
+    * is `last(..., ignoreNulls)` over the (ts, event_id)-ordered user
+    * partition — ONE window pass over one shuffle of the stream, never a
+    * purchases×clicks self-join (which at 100 TB is a skew bomb on hot
+    * users). The carried struct holds the click ts so the 24 h recency
+    * rule is applied to the attributed click itself. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("last_click",
+        last(when(col("event_type") === "click",
+          struct(col("ts").as("cts"), col("k").as("ck"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("campaign",
+        when(col("last_click").isNotNull &&
+          col("ts").cast("long") - col("last_click.cts").cast("long") <= 86400L,
+          col("last_click.ck")))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec(col("value"))).cast("double").as("attributed_value"))
+      .orderBy(col("campaign").asc_nulls_first)
+  }
+
+  /** Hourly VWAP (volume-weighted average value) of purchases, with
+    * quantity = `props.k + 1`: the canonical market-data aggregate, exact
+    * to the last bit — value quantized to integer cents at the row, the
+    * Σ(price·qty) numerator and Σqty denominator accumulate as BIGINTs,
+    * and VWAP is ONE final double division. Plain partial-aggregated hash
+    * agg on the hour bucket; nothing here changes shape at 100 TB. */
+  def vwapHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("bucket"),
+        (dec(col("value")) * 100).cast("long").as("cents"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1L).as("qty"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("qty")).as("total_qty"),
+        sum(col("cents") * col("qty")).as("notional_cents"))
+      .withColumn("vwap",
+        col("notional_cents").cast("double")
+          / (col("total_qty").cast("double") * lit(100.0)))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_attribution" -> (attribution _),
+    "evt_vwap" -> (vwapHourly _),
     "evt_debounce" -> (debounce _),
     "evt_sliding_15m" -> (slidingQuarterHour _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
@@ -270,6 +324,34 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events),
+        |lc AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click'
+        |                    THEN struct_pack(cts := ts, ck := k) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM ev),
+        |p AS (SELECT value,
+        |    CASE WHEN last_click IS NOT NULL
+        |          AND CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch((last_click).cts)) AS BIGINT) <= 86400
+        |         THEN (last_click).ck END AS campaign
+        |  FROM lc WHERE event_type = 'purchase')
+        |SELECT campaign, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS attributed_value
+        |FROM p GROUP BY campaign ORDER BY campaign ASC NULLS FIRST""".stripMargin,
+    "evt_vwap" ->
+      """WITH p AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS qty
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT bucket, COUNT(*) AS n_trades,
+        |  CAST(SUM(qty) AS BIGINT) AS total_qty,
+        |  CAST(SUM(cents * qty) AS BIGINT) AS notional_cents,
+        |  CAST(SUM(cents * qty) AS DOUBLE) / (CAST(SUM(qty) AS DOUBLE) * 1.0e2) AS vwap
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
     "evt_debounce" ->
       """WITH k AS (
         |  SELECT event_type, value,

@@ -384,7 +384,88 @@ object TextAnalysis {
       .orderBy("x", "y")
   }
 
+  /** RAKE keyword extraction (Rose et al., "Automatic keyword extraction
+    * from individual documents", 2010): candidate phrases are the maximal
+    * stopword-free token runs (the union of the five language profiles is
+    * the stop set); word score = degree/frequency, where degree sums the
+    * lengths of every phrase the word occurs in; a phrase scores the sum
+    * of its words' scores; top 3 phrases per doc. The degree/frequency
+    * ratio is quantized to fixed-point millionths — `(deg*1e6) div freq`,
+    * exact integer — so phrase sums and the final ranking involve no
+    * accumulation-order-dependent float anywhere.
+    *
+    * Scale: phrase runs come from the date-minus-rank constancy trick on
+    * token positions (one doc_id window); word stats and phrase sums are
+    * hash aggs / joins all keyed by doc_id — the whole operator
+    * co-partitions on one key, no corpus-global state. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = profiles.flatMap(_._2)
+    val runW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = tokenized(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tk")))
+      .filter(col("tk") =!= "" && !col("tk").isin(stop: _*))
+      .withColumn("run_id", col("pos") - row_number().over(runW))
+    val withLen = runs.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("run_id"))))
+    val phrases = runs.groupBy(col("doc_id"), col("run_id"))
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(struct(pos, tk))), x -> x.tk)"),
+        " ").as("phrase"))
+    val wordScores = withLen.groupBy(col("doc_id"), col("tk"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("tk"),
+        expr("(deg * 1000000) div freq").as("score_q6"))
+    val phraseScores = runs.join(wordScores, Seq("doc_id", "tk"))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(sum(col("score_q6")).as("phrase_score_q6"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q6").desc, col("phrase"))
+    phrases.join(phraseScores, Seq("doc_id", "run_id"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("phrase_score_q6")).as("score_q6"),
+        count(lit(1)).as("n_occ"))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("phrase"), col("score_q6"),
+        col("n_occ"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val piiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val piiUrl = "https?://[^\\s]+"
+  private val piiNum = "[0-9]{3,}"
+
+  /** PII scrubbing report — the redaction pass every training-data
+    * pipeline runs before release: per doc, counts of email-, URL- and
+    * long-number-shaped spans, plus the md5 of the text with all three
+    * replaced by a `<PII>` token (applied email → URL → number, so the
+    * fingerprint is well-defined) and the character delta. Patterns stay
+    * in the Java∩RE2 common dialect so both engines match identical
+    * spans. Pure per-row expression work in one scan — codegen'd, no
+    * shuffle at all. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), piiEmail, "<PII>"),
+        piiUrl, "<PII>"),
+      piiNum, "<PII>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(piiEmail), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(piiUrl), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(piiNum), lit(0)))
+          .cast("long").as("n_longnums"),
+        md5(redacted).as("redacted_hash"),
+        (length(col("text")) - length(redacted)).cast("long").as("delta_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pii_scrub" -> (piiScrub _),
+    "ta_rake_keywords" -> (rakeKeywords _),
     "ta_collocations" -> (collocations _),
     "ta_inverted_index" -> (invertedIndex _),
     "ta_diversity" -> (diversity _),
@@ -419,7 +500,45 @@ object TextAnalysis {
        |FROM scored)""".stripMargin
   }
 
+  private val piiChainSql: String =
+    s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
+
   val oracle: Map[String, String] = Map(
+    "ta_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$piiUrl')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$piiNum')) AS BIGINT) AS n_longnums,
+         |  md5($piiChainSql) AS redacted_hash,
+         |  CAST(length(text) - length($piiChainSql) AS BIGINT) AS delta_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_rake_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |pos AS (SELECT doc_id, t[i+1] AS tk, CAST(i AS INTEGER) AS pos
+         |        FROM toks, UNNEST(range(len(t))) AS u(i)
+         |        WHERE t[i+1] <> ''
+         |          AND t[i+1] NOT IN ${inList(profiles.flatMap(_._2))}),
+         |runs AS (SELECT doc_id, tk, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |         FROM pos),
+         |rl AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, run_id) AS plen FROM runs),
+         |phr AS (SELECT doc_id, run_id, string_agg(tk, ' ' ORDER BY pos) AS phrase
+         |        FROM runs GROUP BY 1, 2),
+         |wst AS (SELECT doc_id, tk,
+         |        (CAST(SUM(plen) AS BIGINT) * 1000000) // COUNT(*) AS score_q6
+         |        FROM rl GROUP BY 1, 2),
+         |ps AS (SELECT r.doc_id, r.run_id, CAST(SUM(w.score_q6) AS BIGINT) AS phrase_score_q6
+         |       FROM runs r JOIN wst w ON r.doc_id = w.doc_id AND r.tk = w.tk
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT p.doc_id, p.phrase, MAX(s.phrase_score_q6) AS score_q6,
+         |         COUNT(*) AS n_occ
+         |       FROM phr p JOIN ps s ON p.doc_id = s.doc_id AND p.run_id = s.run_id
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, phrase, score_q6, CAST(n_occ AS BIGINT) AS n_occ,
+         |       ROW_NUMBER() OVER (PARTITION BY doc_id
+         |         ORDER BY score_q6 DESC, phrase) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score_q6, n_occ
+         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "ta_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
          |w AS (SELECT u.tk AS w FROM toks, UNNEST(t) AS u(tk) WHERE u.tk <> ''),

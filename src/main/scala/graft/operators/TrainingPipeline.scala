@@ -227,7 +227,62 @@ object TrainingPipeline {
       .orderBy("lang", "source", "rn")
   }
 
+  /** Equal-frequency (decile) binning of documents by length — the
+    * quantile discretizer every feature pipeline ships, made EXACT and
+    * cluster-safe. A global NTILE would need one unpartitioned window
+    * (banned in this engine); instead the global rank decomposes into
+    * per-value offset + within-value rank: the per-n_chars histogram is
+    * collected as driver metadata (value-domain-bounded, same license as
+    * the exact-median histogram), the within-value tiebreak rank is a
+    * window PARTITIONED by n_chars, and the offsets broadcast-join back.
+    * bin = (rank-1)·10 div n, identical to the oracle's ROW_NUMBER form. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .orderBy("n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    var acc = 0L
+    val offs = hist.toSeq.map { case (v, c) => val o = acc; acc += c; (v, o) }
+    val offDf = spark.createDataFrame(offs).toDF("n_chars", "off")
+    val rnW = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(rnW))
+      .join(broadcast(offDf), Seq("n_chars"))
+      .withColumn("bin", expr(s"((off + rn - 1) * 10) div ${n}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("bin")
+  }
+
+  /** Per-source dataset card — the corpus-composition rollup (docs,
+    * tokens, chars, language spread, within-source duplicate mass, mean
+    * doc length) that heads every training-data release. Counts are exact
+    * integer sums; the single mean is one final double division. Two
+    * partial-aggregated passes: the (source, content-hash) dedup agg and
+    * the per-source stats agg, joined on the low-cardinality source key. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), "\\s+"))
+    val dups = docs.groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt") - 1).as("n_dup_docs"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("size(filter(toks, t -> t <> ''))").cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dups, Seq("source"))
+      .withColumn("mean_doc_tokens",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quantile_bins" -> (quantileBins _),
+    "pipeline_corpus_stats" -> (corpusStats _),
     "pipeline_group_sample" -> (groupSample _),
     "pipeline_mix_quota" -> (mixQuota _),
     "pipeline_training_split" -> (trainingSplitReport _),
@@ -243,6 +298,31 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_quantile_bins" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT ((rn - 1) * 10) // n AS bin, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_corpus_stats" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_toks
+        |  FROM documents),
+        |dd AS (SELECT source, CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs
+        |  FROM (SELECT source, md5(text) AS h, COUNT(*) AS cnt
+        |        FROM documents GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM d GROUP BY 1)
+        |SELECT s.source, n_docs, n_tokens, n_chars, n_langs, n_dup_docs,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+        |FROM s JOIN dd ON s.source = dd.source
+        |ORDER BY 1""".stripMargin,
     "pipeline_group_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, source, n_chars,

@@ -207,7 +207,33 @@ object Windows {
       .orderBy(col("user_id") +: order: _*)
   }
 
+  /** Running DISTINCT-count per user — how many distinct event types the
+    * user has touched as of each event. COUNT(DISTINCT) OVER a running
+    * frame is unsupported (and would hold per-row sets); the scalable
+    * identity is: flag each row that is the FIRST occurrence of its
+    * (user, type) — row_number = 1 over the per-(user, type) window — and
+    * running-SUM the flags over the per-user window. Two window passes,
+    * each over a properly keyed partition; the (user, type) pass shuffles
+    * the finer key, the user pass the coarser — no global window, no
+    * per-row distinct state. */
+  def cumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(order: _*)
+    val cumW = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("is_first")).over(cumW))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("n_distinct_types"))
+      .orderBy(col("user_id") +: order: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cumulative_distinct" -> (cumulativeDistinct _),
     "win_ewma" -> (ewmaValueByUser _),
     "win_rolling_median" -> (rollingMedianOrders _),
     "win_share_of_total" -> (shareOfTotal _),
@@ -236,6 +262,17 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "win_cumulative_distinct" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 0 END AS is_first
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
     "win_share_of_total" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2)))
