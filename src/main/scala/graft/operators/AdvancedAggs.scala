@@ -590,7 +590,61 @@ object AdvancedAggs {
       .orderBy("l_returnflag")
   }
 
+  /** Benford first-digit audit of lineitem prices — the classic
+    * fraud/data-quality screen. The leading digit comes from the DECIMAL
+    * cents rendered as a string (never from log10, whose boundary cases
+    * are engine-dependent); shares are one division per digit over the
+    * broadcast total. One partial-aggregated scan into ≤9 groups. */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, dir)
+      .select(substring((dec(col("l_extendedprice")) * 100).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("digit")
+  }
+
+  /** End-to-end CMS usage: probe the [[cmsUsers]] sketch for the exact
+    * top-10 users and report estimated vs true counts — the
+    * "frequency of a heavy hitter from 4 KB of state" workflow, with the
+    * overestimate (always ≥ 0 for a CMS) exact-checked per user. The
+    * candidate set comes from a TakeOrdered top-k (never a global sort);
+    * the 1024-cell sketch joins in as a broadcast; est = MIN over the 4
+    * probed cells. */
+  def cmsTopkProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val cells = Tables.events(spark, dir)
+      .select(explode(expr(
+        """transform(sequence(0, 3), r -> named_struct(
+          |  'r', r,
+          |  'c', portable_hash60(concat('cms', r, ':', cast(user_id as string))) % 256))"""
+          .stripMargin)).as("x"))
+      .select(col("x.r").as("r"), col("x.c").as("c"))
+      .groupBy("r", "c")
+      .agg(count(lit(1)).as("cell_count"))
+    val top = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    top
+      .select(col("user_id"), col("exact_n"), explode(expr(
+        """transform(sequence(0, 3), r -> named_struct(
+          |  'r', r,
+          |  'c', portable_hash60(concat('cms', r, ':', cast(user_id as string))) % 256))"""
+          .stripMargin)).as("x"))
+      .join(broadcast(cells),
+        col("x.r") === col("r") && col("x.c") === col("c"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("cell_count")).as("cms_est"))
+      .select(col("user_id"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms_topk" -> (cmsTopkProbe _),
+    "agg_benford" -> (benfordPrices _),
     "sketch_hll_registers" -> (hllRegisters _),
     "sketch_hll_estimate" -> (hllEstimate _),
     "agg_mann_kendall" -> (mannKendall _),
@@ -629,6 +683,29 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sketch_cms_topk" ->
+      s"""WITH rows_ AS (
+         |  SELECT g.r AS r,
+         |    ${h60Sql("'cms' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS c
+         |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) g),
+         |cells AS (SELECT r, c, COUNT(*) AS cell_count FROM rows_ GROUP BY 1, 2),
+         |ex AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+         |       ORDER BY exact_n DESC, user_id LIMIT 10),
+         |probe AS (SELECT e.user_id, e.exact_n, g.r AS r,
+         |    ${h60Sql("'cms' || CAST(g.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")} % 256 AS c
+         |  FROM ex e CROSS JOIN (SELECT unnest(range(4)) AS r) g),
+         |est AS (SELECT p.user_id, p.exact_n, MIN(cells.cell_count) AS cms_est
+         |  FROM probe p JOIN cells ON p.r = cells.r AND p.c = cells.c
+         |  GROUP BY 1, 2)
+         |SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overestimate
+         |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
+    "agg_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t ORDER BY digit""".stripMargin,
     "sketch_hll_registers" ->
       s"""WITH $hllRegSql
          |SELECT register, max_rank FROM regs ORDER BY register""".stripMargin,

@@ -316,7 +316,123 @@ object Behavioral {
       .orderBy("event_type", "decile")
   }
 
+  /** Bot/abuse screening per user: the burst metric is the max event count
+    * in any trailing 60 s window — a RANGE frame over epoch seconds (ties
+    * share a frame, so no tiebreak column is needed there) — plus the
+    * minimum inter-event gap from one lag pass; `is_bot` flags ≥5 events
+    * in some minute. All integers; windows partition by user_id and feed
+    * a per-user hash agg on the same key, so the whole operator is one
+    * shuffle of the stream. */
+  def botDetection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val es = col("ts").cast("long")
+    val burstW = Window.partitionBy(col("user_id")).orderBy(es)
+      .rangeBetween(-59, Window.currentRow)
+    val lagW = Window.partitionBy(col("user_id")).orderBy(es, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("burst", count(lit(1)).over(burstW))
+      .withColumn("gap", es - lag(es, 1).over(lagW))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("burst")).as("max_burst_60s"),
+        min(col("gap")).as("min_gap_s"))
+      .withColumn("is_bot", col("max_burst_60s") >= 5)
+      .orderBy("user_id")
+  }
+
+  /** Gini coefficient of per-user value mass per event type — the
+    * inequality summary behind the [[paretoValue]] curve, from the
+    * closed form G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * exact cents (deterministic user_id tiebreak). Numerator and
+    * denominator are exact BIGINTs; ONE division per event type. The
+    * rank window runs over the per-user aggregate, partitioned by type. */
+  def giniValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val users = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((col("value").cast(DecimalType(15, 2)) * 100).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("user_id"))
+    users
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("event_type"), col("n_users"), col("total_cents"),
+        ((lit(2L) * col("six") - (col("n_users") + 1) * col("total_cents"))
+          .cast("double")
+          / (col("n_users") * col("total_cents")).cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** Weekly activity heatmap: ISO day-of-week × hour-of-day event counts,
+    * distinct users, and cell share of total — the seasonality matrix
+    * behind the [[seasonalAnomaly]] baseline. Spark's `dayofweek` is
+    * Sunday=1, so ISO Monday=1 is `((dow+5) % 7) + 1` (DuckDB has native
+    * `isodow`). One partial-aggregated scan into ≤168 cells; total joins
+    * back as a broadcast. */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n_events")).as("total"))))
+      .select(col("iso_dow"), col("hod"), col("n_events"), col("n_users"),
+        (col("n_events").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("iso_dow", "hod")
+  }
+
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned user decomposition every growth dashboard leads with.
+    * Source of truth is the DISTINCT (user, week) activity grid (one pass
+    * over raw events); per-user lag classifies each active week (first
+    * ever = new, previous week = retained, gap = resurrected) and lead
+    * marks where activity stops (churned into the FOLLOWING week). All
+    * windows partition by user_id; the weekly rollup is a hash agg on the
+    * week key and churn joins back on the same key. Identity (spec'd):
+    * n_active = n_new + n_retained + n_resurrected, and
+    * n_churned(w) = n_active(w−7d) − n_retained(w). Weeks ship as ISO
+    * dates. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("long").as("wk")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val marked = uw
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("next_wk", lead(col("wk"), 1).over(w))
+    val weekly = marked.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_wk").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("wk") - col("prev_wk") === 604800L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_wk").isNotNull &&
+          col("wk") - col("prev_wk") > 604800L, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = marked
+      .filter(col("next_wk").isNull || col("next_wk") - col("wk") > 604800L)
+      .select((col("wk") + 604800L).as("wk"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    weekly.join(churn, Seq("wk"), "left")
+      .select(
+        date_format(col("wk").cast("timestamp"), "yyyy-MM-dd").as("week"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_growth_accounting" -> (growthAccounting _),
+    "evt_heatmap" -> (activityHeatmap _),
+    "evt_bot_detection" -> (botDetection _),
+    "evt_gini" -> (giniValue _),
     "evt_seasonal_anomaly" -> (seasonalAnomaly _),
     "evt_pareto" -> (paretoValue _),
     "evt_sample_users" -> (sampleUsers _),
@@ -330,6 +446,65 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk FROM events),
+        |m AS (SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM uw),
+        |weekly AS (SELECT wk, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN wk - prev_wk = 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND wk - prev_wk > 604800
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM m GROUP BY 1),
+        |churn AS (SELECT wk + 604800 AS wk, COUNT(*) AS n_churned
+        |  FROM m WHERE next_wk IS NULL OR next_wk - wk > 604800 GROUP BY 1)
+        |SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(weekly.wk),
+        |         '%Y-%m-%d') AS week,
+        |  n_active, n_new, n_retained, n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM weekly LEFT JOIN churn ON weekly.wk = churn.wk
+        |ORDER BY week""".stripMargin,
+    "evt_heatmap" ->
+      """WITH c AS (SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+        |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+        |SELECT iso_dow, hod, n_events, n_users,
+        |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t ORDER BY iso_dow, hod""".stripMargin,
+    "evt_bot_detection" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |b AS (SELECT user_id, es,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+        |      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS burst,
+        |    es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(MAX(burst) AS BIGINT) AS max_burst_60s,
+        |  CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+        |  CAST(MAX(burst) AS BIGINT) >= 5 AS is_bot
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "evt_gini" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents, user_id) AS i
+        |  FROM u),
+        |s AS (SELECT event_type, COUNT(*) AS n_users,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |    CAST(SUM(i * cents) AS BIGINT) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, total_cents,
+        |  CAST(2 * six - (n_users + 1) * total_cents AS DOUBLE)
+        |    / CAST(n_users * total_cents AS DOUBLE) AS gini
+        |FROM s ORDER BY event_type""".stripMargin,
     "evt_seasonal_anomaly" ->
       """WITH cells AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod, COUNT(*) AS c

@@ -39,11 +39,57 @@ object Diagnostics {
       .unionAll(profile(Tables.events(spark, dir), "events", "user_id"))
       .orderBy("table_name")
 
+  private def colProfile(df: DataFrame, table: String, column: String): DataFrame =
+    df.select(col(column).as("v"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"))
+      .select(lit(table).as("table_name"), lit(column).as("column_name"),
+        col("n_rows"), (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"))
+
+  /** Column-level data profiling — row counts, null counts, and exact
+    * distinct cardinalities for the columns that drive planning decisions
+    * (join keys, group keys, filter columns). This is the statistics pass
+    * an optimizer's ANALYZE runs; each profile is one partial-aggregated
+    * scan and the per-table reports union into a small artifact. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    colProfile(Tables.orders(spark, dir), "orders", "o_custkey")
+      .unionAll(colProfile(Tables.orders(spark, dir), "orders", "o_orderpriority"))
+      .unionAll(colProfile(Tables.events(spark, dir), "events", "user_id"))
+      .unionAll(colProfile(Tables.events(spark, dir), "events", "event_type"))
+      .unionAll(colProfile(Tables.documents(spark, dir), "documents", "lang"))
+      .unionAll(colProfile(Tables.documents(spark, dir), "documents", "source"))
+      .orderBy("table_name", "column_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "diag_key_skew" -> (keySkew _)
+    "diag_key_skew" -> (keySkew _),
+    "diag_column_profile" -> (columnProfile _)
   )
 
   val oracle: Map[String, String] = Map(
+    "diag_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+        |    COUNT(*) AS n_rows, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |    COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderpriority', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+        |    COUNT(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+        |    COUNT(DISTINCT event_type) FROM events
+        |  UNION ALL
+        |  SELECT 'documents', 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |    COUNT(DISTINCT lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |    COUNT(DISTINCT source) FROM documents)
+        |ORDER BY table_name, column_name""".stripMargin,
     "diag_key_skew" ->
       """WITH p AS (
         |  SELECT 'orders' AS table_name, 'o_custkey' AS key_name,

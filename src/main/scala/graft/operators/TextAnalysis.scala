@@ -463,7 +463,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Flesch reading-ease per document, from engine-exact counts: words =
+    * non-empty tokens, sentences = `[.!?]+` runs (floored at 1), syllable
+    * proxy = vowel-group runs (the standard cheap estimator — real
+    * hyphenation needs a dictionary). The score 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W) is a fixed IEEE expression tree over two exact-integer
+    * divisions, spelled identically in the oracle, so even the doubles
+    * hash-match. Pure per-row scan work, no shuffle. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"),
+        expr("size(filter(toks, t -> t <> ''))").cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L)).as("n_sentences"),
+        greatest(size(regexp_extract_all(col("text"), lit("[aeiouAEIOU]+"), lit(0)))
+          .cast("long"), lit(1L)).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_readability" -> (readability _),
     "ta_pii_scrub" -> (piiScrub _),
     "ta_rake_keywords" -> (rakeKeywords _),
     "ta_collocations" -> (collocations _),
@@ -504,6 +529,17 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(list_filter($dToks, t -> t <> '')) AS BIGINT) AS n_words,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+         |    greatest(CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT), 1) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  2.06835e2
+         |    - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    - 8.46e1 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "ta_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_emails,

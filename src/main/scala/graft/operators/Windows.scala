@@ -232,7 +232,51 @@ object Windows {
       .orderBy(col("user_id") +: order: _*)
   }
 
+  /** Running drawdown per user: cumulative value (integer cents), its
+    * running peak, and peak-minus-current — the risk metric every
+    * portfolio/engagement dashboard draws. Two stacked running windows
+    * over the SAME (user_id; ts, event_id) partitioning, so Spark plans
+    * one exchange and one sort and evaluates both frames in a single
+    * window stage; all three outputs are exact BIGINTs. */
+  def drawdownByUser(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .withColumn("peak_cents", max(col("cum_cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("cum_cents"),
+        col("peak_cents"),
+        (col("peak_cents") - col("cum_cents")).as("drawdown_cents"))
+      .orderBy(col("user_id") +: order: _*)
+  }
+
+  /** Month-over-month revenue change per return flag: exact cents, lag
+    * over the (flag; month) partition of the AGGREGATED monthly series,
+    * percent change as one final division (NULL on each flag's first
+    * month, identically in both engines). The reporting query behind
+    * every "vs last period" tile. */
+  def momChange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("mon"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev_cents"))
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("l_returnflag"),
+        date_format(col("mon"), "yyyy-MM-dd").as("month"),
+        col("rev_cents"), col("prev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("delta_cents"),
+        ((col("rev_cents") - col("prev_cents")).cast("double")
+          / col("prev_cents").cast("double") * lit(100.0)).as("pct_change"))
+      .orderBy("l_returnflag", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_mom_change" -> (momChange _),
+    "win_drawdown" -> (drawdownByUser _),
     "win_cumulative_distinct" -> (cumulativeDistinct _),
     "win_ewma" -> (ewmaValueByUser _),
     "win_rolling_median" -> (rollingMedianOrders _),
@@ -262,6 +306,34 @@ object Windows {
   }
 
   val oracle: Map[String, String] = Map(
+    "win_mom_change" ->
+      """WITH s AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |l AS (SELECT l_returnflag, mon, rev_cents,
+        |    lag(rev_cents) OVER (PARTITION BY l_returnflag ORDER BY mon) AS prev_cents
+        |  FROM s)
+        |SELECT l_returnflag, strftime(mon, '%Y-%m-%d') AS month,
+        |  rev_cents, prev_cents,
+        |  rev_cents - prev_cents AS delta_cents,
+        |  CAST(rev_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+        |    * 1.0e2 AS pct_change
+        |FROM l ORDER BY l_returnflag, month""".stripMargin,
+    "win_drawdown" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM events),
+        |p AS (SELECT *,
+        |    CAST(MAX(cum_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS peak_cents
+        |  FROM c)
+        |SELECT user_id, event_id, cum_cents, peak_cents,
+        |  peak_cents - cum_cents AS drawdown_cents
+        |FROM p ORDER BY user_id, ts, event_id""".stripMargin,
     "win_cumulative_distinct" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type

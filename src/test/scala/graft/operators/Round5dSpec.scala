@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Invariants and differential checks for the round-5d batch: exact HLL,
+  * Mann-Kendall, attribution, drawdown, Gini, Benford, bot screening,
+  * RAKE, readability, CMS probe, heatmap, and column profiling. */
+class Round5dSpec extends SparkSpec {
+
+  test("exact HLL: harmonic numerator consistent with the register table, " +
+    "registers in range, and the small-range linear-counting estimate " +
+    "(which applies at sf0.001's tiny cardinality) lands within 30%") {
+    val regs = AdvancedAggs.hllRegisters(spark, sfDir).collect()
+    assert(regs.length == 64)
+    assert(regs.forall { r =>
+      val m = r.getAs[Int]("max_rank"); m >= 0 && m <= 55
+    })
+    val est = AdvancedAggs.hllEstimate(spark, sfDir).head()
+    val fromRegs = regs.map(r => 1L << (55 - r.getAs[Int]("max_rank"))).sum
+    assert(est.getAs[Long]("harmonic_num") == fromRegs)
+    val exact = est.getAs[Long]("exact_distinct").toDouble
+    assert(est.getAs[Double]("estimate_raw") > 0.0)
+    // sf0.001 has ~15 users — deep in HLL's small-range regime, where the
+    // published algorithm switches to linear counting over the zero
+    // registers; check THAT estimator against truth (the raw estimate is
+    // only accurate above ~2.5·m and is oracle-gated for equality anyway)
+    val nZero = est.getAs[Long]("n_zero").toDouble
+    assert(nZero > 0)
+    val linear = 64.0 * math.log(64.0 / nZero)
+    assert(math.abs(linear - exact) / exact < 0.30,
+      s"linear-counting $linear vs exact $exact drifts > 30%")
+  }
+
+  test("Mann-Kendall S is bounded by the pair count and matches a direct " +
+    "recompute on one flag") {
+    val mk = AdvancedAggs.mannKendall(spark, sfDir).collect()
+    mk.foreach { r =>
+      val n = r.getAs[Long]("n_months")
+      val s = r.getAs[Long]("s_stat")
+      assert(math.abs(s) <= n * (n - 1) / 2)
+      assert(r.getAs[Long]("var_s_x18") >= 0)
+    }
+    // direct recompute for the lexicographically first flag
+    val series = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((col("l_extendedprice").cast("decimal(15,2)") * 100)
+        .cast("long")).as("rev"))
+      .filter(col("l_returnflag") === mk.head.getString(0))
+      .orderBy("mon").collect().map(_.getAs[Long]("rev"))
+    val sDirect = (for {
+      i <- series.indices; j <- (i + 1) until series.length
+    } yield java.lang.Long.signum(series(j) - series(i)).toLong).sum
+    assert(sDirect == mk.head.getAs[Long]("s_stat"))
+  }
+
+  test("attribution: purchase buckets sum to the purchase count, and every " +
+    "attributed campaign is a real click campaign") {
+    val a = Events.attribution(spark, sfDir).collect()
+    val nPurch = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.map(_.getAs[Long]("n_purchases")).sum == nPurch)
+    val ks = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    a.filter(!_.isNullAt(0)).foreach(r => assert(ks.contains(r.getInt(0))))
+  }
+
+  test("drawdown: non-negative, zero exactly when at a fresh peak, and the " +
+    "peak is the running max of cum") {
+    val rows = Windows.drawdownByUser(spark, sfDir).collect()
+    rows.foreach { r =>
+      val dd = r.getAs[Long]("drawdown_cents")
+      assert(dd >= 0)
+      assert((dd == 0) == (r.getAs[Long]("cum_cents") == r.getAs[Long]("peak_cents")))
+    }
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rs =>
+      var peak = Long.MinValue
+      rs.foreach { r => // collect() preserves the query's ORDER BY
+        peak = math.max(peak, r.getAs[Long]("cum_cents"))
+        assert(r.getAs[Long]("peak_cents") == peak)
+      }
+    }
+  }
+
+  test("Gini matches a direct closed-form recompute and sits in [0, 1)") {
+    val g = Behavioral.giniValue(spark, sfDir).collect()
+    g.foreach { r =>
+      val gini = r.getAs[Double]("gini")
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+    val byType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum((col("value").cast("decimal(15,2)") * 100).cast("long")).as("c"))
+      .collect().groupBy(_.getString(0))
+    g.foreach { r =>
+      val xs = byType(r.getString(0))
+        .map(x => (x.getAs[Long]("c"), x.getAs[Long]("user_id")))
+        .sortBy(identity).map(_._1)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val direct = (2L * six - (n + 1) * sx).toDouble / (n * sx).toDouble
+      assert(direct == r.getAs[Double]("gini"))
+    }
+  }
+
+  test("Benford: digits are 1-9, shares sum to 1 within 1e-9, counts " +
+    "cover every lineitem") {
+    val b = AdvancedAggs.benfordPrices(spark, sfDir).collect()
+    assert(b.forall(r => "123456789".contains(r.getAs[String]("digit"))))
+    assert(b.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+    assert(math.abs(b.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
+  test("bot screening: bursts are between 1 and n_events, and is_bot " +
+    "matches the threshold rule") {
+    Behavioral.botDetection(spark, sfDir).collect().foreach { r =>
+      val burst = r.getAs[Long]("max_burst_60s")
+      assert(burst >= 1 && burst <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Boolean]("is_bot") == (burst >= 5))
+    }
+  }
+
+  test("RAKE: at most 3 keywords per doc with rank exactly 1..k, every " +
+    "phrase is stopword-free and non-empty") {
+    val stop = Set("der", "die", "das", "und", "ist", "the", "a", "of",
+      "and", "to", "el", "la", "de", "los", "que", "le", "les", "et",
+      "des", "un", "的", "是", "了", "在", "我")
+    val rows = TextAnalysis.rakeKeywords(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val rnks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.length <= 3 && rnks.sameElements(1L to rnks.length))
+    }
+    rows.foreach { r =>
+      val ws = r.getAs[String]("phrase").split(" ")
+      assert(ws.nonEmpty && ws.forall(w => w.nonEmpty && !stop(w)))
+      assert(r.getAs[Long]("score_q6") >= 1000000L,
+        "every word scores deg/freq >= 1")
+    }
+  }
+
+  test("readability: flesch recomputes from the row's own counts with the " +
+    "same IEEE expression") {
+    TextAnalysis.readability(spark, sfDir).collect().foreach { r =>
+      val w = r.getAs[Long]("n_words").toDouble
+      val s = r.getAs[Long]("n_sentences").toDouble
+      val sy = r.getAs[Long]("n_syllables").toDouble
+      assert(r.getAs[Double]("flesch") == 206.835 - 1.015 * (w / s) - 84.6 * (sy / w))
+    }
+  }
+
+  test("CMS probe: estimates never undercount, and the top-10 candidates " +
+    "are the true top-10 by exact count") {
+    val p = AdvancedAggs.cmsTopkProbe(spark, sfDir).collect()
+    assert(p.length == 10)
+    p.foreach(r => assert(r.getAs[Long]("overestimate") >= 0))
+    val trueTop = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(p.map(_.getAs[Long]("user_id")).toSet == trueTop)
+  }
+
+  test("heatmap: cells cover all events exactly once and shares sum to 1") {
+    val h = Behavioral.activityHeatmap(spark, sfDir).collect()
+    assert(h.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    assert(h.forall { r =>
+      val d = r.getAs[Int]("iso_dow"); d >= 1 && d <= 7
+    })
+    assert(math.abs(h.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
+  test("growth accounting: active = new + retained + resurrected, and " +
+    "churned(w) = active(w-1wk) - retained(w) on interior weeks") {
+    val g = Behavioral.growthAccounting(spark, sfDir).collect()
+    g.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new") +
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+    }
+    val byWeek = g.map(r => r.getAs[String]("week") -> r).toMap
+    val fmt = java.time.LocalDate.parse(_: String)
+    g.foreach { r =>
+      val prev = fmt(r.getAs[String]("week")).minusDays(7).toString
+      byWeek.get(prev).foreach { p =>
+        assert(r.getAs[Long]("n_churned") ==
+          p.getAs[Long]("n_active") - r.getAs[Long]("n_retained"))
+      }
+    }
+  }
+
+  test("month-over-month change: delta telescopes (prev matches the " +
+    "previous row's rev) and pct is null exactly on first months") {
+    val rows = Windows.momChange(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      rs.sliding(2).foreach {
+        case Array(a, b) => // collect() preserves the query's ORDER BY
+          assert(b.getAs[Long]("prev_cents") == a.getAs[Long]("rev_cents"))
+        case _ =>
+      }
+      assert(rs.head.isNullAt(rs.head.fieldIndex("pct_change")))
+      assert(rs.tail.forall(!_.isNullAt(rs.head.fieldIndex("pct_change"))))
+    }
+  }
+
+  test("column profile: n_distinct <= n_rows - n_nulls, and known " +
+    "cardinalities hold") {
+    val p = Diagnostics.columnProfile(spark, sfDir).collect()
+    assert(p.length == 6)
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <=
+        r.getAs[Long]("n_rows") - r.getAs[Long]("n_nulls"))
+    }
+    val langs = p.find(r => r.getAs[String]("column_name") == "lang").get
+    assert(langs.getAs[Long]("n_distinct") == 5)
+  }
+}
