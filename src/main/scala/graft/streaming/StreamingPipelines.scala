@@ -136,6 +136,52 @@ object StreamingPipelines {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class AttrEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String, value: Double, k: Option[Int])
+  case class AttributedPurchase(user_id: Long, purchase_id: Long,
+      ts: Timestamp, value: Double, campaign: Option[Int])
+  /** Last qualifying click per user (epoch millis + campaign). */
+  case class ClickState(ts: Long, event_id: Long, k: Option[Int])
+
+  /** Streaming last-touch attribution — the incremental form of
+    * [[graft.operators.Events.attribution]]: per-user state is ONE
+    * ClickState (the most recent click), purchases read it and emit the
+    * attributed campaign (None when no click within the horizon), exactly
+    * the batch query's last-ignoreNulls-within-24h rule. Events inside a
+    * batch process in (ts, event_id) order, so a time-ordered replay of a
+    * batch table produces identical attributions (spec'd). State is O(1)
+    * per user; production adds an event-time timeout to expire stale
+    * clicks past the horizon (the [[sessionize]] pattern). */
+  def attribute(events: Dataset[AttrEvent],
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[AttributedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(uid: Long, it: Iterator[AttrEvent],
+        state: GroupState[ClickState]): Iterator[AttributedPurchase] = {
+      var last = state.getOption
+      val out = scala.collection.mutable.ListBuffer.empty[AttributedPurchase]
+      for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+        e.event_type match {
+          case "click" =>
+            last = Some(ClickState(e.ts.getTime, e.event_id, e.k))
+          case "purchase" =>
+            val camp = last
+              .filter(c => e.ts.getTime - c.ts <= horizonMs)
+              .flatMap(_.k)
+            out += AttributedPurchase(uid, e.event_id, e.ts, e.value, camp)
+          case _ =>
+        }
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String, ts: Timestamp)
 

@@ -151,6 +151,68 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution honors the 24h horizon and click replacement") {
+    import StreamingPipelines.{AttrEvent, AttributedPurchase}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AttrEvent]
+    val q = StreamingPipelines.attribute(in.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append).start()
+    try {
+      val h = 60L * 60 * 1000 // work in hours via raw millis timestamps
+      def at(hours: Long) = new Timestamp(hours * h)
+      in.addData(
+        AttrEvent(1, 1, at(0), "click", 0.0, Some(7)),
+        AttrEvent(1, 2, at(1), "purchase", 10.0, None), // ← click k=7
+        AttrEvent(1, 3, at(2), "click", 0.0, Some(9)))
+      q.processAllAvailable()
+      in.addData( // state carries the k=9 click into the next batch
+        AttrEvent(1, 4, at(3), "purchase", 20.0, None), // ← click k=9
+        AttrEvent(1, 5, at(40), "purchase", 30.0, None)) // 38h later → None
+      q.processAllAvailable()
+      val rows = spark.table("attr").as[AttributedPurchase].collect()
+        .sortBy(_.purchase_id)
+      assert(rows.map(_.campaign).toSeq == Seq(Some(7), Some(9), None))
+    } finally q.stop()
+  }
+
+  test("stream-batch parity: streaming attribution aggregates to the batch " +
+    "attribution report on real events") {
+    import StreamingPipelines.{AttrEvent, AttributedPurchase}
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .collect()
+      .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val batch = graft.operators.Events.attribution(spark, sfDir).collect()
+      .map { r =>
+        val camp = if (r.isNullAt(0)) None else Some(r.getInt(0))
+        camp -> ((r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_value")))
+      }.toMap
+
+    val in = MemoryStream[AttrEvent]
+    val q = StreamingPipelines.attribute(in.toDS())
+      .writeStream.format("memory").queryName("attr_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("attr_parity").as[AttributedPurchase].collect()
+        .groupBy(_.campaign)
+        .map { case (camp, ps) =>
+          val value = ps.map(p => BigDecimal(p.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble
+          camp -> ((ps.length.toLong, value))
+        }
+      assert(streamed == batch,
+        s"stream/batch divergence: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("sessionize emits a session when the gap is exceeded in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
