@@ -642,7 +642,34 @@ object AdvancedAggs {
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 
+  /** EXACT equi-depth decile boundaries of price per return flag — the
+    * full-detail counterpart of [[sketchQuantiles]]' t-digest estimates:
+    * boundary d (d = 1..9) is the smallest price whose cumulative row
+    * count reaches d·n/10, read off the per-(flag, price) AGGREGATED
+    * cumulative histogram (the [[weightedMedian]] machinery generalized
+    * to all nine cuts at once via one `sequence(1,9)` explode). Windows
+    * partition by flag; the explode runs over distinct prices, not rows. */
+  def equidepthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("l_returnflag"))
+    byVal
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(totW))
+      .select(col("l_returnflag"), col("v"), col("cum"), col("n"),
+        explode(expr("sequence(1, 9)")).as("d"))
+      .filter(col("cum") * 10 >= col("d") * col("n"))
+      .groupBy(col("l_returnflag"), col("d"))
+      .agg(min(col("v")).as("boundary"), max(col("n")).as("n_rows"))
+      .orderBy("l_returnflag", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_equidepth_deciles" -> (equidepthDeciles _),
     "sketch_cms_topk" -> (cmsTopkProbe _),
     "agg_benford" -> (benfordPrices _),
     "sketch_hll_registers" -> (hllRegisters _),
@@ -683,6 +710,20 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_equidepth_deciles" ->
+      """WITH bv AS (SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, v,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM bv),
+        |x AS (SELECT l_returnflag, v, cum, n, g.d
+        |  FROM cw CROSS JOIN (SELECT unnest(range(1, 10)) AS d) g
+        |  WHERE cum * 10 >= d * n)
+        |SELECT l_returnflag, CAST(d AS INTEGER) AS d, MIN(v) AS boundary,
+        |  MAX(n) AS n_rows
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sketch_cms_topk" ->
       s"""WITH rows_ AS (
          |  SELECT g.r AS r,

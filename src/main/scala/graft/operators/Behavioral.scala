@@ -428,7 +428,56 @@ object Behavioral {
       .orderBy("week")
   }
 
+  /** Kaplan-Meier survival curve for signup → first purchase, by signup
+    * cohort week over day offsets 0..13 — actual survival analysis with
+    * right-censoring at the observation horizon (the stream's max event
+    * time), not a naive conversion rate. n_risk and n_conv are exact
+    * integers from a 14× expansion of the per-user summary (days are
+    * bounded; the expansion never touches raw events); the survival
+    * product Π(1 − dᵢ/nᵢ) is an IN-ORDER fold over the day-sorted array,
+    * mirrored term-for-term by the oracle's list_reduce, so the doubles
+    * hash-match bit-for-bit (the EWMA/k-means fold discipline). */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts").cast("long")).as("s_es"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("ts").cast("long") >= col("s_es"))
+      .groupBy(col("user_id")).agg(min(col("ts").cast("long")).as("p_es"))
+    val tmax = ev.agg(max(col("ts").cast("long")).as("t_max"))
+    val users = su.join(fp, Seq("user_id"), "left")
+      .crossJoin(broadcast(tmax))
+      .select(
+        date_format(date_trunc("week", col("s_es").cast("timestamp")),
+          "yyyy-MM-dd").as("cohort_week"),
+        expr("(p_es - s_es) div 86400").as("d_u"),
+        expr("(t_max - s_es) div 86400").as("c_u"))
+    val stats = users
+      .select(col("cohort_week"), col("d_u"), col("c_u"),
+        explode(expr("sequence(0, 13)")).as("j"))
+      .groupBy(col("cohort_week"), col("j"))
+      .agg(
+        sum(when(col("c_u") >= col("j") &&
+          (col("d_u").isNull || col("d_u") >= col("j")), 1L).otherwise(0L))
+          .as("n_risk"),
+        sum(when(col("d_u") === col("j"), 1L).otherwise(0L)).as("n_conv"))
+    stats.groupBy(col("cohort_week"))
+      .agg(sort_array(collect_list(struct(col("j"), col("n_risk"),
+        col("n_conv")))).as("arr"))
+      .select(col("cohort_week"), explode(expr(
+        """transform(arr, a -> named_struct(
+          |  'j', a.j, 'n_risk', a.n_risk, 'n_conv', a.n_conv,
+          |  'survival', aggregate(slice(arr, 1, a.j + 1), 1.0d,
+          |    (acc, x) -> acc * (case when x.n_risk > 0
+          |      then 1.0d - cast(x.n_conv as double) / cast(x.n_risk as double)
+          |      else 1.0d end))))""".stripMargin)).as("s"))
+      .select(col("cohort_week"), col("s.j").as("day"), col("s.n_risk"),
+        col("s.n_conv"), col("s.survival"))
+      .orderBy("cohort_week", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_survival" -> (survivalCurve _),
     "evt_growth_accounting" -> (growthAccounting _),
     "evt_heatmap" -> (activityHeatmap _),
     "evt_bot_detection" -> (botDetection _),
@@ -446,6 +495,40 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_survival" ->
+      """WITH su AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s_es
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p_es
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.s_es
+        |  GROUP BY 1),
+        |tm AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t_max FROM events),
+        |u AS (SELECT
+        |    strftime(date_trunc('week',
+        |      TIMESTAMP '1970-01-01 00:00:00' + to_seconds(s_es)), '%Y-%m-%d') AS cohort_week,
+        |    (p_es - s_es) // 86400 AS d_u,
+        |    (t_max - s_es) // 86400 AS c_u
+        |  FROM su LEFT JOIN fp ON su.user_id = fp.user_id CROSS JOIN tm),
+        |st AS (SELECT cohort_week, g.j,
+        |    CAST(SUM(CASE WHEN c_u >= j AND (d_u IS NULL OR d_u >= j)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+        |    CAST(SUM(CASE WHEN d_u = j THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+        |  FROM u CROSS JOIN (SELECT unnest(range(14)) AS j) g
+        |  GROUP BY 1, 2),
+        |cur AS (SELECT cohort_week,
+        |    list(struct_pack(j := j, n_risk := n_risk, n_conv := n_conv)
+        |         ORDER BY j) AS arr
+        |  FROM st GROUP BY 1)
+        |SELECT cohort_week, CAST(x.j AS INTEGER) AS day, x.n_risk, x.n_conv,
+        |  list_reduce(list_prepend(1.0e0,
+        |    list_transform(arr[1:CAST(x.j AS INTEGER) + 1], t ->
+        |      CASE WHEN t.n_risk > 0
+        |           THEN 1.0e0 - CAST(t.n_conv AS DOUBLE) / CAST(t.n_risk AS DOUBLE)
+        |           ELSE 1.0e0 END)),
+        |    (a, b) -> a * b) AS survival
+        |FROM cur, UNNEST(arr) AS u2(x)
+        |ORDER BY cohort_week, day""".stripMargin,
     "evt_growth_accounting" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk FROM events),

@@ -308,7 +308,41 @@ object Events {
           / (col("total_qty").cast("double") * lit(100.0)))
       .orderBy("bucket")
 
+  /** LINEAR multi-touch attribution — every click in the 24 h before a
+    * purchase shares its value equally (the multi-touch counterpart of
+    * [[attribution]]'s last-touch rule). Each purchase's touch list is a
+    * `collect_list` over a RANGE frame on epoch seconds (clicks tied at
+    * the purchase's second all participate — range-frame semantics,
+    * identical in both engines); shares are exact fixed-point
+    * `(cents·10⁴) div n` so the campaign totals are BIGINT sums (the ≤n
+    * micro-units of flooring remainder per purchase stay unattributed —
+    * deterministic, documented). Purchases with no touch fall to the NULL
+    * bucket at full value via `explode_outer`. One shuffle of the stream
+    * (the user window), then a hash agg on campaign. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val es = col("ts").cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(es)
+      .rangeBetween(-86400, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("touches",
+        collect_list(when(col("event_type") === "click", col("k"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select((dec(col("value")) * 100).cast("long").as("cents"),
+        size(col("touches")).as("n"), explode_outer(col("touches")).as("campaign"))
+      .select(col("campaign"),
+        when(col("n") > 0, expr("(cents * 10000) div n"))
+          .otherwise(col("cents") * 10000L).as("share_q6"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("share_q6")).cast("double") / lit(1.0e6)).as("attributed_value"))
+      .orderBy(col("campaign").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_attribution_linear" -> (attributionLinear _),
     "evt_attribution" -> (attribution _),
     "evt_vwap" -> (vwapHourly _),
     "evt_debounce" -> (debounce _),
@@ -324,6 +358,26 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_attribution_linear" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,
+        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events),
+        |p AS (SELECT user_id, event_id, es, cents FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, es, k FROM ev WHERE event_type = 'click'),
+        |t AS (SELECT p.event_id, p.cents, c.k
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |                   AND c.es BETWEEN p.es - 86400 AND p.es),
+        |n AS (SELECT event_id, COUNT(*) AS n FROM t GROUP BY 1),
+        |shares AS (
+        |  SELECT t.k AS campaign, (t.cents * 10000) // n.n AS share_q6
+        |  FROM t JOIN n ON t.event_id = n.event_id
+        |  UNION ALL
+        |  SELECT NULL AS campaign, p.cents * 10000 AS share_q6
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.event_id = p.event_id))
+        |SELECT campaign, COUNT(*) AS n_touches,
+        |  CAST(SUM(share_q6) AS DOUBLE) / 1.0e6 AS attributed_value
+        |FROM shares GROUP BY campaign ORDER BY campaign ASC NULLS FIRST""".stripMargin,
     "evt_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, ts, event_type, value,
         |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events),

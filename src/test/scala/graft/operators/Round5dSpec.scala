@@ -207,6 +207,59 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("linear attribution conserves value up to flooring: attributed " +
+    "total within n micro-units below the purchase total, never above") {
+    val rows = Events.attributionLinear(spark, sfDir).collect()
+    val attributed = rows.map(_.getAs[Double]("attributed_value")).sum
+    val nTouches = rows.map(_.getAs[Long]("n_touches")).sum
+    val total = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(15,2)"))).head()
+      .getDecimal(0).doubleValue()
+    assert(attributed <= total + 1e-9)
+    assert(total - attributed <= nTouches * 1e-6 + 1e-9,
+      s"lost more than flooring can explain: $total vs $attributed")
+  }
+
+  test("equi-depth deciles: boundaries non-decreasing in d, and each cut " +
+    "covers at least d/10 of the rows") {
+    val d = AdvancedAggs.equidepthDeciles(spark, sfDir).collect()
+    d.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("d"))
+      assert(sorted.map(_.getAs[Double]("boundary")).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      })
+      sorted.foreach { r =>
+        val below = Tables.lineitem(spark, sfDir)
+          .filter(col("l_returnflag") === r.getString(0) &&
+            col("l_extendedprice") <= r.getAs[Double]("boundary")).count()
+        assert(below * 10 >= r.getAs[Int]("d") * r.getAs[Long]("n_rows"))
+      }
+    }
+  }
+
+  test("survival curve: starts at or below 1, non-increasing in day, " +
+    "risk set shrinks, and survival recomputes from its own counts") {
+    val s = Behavioral.survivalCurve(spark, sfDir).collect()
+    s.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("day"))
+      var prevSurv = 1.0
+      var prevRisk = Long.MaxValue
+      var prod = 1.0
+      sorted.foreach { r =>
+        val surv = r.getAs[Double]("survival")
+        val risk = r.getAs[Long]("n_risk")
+        assert(surv <= prevSurv + 1e-12, "survival must be non-increasing")
+        assert(risk <= prevRisk, "risk set must shrink")
+        prod *= (if (risk > 0)
+          1.0 - r.getAs[Long]("n_conv").toDouble / risk else 1.0)
+        assert(prod == surv, "fold must equal sequential recompute")
+        prevSurv = surv; prevRisk = risk
+      }
+    }
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
