@@ -127,6 +127,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** DIRECTIONAL near-dup: shingle containment |S(A)∩S(B)| / |S(A)| ≥ 0.9
+    * — the asymmetric cousin of [[ngramJaccard]] that catches quotes and
+    * boilerplate (a small doc embedded in a large one scores near-zero
+    * Jaccard but containment ≈ 1). Candidates use one-sided prefix
+    * filtering: only the PROBE doc takes a prefix (|A| − ⌈0.9|A|⌉ + 1
+    * rarest shingles — exact integer ceil), joined against the full
+    * inverted index, which is the lossless pruning for an asymmetric
+    * threshold (the indexed side can be arbitrarily large). The verify
+    * threshold `common·10 ≥ |A|·9` is pure integers; the reported ratio
+    * is one display division. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val maxDf = 100000
+    val sh = shingleHashes(spark, dir)
+    val dfc = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val shr = sh.join(dfc.select("h"), "h")
+    val byDfOrder = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfc, "h")
+      .withColumn("pos", row_number().over(byDfOrder))
+      .withColumn("sz", count(lit(1)).over(
+        byDfOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("pos") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val cand = prefix
+      .join(shr.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = shr.groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(hs_a, hs_b)").as("common"),
+        size(col("hs_a")).as("ca"))
+      .filter(col("common") * 10 >= col("ca") * 9)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / col("ca").cast("double")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash-LSH near-dedup: 16 portable minhashes per doc, banded 4×4;
     * pairs sharing a band become candidates; exact Jaccard is computed for
     * candidates only (array intersection of shingle-hash sets).
@@ -384,6 +424,7 @@ object Dedup {
     "dedup_spans" -> (spanDedup _),
     "dedup_bow" -> (bowFingerprint _),
     "dedup_exact" -> (exactDedup _),
+    "dedup_containment" -> (containmentPairs _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -449,6 +490,20 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shCte,
+         |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM shg),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM sh GROUP BY h) WHERE df <= 100000),
+         |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |card AS (SELECT doc_id, COUNT(*) c FROM shr GROUP BY 1),
+         |common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) AS common
+         |           FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(common AS DOUBLE) / CAST(ca.c AS DOUBLE) AS containment
+         |FROM common JOIN card ca ON doc_a = ca.doc_id
+         |WHERE common * 10 >= ca.c * 9
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shCte,
          |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM shg),

@@ -260,6 +260,27 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("containment: prefix-filtered pairs equal a brute-force all-pairs " +
+    "recompute, and every pair is directional with ratio >= 0.9") {
+    graft.functions.Registry.register(spark)
+    val out = Dedup.containmentPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.values.foreach(c => assert(c >= 0.9 && c <= 1.0))
+    // brute force over the same shingle sets
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("shingle_hashes(split(text, '\\\\s+'))").as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val naive = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      common = (sa & sb).size
+      if common * 10 >= sa.size * 9
+    } yield (a, b) -> common.toDouble / sa.size).toMap
+    assert(out == naive,
+      s"only-query=${out.keySet -- naive.keySet} only-naive=${naive.keySet -- out.keySet}")
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
