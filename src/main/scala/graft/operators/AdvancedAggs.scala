@@ -668,7 +668,74 @@ object AdvancedAggs {
       .orderBy("l_returnflag", "d")
   }
 
+  /** Lag-1 autocorrelation of monthly revenue per return flag — the
+    * "is this series momentum or noise" statistic. Pairs come from one
+    * lag over the (flag; month) partition of the AGGREGATED series. The
+    * series is quantized to whole thousand-dollar units FIRST (Pearson r
+    * is unit-invariant; the quantization is deterministic) so every
+    * moment sum stays far below 2^53 — DuckDB's HUGEINT→DOUBLE cast is
+    * not correctly rounded past 2^63, so keeping the integers small is
+    * what makes the doubles engine-exact. The formula tree (including
+    * the correctly-rounded-by-definition sqrt) is spelled identically in
+    * the oracle. */
+  def autocorrRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("mon"))
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("cents"))
+      .select(col("l_returnflag"), col("mon"),
+        expr("cents div 100000").as("x"))
+      .withColumn("y", lag(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      * (col("n") * col("syy") - col("sy") * col("sy")))
+    pairs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sxl"), sum(col("y")).as("syl"),
+        sum(col("x") * col("y")).as("sxyl"),
+        sum(col("x") * col("x")).as("sxxl"),
+        sum(col("y") * col("y")).as("syyl"))
+      .select(col("l_returnflag"), col("cnt").as("n_pairs"),
+        col("cnt").cast("double").as("n"),
+        col("sxl").cast("double").as("sx"), col("syl").cast("double").as("sy"),
+        col("sxyl").cast("double").as("sxy"),
+        col("sxxl").cast("double").as("sxx"),
+        col("syyl").cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n_pairs"),
+        when(den > 0.0, num / den).as("autocorr_r1"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Tukey-fence outlier census per return flag: fences are the exact
+    * interpolated quartiles ± 1.5·IQR (both engines share the same
+    * percentile definition and the fence arithmetic is a fixed IEEE
+    * tree), counts are exact. Two passes: a tiny per-flag fence
+    * aggregation broadcast back onto one counting scan. */
+  def tukeyOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val fences = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.75))").as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"), element_at(col("q"), 2).as("p75"))
+      .withColumn("lo", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("p25")).as("p25"), max(col("p75")).as("p75"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_autocorr" -> (autocorrRevenue _),
+    "agg_tukey_outliers" -> (tukeyOutliers _),
     "agg_equidepth_deciles" -> (equidepthDeciles _),
     "sketch_cms_topk" -> (cmsTopkProbe _),
     "agg_benford" -> (benfordPrices _),
@@ -710,6 +777,43 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_autocorr" ->
+      """WITH s AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |px AS (SELECT l_returnflag, mon, cents // 100000 AS x FROM s),
+        |p AS (SELECT l_returnflag, x,
+        |    lag(x) OVER (PARTITION BY l_returnflag ORDER BY mon) AS y FROM px),
+        |q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n_pairs,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(x*y) AS BIGINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(x*x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(y*y) AS BIGINT) AS DOUBLE) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n_pairs,
+        |  CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0.0
+        |       THEN (n * sxy - sx * sy)
+        |            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |  END AS autocorr_r1
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_tukey_outliers" ->
+      """WITH f AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS p25,
+        |    quantile_cont(l_extendedprice, 0.75) AS p75
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT l_returnflag, p25, p75,
+        |    p25 - 1.5e0 * (p75 - p25) AS lo,
+        |    p75 + 1.5e0 * (p75 - p25) AS hi
+        |  FROM f)
+        |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |  MAX(g.p25) AS p25, MAX(g.p75) AS p75,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < g.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > g.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM lineitem l JOIN g ON l.l_returnflag = g.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_equidepth_deciles" ->
       """WITH bv AS (SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
         |  FROM lineitem GROUP BY 1, 2),

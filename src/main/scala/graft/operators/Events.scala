@@ -341,7 +341,45 @@ object Events {
       .orderBy(col("campaign").asc_nulls_first)
   }
 
+  /** U-SHAPED (position-based) attribution — 40% to the first touch, 40%
+    * to the last, 20% split across the middles (50/50 at two touches,
+    * 100% at one), completing the attribution family next to
+    * [[attribution]] (last-touch) and [[attributionLinear]]. The RANGE
+    * touch window is sorted in-plan (`array_sort` of (es, event_id, k)
+    * structs — event_id is unique, so ordering is total) and positions
+    * come from `posexplode_outer`; all shares are exact fixed-point
+    * micro-units with `div` flooring, unattributed purchases keep full
+    * value in the NULL bucket. */
+  def attributionUShaped(spark: SparkSession, dir: String): DataFrame = {
+    val es = col("ts").cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(es)
+      .rangeBetween(-86400, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("touches", array_sort(
+        collect_list(when(col("event_type") === "click",
+          struct(es.as("ces"), col("event_id").as("cid"), col("k").as("ck"))))
+          .over(w)))
+      .filter(col("event_type") === "purchase")
+      .select((dec(col("value")) * 100).cast("long").as("cents"),
+        size(col("touches")).as("n"),
+        posexplode_outer(col("touches")).as(Seq("pos", "t")))
+      .select(col("t.ck").as("campaign"),
+        when(col("n") <= 1, col("cents") * 10000L)
+          .when(col("n") === 2, col("cents") * 5000L)
+          .when(col("pos") === 0 || col("pos") === col("n") - 1,
+            col("cents") * 4000L)
+          .otherwise(expr("(cents * 2000) div (n - 2)")).as("share_q6"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("share_q6")).cast("double") / lit(1.0e6)).as("attributed_value"))
+      .orderBy(col("campaign").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_attribution_ushaped" -> (attributionUShaped _),
     "evt_attribution_linear" -> (attributionLinear _),
     "evt_attribution" -> (attribution _),
     "evt_vwap" -> (vwapHourly _),
@@ -358,6 +396,32 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_attribution_ushaped" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,
+        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events),
+        |p AS (SELECT user_id, event_id, es, cents FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, es, event_id, k FROM ev WHERE event_type = 'click'),
+        |t AS (SELECT p.event_id, p.cents, c.k,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.es, c.event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY p.event_id) AS n
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |               AND c.es BETWEEN p.es - 86400 AND p.es),
+        |shares AS (
+        |  SELECT k AS campaign,
+        |    CASE WHEN n = 1 THEN cents * 10000
+        |         WHEN n = 2 THEN cents * 5000
+        |         WHEN rn = 1 OR rn = n THEN cents * 4000
+        |         ELSE (cents * 2000) // (n - 2) END AS share_q6
+        |  FROM t
+        |  UNION ALL
+        |  SELECT NULL AS campaign, p.cents * 10000 AS share_q6
+        |  FROM p WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.event_id = p.event_id))
+        |SELECT campaign, COUNT(*) AS n_touches,
+        |  CAST(SUM(share_q6) AS DOUBLE) / 1.0e6 AS attributed_value
+        |FROM shares GROUP BY campaign ORDER BY campaign ASC NULLS FIRST""".stripMargin,
     "evt_attribution_linear" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,

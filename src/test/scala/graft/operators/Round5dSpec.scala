@@ -281,6 +281,33 @@ class Round5dSpec extends SparkSpec {
       s"only-query=${out.keySet -- naive.keySet} only-naive=${naive.keySet -- out.keySet}")
   }
 
+  test("U-shaped attribution conserves value up to flooring, like linear") {
+    val rows = Events.attributionUShaped(spark, sfDir).collect()
+    val attributed = rows.map(_.getAs[Double]("attributed_value")).sum
+    val nTouches = rows.map(_.getAs[Long]("n_touches")).sum
+    val total = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(15,2)"))).head()
+      .getDecimal(0).doubleValue()
+    assert(attributed <= total + 1e-9)
+    assert(total - attributed <= nTouches * 1e-6 + 1e-9)
+  }
+
+  test("autocorrelation sits in [-1, 1]; Tukey fences are ordered and " +
+    "outliers are a strict minority") {
+    AdvancedAggs.autocorrRevenue(spark, sfDir).collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("autocorr_r1"))) {
+        val a = r.getAs[Double]("autocorr_r1")
+        assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12)
+      }
+    }
+    AdvancedAggs.tukeyOutliers(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p75"))
+      assert(r.getAs[Long]("n_low") + r.getAs[Long]("n_high") <
+        r.getAs[Long]("n_rows") / 2)
+    }
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
