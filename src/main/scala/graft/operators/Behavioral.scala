@@ -476,7 +476,90 @@ object Behavioral {
       .orderBy("cohort_week", "day")
   }
 
+  /** Robust (median/MAD) anomaly flags over per-type daily event counts —
+    * the resistant alternative to [[seasonalAnomaly]]'s mean/σ rule: a day
+    * is anomalous when |c − median| > 3·MAD. Both medians are EXACT in
+    * doubled/quadrupled integer units (med2 = the two middle values
+    * summed, mad4 likewise over |2c − med2|), so the flag rule
+    * `2·dev2 > 3·mad4` is pure integer arithmetic — no float ever. The
+    * day series per type is time-bounded, so the per-type sorted arrays
+    * are small aggregation state (the rolling-median discipline), and
+    * both median passes group by event_type. */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    def med2Of(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col(valueCol))).as("arr"))
+        .select(col("event_type"),
+          expr(s"""arr[(size(arr) + 1) div 2 - 1] + arr[size(arr) div 2]""")
+            .as(out))
+    val med = med2Of(cells, "c", "med2")
+    val withDev = cells.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("c") * 2 - col("med2")))
+    val mad = med2Of(withDev, "dev2", "mad4")
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("dev2") * 2 > col("mad4") * 3)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c").as("n_events"), col("med2"), col("mad4"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Point-in-time feature snapshot per user — the feature-store query
+    * behind churn/LTV models: event counts and exact cents in trailing
+    * 1 / 7 / 28-day windows measured back from the stream horizon, plus
+    * recency. One conditional-sum hash aggregation per user (the windows
+    * are CASE arms of the same scan, not three scans); the horizon is a
+    * one-row broadcast. Everything integer until nothing — there are no
+    * ratios here at all. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tmax = ev.agg(max(col("ts").cast("long")).as("t_max"))
+    ev.select(col("user_id"), col("ts").cast("long").as("es"),
+      col("event_type"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(15, 2)) * 100)
+        .cast("long").as("cents"))
+      .crossJoin(broadcast(tmax))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("es") > col("t_max") - 86400L, 1L).otherwise(0L))
+          .as("n_1d"),
+        sum(when(col("es") > col("t_max") - 7L * 86400, 1L).otherwise(0L))
+          .as("n_7d"),
+        sum(when(col("es") > col("t_max") - 28L * 86400, 1L).otherwise(0L))
+          .as("n_28d"),
+        sum(when(col("es") > col("t_max") - 7L * 86400 &&
+          col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .as("cents_7d"),
+        max(col("t_max") - col("es")).as("oldest_s"),
+        min(col("t_max") - col("es")).as("recency_s"))
+      .orderBy("user_id")
+  }
+
+  /** Gini impurity 1 − Σp² of each day's event-type mix — the
+    * diversity-of-activity signal, exact where entropy cannot be (no
+    * logs): impurity = (n² − Σc²)/n² is one division of exact integers.
+    * One (day, type) partial agg, one day rollup. */
+  def giniImpurity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("day"), col("n_types"), col("n"),
+        ((col("n") * col("n") - col("ssq")).cast("double")
+          / (col("n") * col("n")).cast("double")).as("impurity"))
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_user_features" -> (userFeatures _),
+    "agg_gini_impurity" -> (giniImpurity _),
+    "evt_anomaly_mad" -> (madAnomaly _),
     "evt_survival" -> (survivalCurve _),
     "evt_growth_accounting" -> (growthAccounting _),
     "evt_heatmap" -> (activityHeatmap _),
@@ -495,6 +578,50 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_user_features" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,
+        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |tm AS (SELECT MAX(es) AS t_max FROM e)
+        |SELECT user_id, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN es > t_max - 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+        |  CAST(SUM(CASE WHEN es > t_max - 7*86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+        |  CAST(SUM(CASE WHEN es > t_max - 28*86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_28d,
+        |  CAST(SUM(CASE WHEN es > t_max - 7*86400 AND event_type = 'purchase'
+        |           THEN cents ELSE 0 END) AS BIGINT) AS cents_7d,
+        |  CAST(MAX(t_max - es) AS BIGINT) AS oldest_s,
+        |  CAST(MIN(t_max - es) AS BIGINT) AS recency_s
+        |FROM e CROSS JOIN tm GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_gini_impurity" ->
+      """WITH c AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT day, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c*c) AS BIGINT) AS ssq
+        |  FROM c GROUP BY 1)
+        |SELECT day, n_types, n,
+        |  CAST(n * n - ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS impurity
+        |FROM d ORDER BY day""".stripMargin,
+    "evt_anomaly_mad" ->
+      """WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, list(c ORDER BY c) AS arr FROM cells GROUP BY 1),
+        |med AS (SELECT event_type,
+        |    CAST(arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS BIGINT) AS med2
+        |  FROM m),
+        |dev AS (SELECT cells.event_type, day, c, med2,
+        |    abs(c * 2 - med2) AS dev2
+        |  FROM cells JOIN med ON cells.event_type = med.event_type),
+        |m2 AS (SELECT event_type, list(dev2 ORDER BY dev2) AS arr FROM dev GROUP BY 1),
+        |mad AS (SELECT event_type,
+        |    CAST(arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS BIGINT) AS mad4
+        |  FROM m2)
+        |SELECT dev.event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  c AS n_events, med2, mad4
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |WHERE dev2 * 2 > mad4 * 3
+        |ORDER BY 1, 2""".stripMargin,
     "evt_survival" ->
       """WITH su AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s_es
         |  FROM events WHERE event_type = 'signup' GROUP BY 1),

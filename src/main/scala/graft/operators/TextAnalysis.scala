@@ -487,7 +487,40 @@ object TextAnalysis {
             / col("n_words").cast("double")))
       .orderBy("doc_id")
 
+  private val cjkClass = "[一-鿿]"
+  private val latinClass = "[A-Za-z]"
+  private val digitClass = "[0-9]"
+  private val spaceClass = "[ \\t\\n\\r]"
+
+  /** Unicode script-mix profile per document — CJK / Latin / digit /
+    * whitespace / other character counts and the dominant script, the
+    * router in front of per-script tokenizers and the mixed-script spam
+    * signal. Counts are length deltas after removing each class (explicit
+    * codepoint ranges, not \\p{...} script names, whose spellings differ
+    * between Java regex and RE2); dominance uses a fixed CASE chain.
+    * One codegen'd scan, no shuffle. */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, "")))
+        .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_total"),
+        cnt(cjkClass).as("n_cjk"), cnt(latinClass).as("n_latin"),
+        cnt(digitClass).as("n_digit"), cnt(spaceClass).as("n_space"))
+      .withColumn("n_other", col("n_total") - col("n_cjk") - col("n_latin")
+        - col("n_digit") - col("n_space"))
+      .withColumn("dominant",
+        when(col("n_cjk") >= greatest(col("n_latin"), col("n_digit"),
+          col("n_other")), "cjk")
+          .when(col("n_latin") >= greatest(col("n_digit"), col("n_other")),
+            "latin")
+          .when(col("n_digit") >= col("n_other"), "digit")
+          .otherwise("other"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_script_mix" -> (scriptMix _),
     "ta_readability" -> (readability _),
     "ta_pii_scrub" -> (piiScrub _),
     "ta_rake_keywords" -> (rakeKeywords _),
@@ -529,6 +562,24 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_script_mix" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_total,
+         |    CAST(length(text) - length(regexp_replace(text, '$cjkClass', '', 'g')) AS BIGINT) AS n_cjk,
+         |    CAST(length(text) - length(regexp_replace(text, '$latinClass', '', 'g')) AS BIGINT) AS n_latin,
+         |    CAST(length(text) - length(regexp_replace(text, '$digitClass', '', 'g')) AS BIGINT) AS n_digit,
+         |    CAST(length(text) - length(regexp_replace(text, '$spaceClass', '', 'g')) AS BIGINT) AS n_space
+         |  FROM documents)
+         |SELECT doc_id, n_total, n_cjk, n_latin, n_digit, n_space,
+         |  n_total - n_cjk - n_latin - n_digit - n_space AS n_other,
+         |  CASE WHEN n_cjk >= greatest(n_latin, n_digit,
+         |              n_total - n_cjk - n_latin - n_digit - n_space) THEN 'cjk'
+         |       WHEN n_latin >= greatest(n_digit,
+         |              n_total - n_cjk - n_latin - n_digit - n_space) THEN 'latin'
+         |       WHEN n_digit >= n_total - n_cjk - n_latin - n_digit - n_space
+         |            THEN 'digit'
+         |       ELSE 'other' END AS dominant
+         |FROM c ORDER BY doc_id""".stripMargin,
     "ta_readability" ->
       s"""WITH c AS (SELECT doc_id,
          |    CAST(len(list_filter($dToks, t -> t <> '')) AS BIGINT) AS n_words,

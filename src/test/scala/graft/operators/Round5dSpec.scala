@@ -308,6 +308,70 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("MAD anomaly flags equal a direct Scala median recompute") {
+    val flagged = Behavioral.madAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      // format in-plan: collecting DateType goes through the JVM default
+      // timezone and can shift the rendered day off the UTC grouping day
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1) + s(s.length / 2)
+    }
+    // groupBy(...).flatMap over pair elements would rebuild a Map keyed by
+    // event_type and silently drop all but one flagged day — toSeq first
+    val naive = cells.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val m2 = med2(rs.map(_._3).toSeq)
+      val devs = rs.map(r => (r._2, (r._3 * 2 - m2).abs))
+      val m4 = med2(devs.map(_._2).toSeq)
+      devs.filter(d => d._2 * 2 > m4 * 3).map(d => (tpe, d._1)).toSeq
+    }.toSet
+    assert(flagged == naive)
+  }
+
+  test("script mix: classes partition the text and dominance follows the " +
+    "declared CASE chain") {
+    TextAnalysis.scriptMix(spark, sfDir).collect().foreach { r =>
+      val Seq(total, cjk, latin, digit, space, other) =
+        Seq("n_total", "n_cjk", "n_latin", "n_digit", "n_space", "n_other")
+          .map(r.getAs[Long])
+      assert(cjk + latin + digit + space + other == total)
+      assert(other >= 0)
+      val expect =
+        if (cjk >= Seq(latin, digit, other).max) "cjk"
+        else if (latin >= Seq(digit, other).max) "latin"
+        else if (digit >= other) "digit" else "other"
+      assert(r.getAs[String]("dominant") == expect)
+    }
+  }
+
+  test("user features: trailing windows nest, recency bounds hold, and " +
+    "totals cover every event") {
+    val rows = Behavioral.userFeatures(spark, sfDir).collect()
+    rows.foreach { r =>
+      val Seq(total, d1, d7, d28) =
+        Seq("n_total", "n_1d", "n_7d", "n_28d").map(r.getAs[Long])
+      assert(d1 <= d7 && d7 <= d28 && d28 <= total)
+      assert(r.getAs[Long]("recency_s") <= r.getAs[Long]("oldest_s"))
+    }
+    assert(rows.map(_.getAs[Long]("n_total")).sum ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("Gini impurity sits in [0, 1-1/k] and recomputes from its counts") {
+    Behavioral.giniImpurity(spark, sfDir).collect().foreach { r =>
+      val k = r.getAs[Long]("n_types").toDouble
+      val imp = r.getAs[Double]("impurity")
+      assert(imp >= 0.0 && imp <= 1.0 - 1.0 / k + 1e-12)
+    }
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
