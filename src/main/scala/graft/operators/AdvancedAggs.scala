@@ -733,7 +733,46 @@ object AdvancedAggs {
       .orderBy("l_returnflag")
   }
 
+  /** Market-basket association mining over orders: support, directional
+    * confidence, and lift for brand pairs co-purchased in one order — the
+    * canonical A-priori single-level report. Baskets collapse to DISTINCT
+    * (order, brand) first (the only pass over lineitem); pairs come from
+    * a self-join on the order key (co-partitioned — both sides are the
+    * same shuffle output) with `a < b` dedup; support/counts are exact
+    * integers, confidence and lift are single divisions with the lift
+    * numerator cross-multiplied (`support·N` vs `cnt_a·cnt_b`). A
+    * min-support floor keeps the output association-worthy (and the
+    * pair explosion bounded — at 100 TB one adds a frequent-item
+    * pre-filter, the A-priori property, which this HAVING is). */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val n = items.select(countDistinct(col("okey")).as("n_baskets"))
+    val cnt = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.select(col("okey"), col("brand").as("brand_a"))
+      .join(items.select(col("okey"), col("brand").as("brand_b")), Seq("okey"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 20)
+    pairs
+      .join(broadcast(cnt.select(col("brand").as("brand_a"), col("cnt").as("cnt_a"))), Seq("brand_a"))
+      .join(broadcast(cnt.select(col("brand").as("brand_b"), col("cnt").as("cnt_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        (col("support").cast("double") / col("cnt_a").cast("double")).as("conf_a_to_b"),
+        (col("support").cast("double") / col("cnt_b").cast("double")).as("conf_b_to_a"),
+        ((col("support") * col("n_baskets")).cast("double")
+          / (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_market_basket" -> (marketBasket _),
     "agg_autocorr" -> (autocorrRevenue _),
     "agg_tukey_outliers" -> (tukeyOutliers _),
     "agg_equidepth_deciles" -> (equidepthDeciles _),
@@ -777,6 +816,24 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM items),
+        |cnt AS (SELECT brand, COUNT(*) AS cnt FROM items GROUP BY 1),
+        |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    COUNT(*) AS support
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT brand_a, brand_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  CAST(support AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS conf_a_to_b,
+        |  CAST(support AS DOUBLE) / CAST(cb.cnt AS DOUBLE) AS conf_b_to_a,
+        |  CAST(support * n_baskets AS DOUBLE)
+        |    / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+        |FROM pairs JOIN cnt ca ON brand_a = ca.brand
+        |           JOIN cnt cb ON brand_b = cb.brand
+        |           CROSS JOIN n
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "agg_autocorr" ->
       """WITH s AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents

@@ -127,6 +127,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The production dedup CASCADE as one attrition report: stage 1 exact
+    * (md5 of the raw text), stage 2 word-order-insensitive (md5 of the
+    * sorted token multiset), stage 3 near-dup (identical simhash32 — the
+    * Hamming-0 slice of the banded pipeline), each keeping the min-doc_id
+    * representative among the previous stage's SURVIVORS. Cheap hashes
+    * run first so each stage sees a strictly smaller input — the ordering
+    * every real pipeline uses. One row per stage with n_in/kept/dropped;
+    * all window mins are hash-partitioned by the stage's own key. */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("h_exact", md5(col("text")))
+      .withColumn("h_bow", md5(concat_ws(" ", array_sort(split(col("text"), "\\s+")))))
+      .withColumn("h_sim", expr("simhash32(split(text, '\\\\s+'))"))
+    def keepMin(df: DataFrame, key: String): DataFrame =
+      df.withColumn("keep",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col(key))))
+        .filter(col("keep")).drop("keep")
+    val s1 = keepMin(base, "h_exact")
+    val s2 = keepMin(s1, "h_bow")
+    val s3 = keepMin(s2, "h_sim")
+    def stageRow(name: String, idx: Int, in: DataFrame, out: DataFrame): DataFrame =
+      in.agg(count(lit(1)).as("n_in"))
+        .crossJoin(out.agg(count(lit(1)).as("n_kept")))
+        .select(lit(idx).as("stage"), lit(name).as("stage_name"),
+          col("n_in"), col("n_kept"), (col("n_in") - col("n_kept")).as("n_dropped"))
+    stageRow("exact", 1, base, s1)
+      .unionAll(stageRow("bag_of_words", 2, s1, s2))
+      .unionAll(stageRow("simhash_identical", 3, s2, s3))
+      .orderBy("stage")
+  }
+
   /** DIRECTIONAL near-dup: shingle containment |S(A)∩S(B)| / |S(A)| ≥ 0.9
     * — the asymmetric cousin of [[ngramJaccard]] that catches quotes and
     * boilerplate (a small doc embedded in a large one scores near-zero
@@ -425,6 +458,7 @@ object Dedup {
     "dedup_bow" -> (bowFingerprint _),
     "dedup_exact" -> (exactDedup _),
     "dedup_containment" -> (containmentPairs _),
+    "dedup_cascade" -> (dedupCascade _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -445,6 +479,30 @@ object Dedup {
       |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_cascade" ->
+      s"""WITH base AS (SELECT doc_id, md5(text) AS h_exact,
+         |    md5(array_to_string(list_sort(string_split_regex(text, '\\s+')), ' ')) AS h_bow,
+         |    CAST(list_sum(list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform(string_split_regex(text, '\\s+'), tk ->
+         |             ((${dh60("tk")} >> j) & 1) * 2 - 1)) > 0
+         |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_sim
+         |  FROM documents),
+         |s1 AS (SELECT * FROM base QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h_exact)),
+         |s2 AS (SELECT * FROM s1 QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h_bow)),
+         |s3 AS (SELECT * FROM s2 QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h_sim))
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'exact' AS stage_name,
+         |    (SELECT COUNT(*) FROM base) AS n_in, (SELECT COUNT(*) FROM s1) AS n_kept,
+         |    (SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM s1) AS n_dropped
+         |  UNION ALL
+         |  SELECT 2, 'bag_of_words',
+         |    (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
+         |    (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2)
+         |  UNION ALL
+         |  SELECT 3, 'simhash_identical',
+         |    (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3),
+         |    (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3))
+         |ORDER BY stage""".stripMargin,
     "dedup_edit1_names" ->
       """WITH names AS (SELECT DISTINCT s_name AS name FROM supplier),
         |vars AS (

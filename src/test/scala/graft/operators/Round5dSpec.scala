@@ -372,6 +372,36 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("market basket: support bounded by item counts, confidences in " +
+    "(0,1], and lift recomputes from the row") {
+    AdvancedAggs.marketBasket(spark, sfDir).collect().foreach { r =>
+      val s = r.getAs[Long]("support")
+      val (ca, cb) = (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))
+      assert(s <= math.min(ca, cb))
+      val (c1, c2) = (r.getAs[Double]("conf_a_to_b"), r.getAs[Double]("conf_b_to_a"))
+      assert(c1 > 0.0 && c1 <= 1.0 && c2 > 0.0 && c2 <= 1.0)
+      assert(c1 == s.toDouble / ca && c2 == s.toDouble / cb)
+    }
+  }
+
+  test("dedup cascade: stages chain (kept(s) = in(s+1)), stage 1 sees the " +
+    "whole corpus, attrition is non-negative") {
+    val st = Dedup.dedupCascade(spark, sfDir).collect().sortBy(_.getAs[Int]("stage"))
+    assert(st.length == 3)
+    assert(st.head.getAs[Long]("n_in") ==
+      Tables.documents(spark, sfDir).count())
+    st.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") >= 0)
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_kept"))
+    }
+    st.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_kept") == b.getAs[Long]("n_in"))
+      case _ =>
+    }
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
