@@ -771,7 +771,26 @@ object AdvancedAggs {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Deterministic ARGMAX / ARGMIN per group — "which order carried the
+    * extreme price" — via lexicographic struct extremes: `max(struct(v,
+    * -key))` ties break toward the SMALLEST key on both extremes, where
+    * the built-in max_by/arg_max is tie-nondeterministic on every engine.
+    * One hash aggregation; the struct never leaves the aggregate. */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(struct(col("o_totalprice").as("v"), (-col("o_orderkey")).as("nk")))
+          .as("mx"),
+        min(struct(col("o_totalprice").as("v"), col("o_orderkey").as("k")))
+          .as("mn"))
+      .select(col("o_orderpriority"),
+        col("mx.v").as("max_price"), (-col("mx.nk")).as("max_price_orderkey"),
+        col("mn.v").as("min_price"), col("mn.k").as("min_price_orderkey"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argmax" -> (argExtremes _),
     "agg_market_basket" -> (marketBasket _),
     "agg_autocorr" -> (autocorrRevenue _),
     "agg_tukey_outliers" -> (tukeyOutliers _),
@@ -816,6 +835,19 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_argmax" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rmax,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS max_price,
+        |  CAST(MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS BIGINT) AS max_price_orderkey,
+        |  MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS min_price,
+        |  CAST(MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS BIGINT) AS min_price_orderkey
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_market_basket" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),

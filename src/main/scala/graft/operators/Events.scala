@@ -378,7 +378,34 @@ object Events {
       .orderBy(col("campaign").asc_nulls_first)
   }
 
+  /** Daily bounce rate — the share of sessions that contain exactly one
+    * event, keyed by the session's start day: the standard engagement
+    * metric on top of [[sessionize]]'s gap rule (same 30-minute break,
+    * same single user_id shuffle; the daily rollup is a tiny second
+    * aggregation). Bounce rate is one final division of exact counts. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+      .groupBy(date_format(to_date(col("start_ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_bounce_rate" -> (bounceRate _),
     "evt_attribution_ushaped" -> (attributionUShaped _),
     "evt_attribution_linear" -> (attributionLinear _),
     "evt_attribution" -> (attribution _),
@@ -396,6 +423,30 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_bounce_rate" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+        |    ts FROM marked),
+        |s AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(ts) AS start_ts
+        |  FROM sess GROUP BY 1, 2),
+        |d AS (SELECT strftime(CAST(start_ts AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n_sessions,
+        |    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        |  FROM s GROUP BY 1)
+        |SELECT day, n_sessions, n_bounces,
+        |  CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS bounce_rate
+        |FROM d ORDER BY day""".stripMargin,
     "evt_attribution_ushaped" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,

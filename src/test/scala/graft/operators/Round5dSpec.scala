@@ -402,6 +402,36 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("bounce rate: bounces never exceed sessions, sessions cover the " +
+    "sessionize output, rate recomputes") {
+    val b = Events.bounceRate(spark, sfDir).collect()
+    val nSessions = Events.sessionize(spark, sfDir).count()
+    assert(b.map(_.getAs[Long]("n_sessions")).sum == nSessions)
+    b.foreach { r =>
+      val (s, bo) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"))
+      assert(bo <= s)
+      assert(r.getAs[Double]("bounce_rate") == bo.toDouble / s)
+    }
+  }
+
+  test("argmax/argmin: the reported orders actually carry the group " +
+    "extremes with min-key tiebreaks") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .collect()
+      .groupBy(_.getString(0))
+    AdvancedAggs.argExtremes(spark, sfDir).collect().foreach { r =>
+      val rows = orders(r.getString(0))
+        .map(x => (x.getDouble(1), x.getLong(2)))
+      val mx = rows.filter(_._1 == rows.map(_._1).max).map(_._2).min
+      val mn = rows.filter(_._1 == rows.map(_._1).min).map(_._2).min
+      assert(r.getAs[Double]("max_price") == rows.map(_._1).max)
+      assert(r.getAs[Long]("max_price_orderkey") == mx)
+      assert(r.getAs[Double]("min_price") == rows.map(_._1).min)
+      assert(r.getAs[Long]("min_price_orderkey") == mn)
+    }
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
