@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -556,7 +556,75 @@ object Behavioral {
           / (col("n") * col("n")).cast("double")).as("impurity"))
       .orderBy("day")
 
+  /** Two-proportion A/B test with an EXACT significance decision: users
+    * hash-split into arms (portable hash — the assignment is reproducible
+    * across engines and runs, the property rand() splits lack), per-arm
+    * conversion = "ever purchased", and the two-proportion z-test
+    * z² > 3.84 (95%) is evaluated as one cross-multiplied integer
+    * inequality — (c₁n₂−c₂n₁)²·N·100 > 384·n₁n₂·C·(N−C) — carried in
+    * DECIMAL(38,0) so it never rounds and never overflows. The only
+    * doubles are the two displayed rates. One per-user agg, one 2-group
+    * rollup, one single-row report. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.Registry.register(spark)
+    val d38 = DecimalType(38, 0)
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        expr("portable_hash60(concat('ab:', cast(user_id as string))) % 2"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val row = arms.select(
+      sum(when(col("arm") === 0, col("n"))).as("n_a"),
+      sum(when(col("arm") === 0, col("c"))).as("c_a"),
+      sum(when(col("arm") === 1, col("n"))).as("n_b"),
+      sum(when(col("arm") === 1, col("c"))).as("c_b"))
+    def d(c: Column) = c.cast(d38)
+    val diff = d(col("c_a")) * d(col("n_b")) - d(col("c_b")) * d(col("n_a"))
+    val bigN = d(col("n_a")) + d(col("n_b"))
+    val bigC = d(col("c_a")) + d(col("c_b"))
+    row.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      (col("c_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+      (col("c_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+      (diff * diff * bigN * lit(100) >
+        lit(384) * d(col("n_a")) * d(col("n_b")) * bigC * (bigN - bigC))
+        .as("significant_95"))
+  }
+
+  /** Top session paths — the first three event types of every session
+    * (the [[graft.operators.Events.sessionize]] gap rule), ranked by
+    * frequency: the product-analytics "what do users do first" query.
+    * Path assembly sorts in-plan (struct sort by (ts, event_id)); the
+    * global top-20 is a TakeOrdered with a path tiebreak, never a full
+    * sort. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(expr(
+        "transform(slice(sort_array(collect_list(struct(ts, event_id, event_type))), 1, 3), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ab_test" -> (abTest _),
+    "evt_top_paths" -> (topPaths _),
     "evt_user_features" -> (userFeatures _),
     "agg_gini_impurity" -> (giniImpurity _),
     "evt_anomaly_mad" -> (madAnomaly _),
@@ -577,7 +645,53 @@ object Behavioral {
     "evt_rfm" -> (rfmSegments _)
   )
 
+  private def abH60(x: String): String =
+    s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+
   val oracle: Map[String, String] = Map(
+    "evt_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         |    ${abH60("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM u)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+         |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+         |  (CAST(c_a AS HUGEINT)*n_b - CAST(c_b AS HUGEINT)*n_a)
+         |    * (CAST(c_a AS HUGEINT)*n_b - CAST(c_b AS HUGEINT)*n_a)
+         |    * (CAST(n_a AS HUGEINT) + n_b) * 100
+         |  > 384 * CAST(n_a AS HUGEINT) * n_b * (CAST(c_a AS HUGEINT) + c_b)
+         |        * ((CAST(n_a AS HUGEINT) + n_b) - (CAST(c_a AS HUGEINT) + c_b))
+         |    AS significant_95
+         |FROM a""".stripMargin,
+    "evt_top_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |s AS (SELECT user_id, session_id,
+        |    array_to_string(list_transform(
+        |      (list(struct_pack(ts := ts, event_id := event_id, et := event_type)
+        |            ORDER BY ts, event_id))[1:3], x -> x.et), '>') AS path
+        |  FROM sess GROUP BY 1, 2),
+        |p AS (SELECT path, COUNT(*) AS n_sessions FROM s GROUP BY 1)
+        |SELECT path, n_sessions FROM p
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "evt_user_features" ->
       """WITH e AS (SELECT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,

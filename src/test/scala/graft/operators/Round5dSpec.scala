@@ -432,6 +432,34 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("A/B test: arms partition the users and significance matches a " +
+    "BigInt recompute of the cross-multiplied z-square rule") {
+    val r = Behavioral.abTest(spark, sfDir).head()
+    val Seq(na, ca, nb, cb) =
+      Seq("n_a", "c_a", "n_b", "c_b").map(x => BigInt(r.getAs[Long](x)))
+    assert((na + nb).toLong ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+    assert(r.getAs[Double]("rate_a") == ca.toDouble / na.toDouble)
+    val diff = ca * nb - cb * na
+    val expect = diff * diff * (na + nb) * 100 >
+      BigInt(384) * na * nb * (ca + cb) * (na + nb - ca - cb)
+    assert(r.getAs[Boolean]("significant_95") == expect)
+  }
+
+  test("top paths: counts descend, paths have at most 3 hops, and the " +
+    "total never exceeds the session count") {
+    val p = Behavioral.topPaths(spark, sfDir).collect()
+    assert(p.length <= 20)
+    assert(p.map(_.getAs[Long]("n_sessions")).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+    p.foreach(r =>
+      assert(r.getAs[String]("path").split(">").length <= 3))
+    assert(p.map(_.getAs[Long]("n_sessions")).sum <=
+      Events.sessionize(spark, sfDir).count())
+  }
+
   test("column profile: n_distinct <= n_rows - n_nulls, and known " +
     "cardinalities hold") {
     val p = Diagnostics.columnProfile(spark, sfDir).collect()
