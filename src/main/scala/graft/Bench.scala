@@ -33,11 +33,15 @@ object Bench {
       .selectExpr("upper('a') u", "lower('A') l", "initcap('a b') i",
         "regexp_replace('a','a','b') r", "split('a,b', ',') s")
       .write.format("noop").mode("overwrite").save()
-    // Per-query time = min over reps: the host shows episodic CPU-steal
-    // bursts (observed 3-10x swings on identical code between consecutive
-    // runs), and min-of-N is the standard way to measure the code rather
-    // than the neighbors. Default 2 reps; override via SPARK_GRAFT_BENCH_REPS.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Per-query CONVERGED time = min over the reps AFTER the first: rep 1
+    // pays per-query JIT compilation and is also exposed to the host's
+    // episodic CPU-steal bursts (observed 3-10x swings on identical code
+    // between consecutive runs; round 5's three "regressions" were all
+    // first-rep artifacts that converged re-runs dismissed). The first-run
+    // time is still reported alongside ("queries_first") so cold-path cost
+    // stays visible, but the headline total is quoted on converged reps.
+    // Default 3 reps (1 warmup + min-of-2); override via SPARK_GRAFT_BENCH_REPS.
+    val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt, 1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -49,16 +53,21 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, times.map(_._1).min, times.forall(_._2))
+      val first = times.head._1
+      val converged = if (reps > 1) times.tail.map(_._1).min else first
+      (name, first, converged, times.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, _, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val qsFirst = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // A failing query's near-zero "timing" must not masquerade as a healthy
     // fast run: list failures explicitly so the JSON is self-reporting.
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.map(_._3).sum
+    val totalFirst = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"queries":$qs,"queries_first":$qsFirst,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,18 +11,19 @@ import graft.core.Tables
   * a Python `mapInPandas`/Arrow pipeline has, expressed with typed Scala
   * `mapPartitions` here.
   *
-  * The DECODER IS A STUB: [[StubDecoder]] derives deterministic fake
-  * dimensions and features from the raw bytes, standing in for the actual
-  * image/audio codec libraries that are not available in this environment.
-  * Everything around it — the media schema, the binary column handling, the
-  * batch iteration shape, the typed output encoder, the partition-local
-  * execution with no driver involvement — is real and tested, so swapping
-  * in a real codec is a one-object change.
+  * The image path runs a REAL codec: [[ImageSynth]] encodes deterministic
+  * PNG payloads (JDK `javax.imageio` — no external dependency), and
+  * [[ImageIoDecoder]] decodes those bytes back to pixels inside
+  * [[featureExtract]]. Because PNG is lossless and the synthesized pixel
+  * pattern has a closed form in `doc_id`, the DuckDB oracle can recompute
+  * the decoded widths/heights/channel sums ANALYTICALLY — so the decode
+  * gate is hard (hash-exact), not a stub mirror: any byte the codec gets
+  * wrong changes a channel sum and fails the gate.
   *
-  * Scale notes: decode work is embarrassingly parallel per partition; batch
-  * iteration bounds peak memory to `batchSize` decoded items per task;
-  * metadata aggregation afterwards is an ordinary hash agg on a
-  * low-cardinality key. Binary payloads never pass through the driver.
+  * Scale notes: synthesis and decode are embarrassingly parallel per
+  * partition; batch iteration bounds peak memory to `batchSize` decoded
+  * items per task; metadata aggregation afterwards is an ordinary hash agg
+  * on a low-cardinality key. Binary payloads never pass through the driver.
   */
 case class MediaRecord(doc_id: Long, media_type: String, media: Array[Byte])
 case class DecodedMedia(width: Int, height: Int, feature: Array[Float])
@@ -34,21 +35,87 @@ trait MediaDecoder extends Serializable {
   def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia
 }
 
-/** Deterministic fake decoder (STUB — see class docs above). Dimensions and
-  * the 8-dim "feature" are pure functions of the payload bytes, so results
-  * are reproducible and SQL-mirrorable for the oracle. */
-object StubDecoder extends MediaDecoder {
-  override def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia = {
-    val n = bytes.length
-    val width = (n % 64) + 1
-    val height = ((n * 7) % 64) + 1
-    val feature = Array.tabulate(8) { i =>
-      var s = 0L
-      var j = i
-      while (j < n) { s += bytes(j) & 0xff; j += 8 }
-      s.toFloat
+/** Deterministic REAL image payloads: a `doc_id`-parameterized RGB pattern
+  * encoded as an actual PNG via `javax.imageio`. Width/height/pixels are
+  * pure closed-form functions of doc_id, so an oracle can predict every
+  * decoded value without running a codec:
+  *   w  = doc_id % 49 + 16          (16..64)
+  *   h  = (doc_id·3) % 41 + 12      (12..52)
+  *   dd = doc_id % 251
+  *   pixel(x, ·) = (r,g,b) = ((7x+dd) % 256, (11x+2dd) % 256, (13x+3dd) % 256)
+  * The pattern varies per COLUMN only, so channel sums are h·Σ_x — cheap
+  * for the oracle, while the decoder still has to get every pixel of every
+  * row right (PNG rows are independently filtered; a row-level decode bug
+  * would break the h· factor). */
+object ImageSynth {
+  javax.imageio.ImageIO.setUseCache(false) // in-memory streams; no temp-file churn
+
+  def params(docId: Long): (Int, Int, Int) =
+    ((docId % 49 + 16).toInt, ((docId * 3) % 41 + 12).toInt, (docId % 251).toInt)
+
+  def rgb(x: Int, dd: Int): Int = {
+    val r = (x * 7 + dd) % 256
+    val g = (x * 11 + 2 * dd) % 256
+    val b = (x * 13 + 3 * dd) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  def png(docId: Long): Array[Byte] = {
+    val (w, h, dd) = params(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, dd)); x += 1 }
+      y += 1
     }
-    DecodedMedia(width, height, feature)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Closed-form channel sums of the synthesized image — what a correct
+    * decode must reproduce. Returns (rSum, gSum, bSum). */
+  def channelSums(docId: Long): (Long, Long, Long) = {
+    val (w, h, dd) = params(docId)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var x = 0
+    while (x < w) {
+      rs += (x * 7 + dd) % 256
+      gs += (x * 11 + 2 * dd) % 256
+      bs += (x * 13 + 3 * dd) % 256
+      x += 1
+    }
+    (rs * h, gs * h, bs * h)
+  }
+}
+
+/** REAL image decoder: `javax.imageio.ImageIO.read` over the payload bytes.
+  * feature = (redSum, greenSum, blueSum) over all decoded pixels — integer
+  * values ≤ 255·64·52 < 2²⁴, so the Float carrier is exact. */
+object ImageIoDecoder extends MediaDecoder {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  override def decode(mediaType: String, bytes: Array[Byte]): DecodedMedia = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable $mediaType payload (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff
+        gs += (p >> 8) & 0xff
+        bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    DecodedMedia(w, h, Array(rs.toFloat, gs.toFloat, bs.toFloat))
   }
 }
 
@@ -56,13 +123,27 @@ object Multimodal {
 
   /** Synthesizes a media table from `documents` (no binary table ships in
     * the testdata): payload = UTF-8 bytes of the text, media_type cycles
-    * image/audio/video by doc_id. */
+    * image/audio/video by doc_id. Used by the frame-plumbing queries where
+    * payloads are treated as opaque byte ranges. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       expr("element_at(array('image','audio','video'), cast(doc_id % 3 as int) + 1)")
         .as("media_type"),
       col("text").cast("binary").as("media"))
+
+  /** The REAL-codec media table: every `image`-typed document (doc_id ≡ 0
+    * mod 3, matching [[mediaFromDocuments]]'s cycle) carries an actual PNG
+    * payload synthesized by [[ImageSynth]]. Encoding runs partition-local
+    * in the executors — payload bytes never exist on the driver. */
+  def imageMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .where(expr("doc_id % 3 = 0"))
+      .as[Long]
+      .map(d => MediaRecord(d, "image", ImageSynth.png(d)))
+  }
 
   /** Partition-wise batched decode: the multimodal hot path. One task
     * decodes its partition in `batchSize` chunks (bounding peak decoded
@@ -108,10 +189,12 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: new dimensions are deterministic functions of the target
-    * box and source metadata (aspect-preserving fit); the real pixel work
-    * would live in the decoder. */
-  def resizeMeta(decoded: Dataset[MediaFeatures], maxSide: Int): Dataset[(Long, Int, Int)] = {
+  /** Aspect-preserving resize plan: target dimensions are integer-fit
+    * functions of the REAL decoded source dimensions (the pixel resample
+    * itself is interpolation-dependent and so not oracle-gateable; the
+    * dimension arithmetic is). Emits (doc_id, width, height, r_width,
+    * r_height) so the gate covers the decoded dims too. */
+  def resizeMeta(decoded: Dataset[MediaFeatures], maxSide: Int): Dataset[(Long, Int, Int, Int, Int)] = {
     val spark = decoded.sparkSession
     import spark.implicits._
     decoded.map { m =>
@@ -119,7 +202,7 @@ object Multimodal {
       val longest = math.max(m.width, m.height).toLong
       val w2 = ((m.width * scaleNum) / longest).toInt
       val h2 = ((m.height * scaleNum) / longest).toInt
-      (m.doc_id, math.max(w2, 1), math.max(h2, 1))
+      (m.doc_id, m.width, m.height, math.max(w2, 1), math.max(h2, 1))
     }
   }
 
@@ -137,29 +220,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Metadata stats per media type over the decoded stream — the
-    * oracle-gated query exercising the full binary→decode→aggregate path. */
+  /** Decoded-pixel statistics over the REAL codec path — the oracle-gated
+    * query exercising synth PNG → `ImageIO.read` → pixel aggregation end to
+    * end. Groups by the decoded width's residue class (4 groups) and sums
+    * decoded widths, heights and per-channel pixel values; the oracle
+    * recomputes every number analytically from doc_id, so one wrong decoded
+    * pixel anywhere in the corpus fails the hash. Channel sums ride the
+    * Float feature carrier exactly (< 2²⁴) and aggregate as BIGINTs. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
-    featureExtract(media, StubDecoder)
-      .groupBy("media_type")
+    featureExtract(imageMedia(spark, dir), ImageIoDecoder)
+      .select(col("width"), col("height"),
+        element_at(col("feature"), 1).cast("long").as("r"),
+        element_at(col("feature"), 2).cast("long").as("g"),
+        element_at(col("feature"), 3).cast("long").as("b"))
+      .groupBy((col("width") % 4).cast("long").as("width_mod"))
       .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("n_bytes")).as("total_bytes"),
-        (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
-        (sum(col("height")).cast("double") / count(lit(1))).as("avg_height"))
-      .orderBy("media_type")
+        count(lit(1)).as("n_images"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("r")).as("sum_red"),
+        sum(col("g")).as("sum_green"),
+        sum(col("b")).as("sum_blue"))
+      .orderBy("width_mod")
   }
 
-  /** Aspect-preserving resize plan for every decoded item (32-px box) —
-    * oracle-gated: [[resizeMeta]]'s integer fit arithmetic is mirrored in
-    * SQL over the stub dimensions. */
+  /** Aspect-preserving resize plan for every REALLY-decoded image (32-px
+    * box) — oracle-gated: [[resizeMeta]]'s integer fit arithmetic over the
+    * ImageIO-decoded dimensions, mirrored analytically in SQL. */
   def resizeStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
-    resizeMeta(featureExtract(media, StubDecoder), 32)
-      .toDF("doc_id", "r_width", "r_height")
+    resizeMeta(featureExtract(imageMedia(spark, dir), ImageIoDecoder), 32)
+      .toDF("doc_id", "width", "height", "r_width", "r_height")
       .orderBy("doc_id")
   }
 
@@ -248,22 +338,40 @@ object Multimodal {
         |  CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
         |  COUNT(DISTINCT frame_fp) AS n_distinct_frames
         |FROM cuts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The two real-codec gates: every number below is the ANALYTIC value of
+    // what ImageIO must decode from the synthesized PNGs (ImageSynth's
+    // closed-form pattern). The oracle never runs a codec — it predicts the
+    // decoder's output, which is the strongest cross-engine check a binary
+    // format admits.
     "mm_media_stats" ->
-      """WITH m AS (SELECT doc_id,
-        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
-        |SELECT media_type, COUNT(*) AS n_items,
-        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |  CAST(SUM(n_bytes % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_width,
-        |  CAST(SUM((n_bytes * 7) % 64 + 1) AS DOUBLE) / COUNT(*) AS avg_height
-        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+      """WITH imgs AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 49 + 16 AS BIGINT) AS w,
+        |    CAST((doc_id * 3) % 41 + 12 AS BIGINT) AS h,
+        |    CAST(doc_id % 251 AS BIGINT) AS dd
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sums AS (
+        |  SELECT i.doc_id, i.w, i.h,
+        |    CAST(SUM((x * 7 + dd) % 256) AS BIGINT) AS r_col,
+        |    CAST(SUM((x * 11 + 2 * dd) % 256) AS BIGINT) AS g_col,
+        |    CAST(SUM((x * 13 + 3 * dd) % 256) AS BIGINT) AS b_col
+        |  FROM imgs i, UNNEST(range(i.w)) AS u(x)
+        |  GROUP BY i.doc_id, i.w, i.h)
+        |SELECT w % 4 AS width_mod, COUNT(*) AS n_images,
+        |  CAST(SUM(w) AS BIGINT) AS sum_width,
+        |  CAST(SUM(h) AS BIGINT) AS sum_height,
+        |  CAST(SUM(h * r_col) AS BIGINT) AS sum_red,
+        |  CAST(SUM(h * g_col) AS BIGINT) AS sum_green,
+        |  CAST(SUM(h * b_col) AS BIGINT) AS sum_blue
+        |FROM sums GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_resize_stats" ->
-      """WITH m AS (SELECT doc_id,
-        |  octet_length(CAST(text AS BLOB)) AS n FROM documents),
-        |wh AS (SELECT doc_id,
-        |  CAST(n % 64 + 1 AS BIGINT) AS w,
-        |  CAST((n * 7) % 64 + 1 AS BIGINT) AS h FROM m)
+      """WITH wh AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 49 + 16 AS BIGINT) AS w,
+        |    CAST((doc_id * 3) % 41 + 12 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
         |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(greatest((w * 32) // greatest(w, h), 1) AS INTEGER) AS r_width,
         |  CAST(greatest((h * 32) // greatest(w, h), 1) AS INTEGER) AS r_height
         |FROM wh ORDER BY doc_id""".stripMargin,

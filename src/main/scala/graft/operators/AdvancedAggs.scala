@@ -350,33 +350,56 @@ object AdvancedAggs {
 
   /** Sketch aggregates — the sublinear-memory path for 100 TB cardinality
     * and quantile estimation: HyperLogLog++ distinct counts and t-digest
-    * style approximate percentiles. Sketch internals differ across engines,
-    * so these two are DELIBERATELY oracle-less (the driver records the
-    * weaker rows-only check); their exact counterparts agg_distinct_orders
-    * and agg_percentiles stay hash-gated. */
+    * style approximate percentiles. Sketch INTERNALS are engine-private
+    * (another engine cannot reproduce the estimate bit-for-bit), so these
+    * two gate themselves: the sketch runs for real, its estimate is checked
+    * against the exactly-computed answer INSIDE the query, and the output
+    * carries only exact columns plus the error-bound boolean — every column
+    * is oracle-hashable, and a sketch drifting out of its accuracy contract
+    * flips the boolean and fails the gate. (Same self-check shape as
+    * [[hllEstimate]]'s rel_err_pct, adapted to engine-private sketches.) */
   def sketchDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      // rsd 0.02 → gate at 5× the target standard error; deterministic for
+      // fixed data, so this is a stable hard gate, not a flaky one
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * lit(0.10)).as("within_10pct"))
       .orderBy("event_type")
 
+  /** approx_percentile(accuracy=1000) guarantees rank error ≤ n/1000, i.e.
+    * the estimate lies between the exact quantiles at p ± 0.001; the gate
+    * checks the 10× looser p ± 0.01 band via exact `percentile` bounds
+    * (already proven hash-portable by agg_percentiles). Output columns are
+    * the exact count + three band booleans — all oracle-hashable. */
   def sketchQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
-        .as("approx_p50_p95_p99"))
-      .select(col("l_returnflag"),
-        element_at(col("approx_p50_p95_p99"), 1).as("ap50"),
-        element_at(col("approx_p50_p95_p99"), 2).as("ap95"),
-        element_at(col("approx_p50_p95_p99"), 3).as("ap99"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+          .as("ap"),
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))")
+          .as("ep"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (element_at(col("ap"), 1) >= element_at(col("ep"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ep"), 2)).as("ok50"),
+        (element_at(col("ap"), 2) >= element_at(col("ep"), 3) &&
+          element_at(col("ap"), 2) <= element_at(col("ep"), 4)).as("ok95"),
+        (element_at(col("ap"), 3) >= element_at(col("ep"), 5) &&
+          element_at(col("ap"), 3) <= element_at(col("ep"), 6)).as("ok99"))
       .orderBy("l_returnflag")
 
-  /** Queries with no SQL-expressible cross-engine oracle (sketch internals
-    * are engine-specific); the driver and OperatorsSpec treat these as
-    * rows-only checks. */
-  val rowsOnly: Set[String] = Set("sketch_hll_users", "sketch_approx_quantiles")
+  /** Queries with no SQL-expressible cross-engine oracle. Empty since round
+    * 6: the two engine-private sketches became self-checking (estimate
+    * validated against the exact answer in-query, only exact columns +
+    * error-bound booleans shipped), so every entry carries a hard gate. */
+  val rowsOnly: Set[String] = Set.empty
 
   /** Fixed-width numeric histogram of lineitem prices (20 buckets of
     * 5000): one partial-aggregated scan, bucket = floor division in double
@@ -943,6 +966,17 @@ object AdvancedAggs {
     "sketch_hll_registers" ->
       s"""WITH $hllRegSql
          |SELECT register, max_rank FROM regs ORDER BY register""".stripMargin,
+    // Self-checking sketches: the engine-private estimate never ships —
+    // only exact columns plus the error-bound boolean, which the oracle
+    // asserts TRUE. A sketch out of its accuracy contract fails the hash.
+    "sketch_hll_users" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sketch_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sketch_hll_estimate" ->
       s"""WITH $hllRegSql,
          |s AS (SELECT COUNT(*) AS m,

@@ -353,6 +353,17 @@ object Dedup {
       prevCache = merged
       labels = merged.select(col("v"), col("lbl"))
       iter += 1
+      // Bounded-lineage contract: each round chains one join + one agg onto
+      // the previous round's plan, so an unchecked k-round loop carries an
+      // O(k)-deep logical plan — negligible for the 2-3 rounds dense
+      // near-dup graphs need, but a pathological high-diameter chain at
+      // cluster scale pays linearly growing analysis/serialization cost and
+      // risks deep-recompute on executor loss. A localCheckpoint every 5
+      // rounds cuts the plan back to O(1) while staying executor-local
+      // (no distributed-FS round trip; the checkpointed blocks replace the
+      // persist above for that round). Safe to cut eagerly: `merged` is
+      // already fully materialized by the convergence count.
+      if (changed > 0 && iter % 5 == 0) labels = labels.localCheckpoint(true)
     }
     sym.unpersist()
     labels

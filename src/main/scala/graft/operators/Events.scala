@@ -327,12 +327,18 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("value"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
+      // Collect a STRUCT per click (always non-null), not the bare k:
+      // collect_list skips NULL elements, so a click whose props.k is NULL
+      // would otherwise vanish from both the divisor n and the NULL-campaign
+      // bucket — the oracle's click join keeps such clicks, and so does
+      // attributionUShaped. The struct wrapper makes every click count.
       .withColumn("touches",
-        collect_list(when(col("event_type") === "click", col("k"))).over(w))
+        collect_list(when(col("event_type") === "click",
+          struct(col("k").as("ck")))).over(w))
       .filter(col("event_type") === "purchase")
       .select((dec(col("value")) * 100).cast("long").as("cents"),
-        size(col("touches")).as("n"), explode_outer(col("touches")).as("campaign"))
-      .select(col("campaign"),
+        size(col("touches")).as("n"), explode_outer(col("touches")).as("t"))
+      .select(col("t.ck").as("campaign"),
         when(col("n") > 0, expr("(cents * 10000) div n"))
           .otherwise(col("cents") * 10000L).as("share_q6"))
       .groupBy(col("campaign"))

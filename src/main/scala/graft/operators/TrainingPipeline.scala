@@ -231,23 +231,40 @@ object TrainingPipeline {
     * quantile discretizer every feature pipeline ships, made EXACT and
     * cluster-safe. A global NTILE would need one unpartitioned window
     * (banned in this engine); instead the global rank decomposes into
-    * per-value offset + within-value rank: the per-n_chars histogram is
-    * collected as driver metadata (value-domain-bounded, same license as
-    * the exact-median histogram), the within-value tiebreak rank is a
-    * window PARTITIONED by n_chars, and the offsets broadcast-join back.
+    * per-BUCKET offset + within-bucket rank over a FIXED 10k-bucket
+    * value-range partition (the [[AdvancedAggs.exactMedianTwoPass]]
+    * histogram generalized to every rank at once): buckets are monotone in
+    * n_chars, so global rank = bucket offset + rank within the bucket
+    * ordered by (n_chars, doc_id). Driver metadata is O(10k) regardless of
+    * how many DISTINCT lengths the corpus has — a billion-distinct-value
+    * column costs the driver exactly what a 10-value one does (the earlier
+    * per-distinct-value histogram collect was value-domain-proportional).
+    * Within-bucket sorts touch ~n/10k rows each under any non-degenerate
+    * distribution; a fully degenerate bucket just makes one partition's
+    * sort bigger, never the answer wrong.
     * bin = (rank-1)·10 div n, identical to the oracle's ROW_NUMBER form. */
   def quantileBins(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val buckets = 10000
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
-    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      .orderBy("n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val n = hist.map(_._2).sum
+    val Array(nL, loL, hiL) = docs
+      .agg(count(lit(1)), min(col("n_chars")), max(col("n_chars")))
+      .head().toSeq.map(_.toString.toLong).toArray
+    val n = nL
+    val rawWidth = (hiL - loL).toDouble / buckets
+    val width = if (rawWidth == 0.0) 1.0 else rawWidth // constant column → bucket 0
+    val bucketCol = least(
+      floor((col("n_chars") - lit(loL)).cast("double") / lit(width)).cast("int"),
+      lit(buckets - 1))
+    val hist = docs.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("c"))
+      .orderBy("b").collect().map(r => (r.getInt(0), r.getLong(1))) // ≤10k rows: metadata
     var acc = 0L
-    val offs = hist.toSeq.map { case (v, c) => val o = acc; acc += c; (v, o) }
-    val offDf = spark.createDataFrame(offs).toDF("n_chars", "off")
-    val rnW = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
-    docs.withColumn("rn", row_number().over(rnW))
-      .join(broadcast(offDf), Seq("n_chars"))
+    val offs = hist.toSeq.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val offDf = spark.createDataFrame(offs).toDF("b", "off")
+    val rnW = Window.partitionBy(col("b")).orderBy(col("n_chars"), col("doc_id"))
+    docs.withColumn("b", bucketCol)
+      .withColumn("rn", row_number().over(rnW))
+      .join(broadcast(offDf), Seq("b"))
       .withColumn("bin", expr(s"((off + rn - 1) * 10) div ${n}L"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),

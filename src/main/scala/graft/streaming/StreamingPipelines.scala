@@ -166,8 +166,12 @@ object StreamingPipelines {
           case "click" =>
             last = Some(ClickState(e.ts.getTime, e.event_id, e.k))
           case "purchase" =>
+            // Compare at SECOND granularity, exactly like the batch query's
+            // `ts.cast("long")` (floor epoch seconds) — a raw-millis compare
+            // could attribute a sub-second boundary pair differently from
+            // batch and break the stream-batch parity contract.
             val camp = last
-              .filter(c => e.ts.getTime - c.ts <= horizonMs)
+              .filter(c => e.ts.getTime / 1000 - c.ts / 1000 <= horizonMs / 1000)
               .flatMap(_.k)
             out += AttributedPurchase(uid, e.event_id, e.ts, e.value, camp)
           case _ =>

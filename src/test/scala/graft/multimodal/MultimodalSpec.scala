@@ -5,32 +5,62 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("StubDecoder is deterministic and byte-driven") {
-    val a = StubDecoder.decode("image", "hello world".getBytes("UTF-8"))
-    val b = StubDecoder.decode("image", "hello world".getBytes("UTF-8"))
-    assert(a.width == b.width && a.height == b.height &&
-      a.feature.sameElements(b.feature))
-    assert(a.width == 12 && a.height == (11 * 7) % 64 + 1)
-    assert(a.feature.length == 8)
-    assert(StubDecoder.decode("audio", Array[Byte]()).width == 1)
+  test("ImageSynth emits real PNG containers that round-trip through ImageIO") {
+    for (d <- Seq(0L, 3L, 48L, 249L, 498L)) {
+      val bytes = ImageSynth.png(d)
+      // PNG signature: this is an actual container, not a fake payload
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+      val dec = ImageIoDecoder.decode("image", bytes)
+      val (w, h, _) = ImageSynth.params(d)
+      assert(dec.width == w && dec.height == h,
+        s"doc $d: decoded ${dec.width}x${dec.height}, expected ${w}x$h")
+      val (rs, gs, bs) = ImageSynth.channelSums(d)
+      assert(dec.feature(0).toLong == rs, s"doc $d red sum")
+      assert(dec.feature(1).toLong == gs, s"doc $d green sum")
+      assert(dec.feature(2).toLong == bs, s"doc $d blue sum")
+    }
   }
 
-  test("featureExtract preserves every row across partitions and batches") {
-    val media = Multimodal.mediaFromDocuments(spark, sfDir).as[MediaRecord]
-      .repartition(7)
-    val out = Multimodal.featureExtract(media, StubDecoder, batchSize = 16)
+  test("every decoded pixel matches the synthesis pattern (not just sums)") {
+    val d = 6L
+    val (w, h, dd) = ImageSynth.params(d)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageSynth.png(d)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) == ImageSynth.rgb(x, dd),
+        s"pixel ($x,$y)")
+  }
+
+  test("featureExtract decodes actual bytes and preserves every row") {
+    val media = Multimodal.imageMedia(spark, sfDir).repartition(7)
+    val out = Multimodal.featureExtract(media, ImageIoDecoder, batchSize = 16)
     assert(out.count() == media.count())
-    // schema is the typed contract a real decoder would fill
     assert(out.columns.toSeq ==
       Seq("doc_id", "media_type", "n_bytes", "width", "height", "feature"))
+    // a decoded row agrees with the closed form
+    val row = out.filter($"doc_id" === 0).head()
+    val (w, h, _) = ImageSynth.params(0L)
+    assert(row.width == w && row.height == h)
   }
 
-  test("decoded metadata matches the stub arithmetic exactly") {
-    val media = Multimodal.mediaFromDocuments(spark, sfDir).as[MediaRecord]
-    val row = Multimodal.featureExtract(media, StubDecoder)
-      .filter($"doc_id" === 0).head()
-    assert(row.width == (row.n_bytes % 64 + 1).toInt)
-    assert(row.height == ((row.n_bytes * 7) % 64 + 1).toInt)
+  test("mm_media_stats equals the closed-form pixel sums at sf") {
+    val docIds = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id").where("doc_id % 3 = 0").as[Long].collect()
+    val expected = docIds.map { d =>
+      val (w, h, _) = ImageSynth.params(d)
+      val (rs, gs, bs) = ImageSynth.channelSums(d)
+      (w % 4, (1L, w.toLong, h.toLong, rs, gs, bs))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5, a._6 + b._6)))
+      .toMap
+    val got = Multimodal.mediaStats(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(0).toInt)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == e, s"width_mod ${r.getLong(0)}")
+    }
   }
 
   test("frameSample emits n byte-range frames per video, none for other media") {
@@ -44,18 +74,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resizeMeta preserves aspect ratio within integer truncation") {
-    val media = Multimodal.mediaFromDocuments(spark, sfDir).as[MediaRecord]
-    val decoded = Multimodal.featureExtract(media, StubDecoder)
+    val decoded = Multimodal.featureExtract(
+      Multimodal.imageMedia(spark, sfDir), ImageIoDecoder)
     val resized = Multimodal.resizeMeta(decoded, 32).collect()
     assert(resized.nonEmpty)
-    assert(resized.forall { case (_, w, h) => w >= 1 && h >= 1 && math.max(w, h) <= 32 })
-  }
-
-  test("mm_media_stats covers all three media types with full counts") {
-    val stats = Multimodal.mediaStats(spark, sfDir).collect()
-    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
-    assert(stats.map(_.getLong(1)).sum ==
-      graft.core.Tables.documents(spark, sfDir).count())
+    assert(resized.forall { case (_, _, _, w, h) =>
+      w >= 1 && h >= 1 && math.max(w, h) <= 32 })
   }
 
   test("frameDedup emits 4 fingerprinted frames per video with consistent counts") {
