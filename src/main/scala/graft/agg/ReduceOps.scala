@@ -57,10 +57,29 @@ object ReduceOps {
 }
 
 /** The pluggable map-task slot (function-pointer dispatch, main.cpp:83-95):
-  * lift any `Doc => Seq[KeyValue]` into a distributed map stage. */
+  * lift any `Doc => Seq[KeyValue]` into a distributed map stage.
+  *
+  * `cStringParity` reproduces the reference's C-string visibility rule
+  * (SURVEY §7.3): the reference reads each file into a NUL-terminated
+  * buffer and every task measures it with `strlen` (tasks.c:14/54/99), so
+  * content past an embedded NUL byte is INVISIBLE to a C map task, while a
+  * Scala String carries it through. With the flag on, content is truncated
+  * at the first NUL before the task runs — byte-parity on arbitrary binary
+  * inputs. Off by default: the sample corpus has no NULs (verified), and
+  * seeing the full content is the more useful semantic for a Spark engine. */
 object GenericMapTask {
-  def apply(f: Doc => Seq[KeyValue])(docs: Dataset[Doc]): Dataset[KeyValue] =
-    docs.flatMap(f)(Encoders.product[KeyValue])
+  /** First-NUL truncation — what `strlen`-measured C code can see. */
+  def cVisible(content: String): String = {
+    val i = content.indexOf(0)
+    if (i < 0) content else content.substring(0, i)
+  }
+
+  def apply(f: Doc => Seq[KeyValue], cStringParity: Boolean = false)(
+      docs: Dataset[Doc]): Dataset[KeyValue] = {
+    val g: Doc => Seq[KeyValue] =
+      if (cStringParity) d => f(d.copy(content = cVisible(d.content))) else f
+    docs.flatMap(g)(Encoders.product[KeyValue])
+  }
 }
 
 /** Plain-Scala reimplementations of the reference's three map tasks

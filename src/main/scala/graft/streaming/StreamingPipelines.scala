@@ -186,6 +186,113 @@ object StreamingPipelines {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** One banded signature row: a doc's presence in one LSH band bucket. */
+  case class BandedDoc(band: Int, bkey: String, doc_id: Long, ts: Timestamp,
+      hs: Array[Long])
+  case class StoredDoc(id: Long, hs: Array[Long])
+  /** Per-bucket state: every doc signature seen in this band bucket within
+    * the TTL horizon. */
+  case class BandBucket(docs: List[StoredDoc])
+  case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Merge-count of two sorted-ascending distinct arrays — the Scala twin
+    * of the `sorted_intersect_count` Catalyst expression, for use inside
+    * stateful streaming functions where no SQL expression can run. */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Streaming MinHash-banded NEAR-dedup — the incremental form of
+    * [[graft.operators.Dedup.minhashLsh]] (same 16-hash double-hashing
+    * signature, same 4×4 banding, same exact-Jaccard ≥ 0.8 verification),
+    * where the batch band self-join becomes keyed state per band BUCKET:
+    * an arriving doc is verified against every signature stored in its 4
+    * buckets and then joins them. Exactly the batch candidate generation —
+    * a pair is compared iff it shares a band — so a time-ordered replay
+    * emits precisely the batch pair set (spec-proven on the real documents
+    * table).
+    *
+    * Signature computation is per-row (stateless): `shingle_hashes` +
+    * `zip_with`/`array_min` higher-order expressions — no shuffle before
+    * the one keyed-state exchange. State carries signatures (16 hashes +
+    * the distinct shingle-hash set), never document text, and expires via
+    * event-time timeout `ttl` after a bucket's last arrival — the state
+    * TTL that makes an unbounded near-dedup stream feasible: memory is
+    * bounded by the dedup HORIZON, not stream length (the same contract as
+    * [[streamingDedup]]'s watermark, extended to near-duplicates).
+    *
+    * A pair sharing several bands is emitted once per shared band (the
+    * batch query's `distinct` needs global state a single keyed operator
+    * cannot hold); emissions are value-identical, so any downstream
+    * exact-key stage — a sink upsert, `dropDuplicatesWithinWatermark` in a
+    * follow-up query, or the batch compactor — collapses them. */
+  def minhashNearDup(docs: DataFrame, ttlMs: Long = 3600000L,
+      threshold: Double = 0.8): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.Registry.register(spark)
+    val P = "2305843009213693951L" // 2^61 - 1, the batch family's modulus
+    val ttl = s"${ttlMs / 1000} seconds"
+    val hashed = docs.selectExpr(
+        "doc_id", "ts",
+        "shingle_hashes(split(text, '\\\\s+')) AS h1s",
+        "transform(shingle_hashes(split(text, '\\\\s+'), '~'), " +
+          "h -> h % 72057594037927936L) AS h2ms")
+      .where("size(h1s) > 0") // <3-token docs have no signature (batch parity)
+    val mhCols = (0 until 16).map(j => expr(
+      s"cast(array_min(zip_with(h1s, h2ms, (a, b) -> (a + $j * b) % $P)) as string)")
+      .as(s"mh$j"))
+    val sig = hashed.select(Seq(col("doc_id"), col("ts"),
+      expr("array_sort(array_distinct(h1s))").as("hs")) ++ mhCols: _*)
+    val banded = sig.selectExpr("doc_id", "ts", "hs",
+      """stack(4,
+        |  0, concat_ws(',', mh0, mh1, mh2, mh3),
+        |  1, concat_ws(',', mh4, mh5, mh6, mh7),
+        |  2, concat_ws(',', mh8, mh9, mh10, mh11),
+        |  3, concat_ws(',', mh12, mh13, mh14, mh15)) as (band, bkey)""".stripMargin)
+      .withWatermark("ts", ttl)
+      .as[BandedDoc]
+
+    def update(key: (Int, String), it: Iterator[BandedDoc],
+        state: GroupState[BandBucket]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var stored = state.getOption.map(_.docs).getOrElse(Nil)
+      val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+      var maxTs = Long.MinValue
+      for (d <- it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))) {
+        maxTs = math.max(maxTs, d.ts.getTime)
+        if (!stored.exists(_.id == d.doc_id)) { // replayed doc: no self-pair
+          for (s <- stored) {
+            val common = sortedIntersectCount(d.hs, s.hs)
+            if (common > 0) {
+              val j = common.toDouble / (d.hs.length + s.hs.length - common)
+              if (j >= threshold) {
+                val (a, b) =
+                  if (s.id < d.doc_id) (s.id, d.doc_id) else (d.doc_id, s.id)
+                out += NearDupPair(a, b, j)
+              }
+            }
+          }
+          stored = StoredDoc(d.doc_id, d.hs) :: stored
+        }
+      }
+      state.update(BandBucket(stored))
+      if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
+      out.iterator
+    }
+
+    banded
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String, ts: Timestamp)
 

@@ -52,6 +52,46 @@ class MapTaskPropertiesSpec extends SparkSpec {
     }
   }
 
+  private val NUL = "\u0000"
+
+  test("cStringParity truncates at the first NUL exactly as strlen would (100 cases)") {
+    import graft.agg.GenericMapTask
+    // NUL-bearing generator: printable chunks glued with embedded NULs
+    val nulGen: Gen[String] = for {
+      a <- Gen.asciiPrintableStr
+      b <- Gen.asciiPrintableStr
+      n <- Gen.chooseNum(0, 2)
+    } yield a + (NUL * n) + b
+    for (s <- samples(nulGen, 100)) {
+      val visible = GenericMapTask.cVisible(s)
+      val cut = s.indexOf(NUL.charAt(0).toInt)
+      assert(visible == (if (cut < 0) s else s.take(cut)))
+      // the parity contract: a task under cStringParity sees what C sees
+      val viaFlag = ReferenceTasks.map1(Doc(0, visible))
+      assert(ReferenceTasks.map1(Doc(0, s)).map(_.value).sum >= viaFlag.map(_.value).sum)
+      assert(viaFlag.map(_.value).sum == visible.length)
+    }
+  }
+
+  test("GenericMapTask(cStringParity) over a NUL-bearing corpus equals the task on pre-NUL prefixes") {
+    import spark.implicits._
+    import graft.agg.{GenericMapTask, ReduceOps}
+    val texts = Seq(s"abc${NUL}def", "no nul here", s"${NUL}hidden", s"x1${NUL}${NUL}2")
+    val docs = texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }.toDS()
+    val gated = ReduceOps.sumReduce(
+      GenericMapTask(ReferenceTasks.map1, cStringParity = true)(docs))
+      .collect().map(kv => kv.key -> kv.value).toMap
+    val expected = texts.map(t => GenericMapTask.cVisible(t))
+      .flatMap(t => ReferenceTasks.map1(Doc(0, t)))
+      .groupBy(_.key).view.mapValues(_.map(_.value).sum).toMap
+    assert(gated == expected)
+    // and the default path still sees the full content
+    val ungated = ReduceOps.sumReduce(
+      GenericMapTask(ReferenceTasks.map1)(docs))
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(ungated("others") > gated("others")) // NULs and post-NUL chars count
+  }
+
   test("optimized Spark pipelines equal the reference fold on random corpora") {
     import spark.implicits._
     Registry.register(spark)
