@@ -10,6 +10,7 @@ Dev-only tool (duckdb/pandas are driver-side deps, not used by the engine).
 import json
 import sys
 import glob
+import time
 
 import duckdb
 import pandas as pd
@@ -38,8 +39,10 @@ def main(sf_dir: str, out_dir: str, only: list = ()) -> int:
     if rows_only:
         print(f"rows-only (no oracle SQL, driver checks rows>0): {', '.join(rows_only)}")
     n_pass = n_fail = 0
+    show_time = bool(int(__import__('os').environ.get('CHECK_ORACLE_TIME', '0')))
     for name in sorted(oracle):
         sql = oracle[name]
+        t0 = time.time()
         try:
             odf = con.execute(sql).fetchdf()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -86,7 +89,8 @@ def main(sf_dir: str, out_dir: str, only: list = ()) -> int:
                 print(f"FAIL {name}: " + "; ".join(f"{c} {m}" for c, m in diffs[:3]))
                 n_fail += 1
             else:
-                print(f"PASS {name} ({len(a)} rows)")
+                suffix = f" [{time.time() - t0:.1f}s]" if show_time else ""
+                print(f"PASS {name} ({len(a)} rows){suffix}")
                 n_pass += 1
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {e}")
