@@ -27,6 +27,8 @@ object SparkEntry {
       (Events.queries, Events.oracle),
       (Behavioral.queries, Behavioral.oracle),
       (Dedup.queries, Dedup.oracle),
+      (SubstringDedup.queries, SubstringDedup.oracle),
+      (Bpe.queries, Bpe.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),

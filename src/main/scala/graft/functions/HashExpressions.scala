@@ -90,6 +90,94 @@ object HashUtil {
     }
     acc
   }
+
+  // Rabin-Karp double-hash parameters. Two independent 30-bit polynomial
+  // hashes are combined as h1 * 2^31 + h2 (< 2^62, exact in int64 for both
+  // engines), giving ~60 effective bits — collision odds stay negligible at
+  // gate scale and small enough at 100 TB that a final exact-substring
+  // verify pass (same candidate-then-verify shape as the n-gram dedups)
+  // closes the gap when byte-exact guarantees are required.
+  private val WP1 = 1000000007L
+  private val WB1 = 131L
+  private val WP2 = 998244353L
+  private val WB2 = 137L
+
+  /** Rolling polynomial hash of every `w`-byte window of `s`: O(n) total
+    * work instead of the O(n·w) of hashing each window from scratch — the
+    * difference between a 40× write-amplified scan and a plain scan when
+    * substring-level dedup runs over 100 TB of text. Each window value is
+    * definitionally `fold(h·B + byte mod P)` over the window's bytes
+    * (what the DuckDB oracle computes non-rolling via `list_reduce`), for
+    * ASCII text where DuckDB's char-wise `ord(substr(…))` equals Spark's
+    * UTF-8 bytes. Empty array for inputs shorter than `w`. */
+  def charWindowHashes(s: UTF8String, w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    var pow1 = 1L
+    var pow2 = 1L
+    var k = 0
+    while (k < w - 1) { pow1 = pow1 * WB1 % WP1; pow2 = pow2 * WB2 % WP2; k += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < w) {
+      val c = (bytes(i) & 0xff).toLong
+      h1 = (h1 * WB1 + c) % WP1
+      h2 = (h2 * WB2 + c) % WP2
+      i += 1
+    }
+    out(0) = h1 * 2147483648L + h2
+    var j = 1
+    while (j <= n - w) {
+      val cOut = (bytes(j - 1) & 0xff).toLong
+      val cIn = (bytes(j + w - 1) & 0xff).toLong
+      h1 = ((h1 - cOut * pow1 % WP1 + WP1) % WP1 * WB1 + cIn) % WP1
+      h2 = ((h2 - cOut * pow2 % WP2 + WP2) % WP2 * WB2 + cIn) % WP2
+      out(j) = h1 * 2147483648L + h2
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `char_window_hashes(str[, width])` → array<bigint>: the rolling
+  * Rabin-Karp double-hash of every `width`-char window (default 40). See
+  * [[HashUtil.charWindowHashes]]. */
+case class CharWindowHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, "window width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_window_hashes expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.charWindowHashes(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.HashUtil.charWindowHashes($c, $width);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes =
+    copy(child = newChild)
+}
+
+object CharWindowHashes {
+  /** `char_window_hashes(text)` or `char_window_hashes(text, width)` —
+    * width must be a foldable integer literal. */
+  def fromArgs(exprs: Seq[Expression]): CharWindowHashes = {
+    val width = exprs.lift(1).map(e =>
+      e.eval(null).asInstanceOf[Number].intValue).getOrElse(40)
+    CharWindowHashes(exprs.head, width)
+  }
 }
 
 /** `portable_hash60(str)` → bigint. See [[HashUtil.hash60]]. */

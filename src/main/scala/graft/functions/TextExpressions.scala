@@ -137,5 +137,7 @@ object Registry {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes.fromArgs(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_window_hashes", exprs => CharWindowHashes.fromArgs(exprs), "built-in")
   }
 }

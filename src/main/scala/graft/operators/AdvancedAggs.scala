@@ -373,27 +373,59 @@ object AdvancedAggs {
       .orderBy("event_type")
 
   /** approx_percentile(accuracy=1000) guarantees rank error ≤ n/1000, i.e.
-    * the estimate lies between the exact quantiles at p ± 0.001; the gate
-    * checks the 10× looser p ± 0.01 band via exact `percentile` bounds
-    * (already proven hash-portable by agg_percentiles). Output columns are
-    * the exact count + three band booleans — all oracle-hashable. */
-  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+    * the estimate lies between the exact order statistics at p ± 0.001;
+    * the gate checks the 10× looser p ± 0.01 band. Output columns are the
+    * exact count + three band booleans — all oracle-hashable.
+    *
+    * The exact band edges come from an AGGREGATED cumulative histogram
+    * (groupBy (flag, price) with map-side partial aggregation, then a
+    * window cumsum over the ~distinct-values-sized result), not from the
+    * exact `percentile` aggregate: `percentile` materializes a per-group
+    * value→count map in executor memory — the same value-domain-
+    * proportional state this repo already evicted from quantileBins — and
+    * was also the single slowest bench query (14 s at sf0.1) when used
+    * here. Band edges are order statistics at exact integer ranks
+    * floor(q·n)∨1 and ceil(q·n)∧n, which bound the sketch's rank
+    * guarantee for every n. */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = li.groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
           .as("ap"),
-        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))")
-          .as("ep"),
         count(lit(1)).as("n_rows"))
+    val byV = Window.partitionBy("l_returnflag").orderBy("v")
+    val whole = Window.partitionBy("l_returnflag")
+    val cum = li.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hi", sum(col("c")).over(byV))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(whole))
+    // exactly one histogram row's [lo, hi] rank span covers each target
+    // rank, so the conditional max picks that row's value
+    val boundCols = Seq(
+      ("lo50", 49, true), ("hi50", 51, false), ("lo95", 94, true),
+      ("hi95", 96, false), ("lo99", 98, true), ("hi99", 100, false)
+    ).map { case (nm, q100, isLower) =>
+      val rank =
+        if (isLower) greatest(lit(1L), expr(s"($q100 * n) div 100"))
+        else least(col("n"), expr(s"($q100 * n + 99) div 100"))
+      max(when(rank.between(col("lo"), col("hi")), col("v"))).as(nm)
+    }
+    val bounds = cum.groupBy("l_returnflag")
+      .agg(boundCols.head, boundCols.tail: _*)
+    approx.join(bounds, "l_returnflag")
       .select(col("l_returnflag"), col("n_rows"),
-        (element_at(col("ap"), 1) >= element_at(col("ep"), 1) &&
-          element_at(col("ap"), 1) <= element_at(col("ep"), 2)).as("ok50"),
-        (element_at(col("ap"), 2) >= element_at(col("ep"), 3) &&
-          element_at(col("ap"), 2) <= element_at(col("ep"), 4)).as("ok95"),
-        (element_at(col("ap"), 3) >= element_at(col("ep"), 5) &&
-          element_at(col("ap"), 3) <= element_at(col("ep"), 6)).as("ok99"))
+        (element_at(col("ap"), 1) >= col("lo50") &&
+          element_at(col("ap"), 1) <= col("hi50")).as("ok50"),
+        (element_at(col("ap"), 2) >= col("lo95") &&
+          element_at(col("ap"), 2) <= col("hi95")).as("ok95"),
+        (element_at(col("ap"), 3) >= col("lo99") &&
+          element_at(col("ap"), 3) <= col("hi99")).as("ok99"))
       .orderBy("l_returnflag")
+  }
 
   /** Queries with no SQL-expressible cross-engine oracle. Empty since round
     * 6: the two engine-private sketches became self-checking (estimate

@@ -50,7 +50,7 @@ object Dedup {
   private def h60(x: String): String = s"portable_hash60($x)"
 
   /** (doc_id, toks) with whitespace tokenization. */
-  private def tokenized(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tokenized(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
@@ -60,7 +60,7 @@ object Dedup {
     * One codegen pass ([[graft.functions.ShingleHashes]]) — no 3-gram
     * strings are ever materialized; values are definitionally
     * hash60(concat_ws(' ', …)), which is what the oracles compute. */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
       .select(col("doc_id"), explode(expr("shingle_hashes(toks)")).as("h"))
       .distinct()
@@ -481,10 +481,10 @@ object Dedup {
   //   list_reduce(list_transform(range(1,16), k ->
   //     CAST(strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1 AS BIGINT)),
   //     (a,b) -> a*16+b)
-  private def dh60(x: String): String =
+  private[operators] def dh60(x: String): String =
     s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
-  private val shCte: String =
+  private[operators] val shCte: String =
     """toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
       |shg AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i+1], t[i+2], t[i+3]) AS s
       |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin

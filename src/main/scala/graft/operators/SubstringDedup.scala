@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Character-level duplicate-substring detection and incremental
+  * (new-vs-corpus) dedup — the two corpus-hygiene shapes the document-level
+  * dedup family doesn't cover.
+  *
+  * Duplicate-substring detection follows Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ACL 2022): a document can
+  * be globally unique while sharing long verbatim spans (boilerplate,
+  * licenses, quoted text) with thousands of others, and those spans — not
+  * whole-doc duplicates — dominate memorization. The scalable shape here is
+  * the inverted-index form of their suffix-array scan: every L-char window
+  * gets a ROLLING Rabin-Karp hash (O(n) per doc via the
+  * `char_window_hashes` codegen expression, not O(n·L)), windows are
+  * deduplicated per doc, and only 8-byte hashes ever enter the shuffle —
+  * never substrings. A document-frequency cap bounds the hot-window
+  * blowup exactly as the shingle dedups do.
+  *
+  * Incremental dedup is the production ingestion shape: a new batch is
+  * deduplicated AGAINST an existing corpus (exact content hash + MinHash
+  * band candidates restricted to new×corpus pairs), never corpus×corpus —
+  * at 100 TB the corpus side's signatures are precomputed once and only
+  * the (small) incoming batch is hashed per run, so per-batch cost scales
+  * with the batch, not the corpus.
+  */
+object SubstringDedup {
+
+  /** Window length: 40 chars ≈ the 50-token span of the Lee et al. setup
+    * scaled to this corpus's short synthetic docs. */
+  private val L = 40
+
+  /** Hot-window guard, mirrored in the oracles: windows appearing in more
+    * than this many documents are dropped from pairing (a 100 TB corpus
+    * has degenerate boilerplate windows that would otherwise emit
+    * quadratic candidate pairs). No window in the test corpus comes close,
+    * so the cap is semantically invisible at gate scale. */
+  private val MaxDf = 100000
+
+  /** Distinct (doc_id, h) rows, h = rolling double-hash of each L-char
+    * window. Docs shorter than L contribute nothing (explode of the empty
+    * array), matching the oracles' `length(text) >= L` prefilter. */
+  private def windowHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(s"char_window_hashes(text, $L)")).as("h"))
+      .distinct()
+  }
+
+  /** Per-document duplication profile: how much of each document's window
+    * set is shared with at least one other document. `dup_ratio` is the
+    * corpus-cleaning signal — a high ratio marks boilerplate-heavy docs
+    * even when no whole-doc duplicate exists. Distinct-window counts (not
+    * positions) keep the aggregation one groupBy + one join on longs. */
+  def substringProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wd = windowHashes(spark, dir)
+    val docFreq = wd.groupBy("h").agg(count(lit(1)).as("df"))
+    wd.join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Document pairs sharing at least 3 distinct L-char windows, with the
+    * shared-window count — the pair-level view of [[substringProfile]].
+    * Inverted-index join on window hashes under the df cap; the threshold
+    * keeps the output at real spans rather than single-window
+    * coincidences. */
+  def substringPairs(spark: SparkSession, dir: String): DataFrame = {
+    val wd = windowHashes(spark, dir)
+    val rare = wd.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf).select("h")
+    val wr = wd.join(rare, "h")
+    wr.select(col("doc_id").as("doc_a"), col("h"))
+      .join(wr.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental dedup of an incoming batch (odd doc_ids) against an
+    * existing corpus (even doc_ids): per incoming doc, an exact content
+    * match flag, the smallest near-duplicate corpus doc (MinHash band
+    * candidates × exact Jaccard ≥ 0.8 verify, identical family to
+    * `dedup_minhash_lsh`), and the keep/drop decision.
+    *
+    * Only new×corpus band pairs are ever generated — the corpus is never
+    * self-joined. The signature subtree is shared between the band build
+    * and the verify step, so Spark's exchange reuse hashes each shingle
+    * once. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val P = "2305843009213693951L" // 2^61 - 1, as in minhashLsh
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val corpusHashes = docs.filter(col("doc_id") % 2 === 0)
+      .select(sha2(col("text"), 256).as("chash")).distinct()
+    val exact = incoming
+      .select(col("doc_id"), sha2(col("text"), 256).as("chash"))
+      .join(corpusHashes.withColumn("hit", lit(true)), Seq("chash"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("exact_dup"))
+
+    val shh = Dedup.tokenized(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(shingle_hashes(toks), shingle_hashes(toks, '~'), " +
+          "(a, b) -> named_struct('h1', a, 'h2', b))")).as("z"))
+      .select(col("doc_id"), col("z.h1").as("h1"),
+        (col("z.h2") % lit(72057594037927936L)).as("h2m"))
+      .distinct()
+    val minCols = (0 until 16).map(j =>
+      min(expr(s"(h1 + $j * h2m) % $P")).cast("string").as(s"mh$j"))
+    val perDoc = shh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h1"))).as("hs"), minCols: _*)
+    val bands = perDoc.selectExpr("doc_id",
+      """stack(4,
+        |  0, concat_ws(',', mh0, mh1, mh2, mh3),
+        |  1, concat_ws(',', mh4, mh5, mh6, mh7),
+        |  2, concat_ws(',', mh8, mh9, mh10, mh11),
+        |  3, concat_ws(',', mh12, mh13, mh14, mh15)) as (band, bkey)""".stripMargin)
+    val cand = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bands.filter(col("doc_id") % 2 === 0)
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .select("doc_a", "doc_b").distinct()
+    val near = cand
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(hs_a, hs_b)").as("common"),
+        size(col("hs_a")).cast("long").as("ca"), size(col("hs_b")).cast("long").as("cb"))
+      .filter(col("common") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("ca") + col("cb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      // deterministic representative: the SMALLEST matching corpus doc;
+      // min(struct) orders by doc_b first, carrying its jaccard along
+      .groupBy(col("doc_a"))
+      .agg(min(struct(col("doc_b"), col("jaccard"))).as("m"))
+      .select(col("doc_a").as("doc_id"),
+        col("m.doc_b").as("near_dup_of"), col("m.jaccard").as("near_jaccard"))
+
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        col("near_dup_of"), col("near_jaccard"),
+        when(col("exact_dup"), "drop_exact")
+          .when(col("near_dup_of").isNotNull, "drop_near")
+          .otherwise("keep").as("decision"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_profile" -> (substringProfile _),
+    "dedup_substring_pairs" -> (substringPairs _),
+    "dedup_incremental" -> (incrementalDedup _)
+  )
+
+  /** Rolling-hash window CTE mirrored non-rolling in SQL: each window's
+    * double hash is the char-wise fold the rolling form maintains
+    * incrementally (exact same mod arithmetic, ASCII corpus). */
+  private val wndCte: String =
+    s"""wd AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_transform(range(0, $L),
+       |        k -> CAST(ord(substr(text, i + k, 1)) AS BIGINT)),
+       |      (a, b) -> (a * 131 + b) % 1000000007) * 2147483648
+       |    + list_reduce(list_transform(range(0, $L),
+       |        k -> CAST(ord(substr(text, i + k, 1)) AS BIGINT)),
+       |      (a, b) -> (a * 137 + b) % 998244353) AS h
+       |  FROM documents, UNNEST(range(1, length(text) - $L + 2)) AS u(i)
+       |  WHERE length(text) >= $L)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_substring_profile" ->
+      s"""WITH $wndCte,
+         |df AS (SELECT h, COUNT(*) AS df FROM wd GROUP BY h)
+         |SELECT wd.doc_id,
+         |  COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS dup_ratio
+         |FROM wd JOIN df USING (h)
+         |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin,
+    "dedup_substring_pairs" ->
+      s"""WITH $wndCte,
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM wd GROUP BY h)
+         |         WHERE df <= $MaxDf),
+         |wr AS (SELECT wd.doc_id, wd.h FROM wd JOIN rare USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS shared_windows
+         |FROM wr a JOIN wr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH ${Dedup.shCte},
+         |shh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h1,
+         |          ${Dedup.dh60("s || '~'")} % 72057594037927936 AS h2m FROM shg),
+         |hs AS (SELECT doc_id, seed, (h1 + seed * h2m) % 2305843009213693951 AS h
+         |       FROM shh, UNNEST(range(16)) AS se(seed)),
+         |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hs GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |hsh AS (SELECT doc_id, h1 AS h FROM shh),
+         |card AS (SELECT doc_id, COUNT(*) c FROM hsh GROUP BY 1),
+         |common AS (SELECT doc_a, doc_b, COUNT(*) AS common
+         |           FROM cand JOIN hsh x ON x.doc_id = doc_a
+         |                     JOIN hsh y ON y.doc_id = doc_b AND x.h = y.h
+         |           GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b,
+         |         CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+         |       FROM common JOIN card ca ON doc_a = ca.doc_id
+         |                   JOIN card cb ON doc_b = cb.doc_id
+         |       WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
+         |near AS (SELECT doc_a, MIN(doc_b) AS near_dup_of FROM jp GROUP BY 1),
+         |nearj AS (SELECT n.doc_a, n.near_dup_of, j.jaccard AS near_jaccard
+         |          FROM near n JOIN jp j
+         |            ON j.doc_a = n.doc_a AND j.doc_b = n.near_dup_of),
+         |ex AS (SELECT d.doc_id,
+         |         EXISTS (SELECT 1 FROM documents c
+         |                 WHERE c.doc_id % 2 = 0 AND c.text = d.text) AS exact_dup
+         |       FROM documents d WHERE d.doc_id % 2 = 1)
+         |SELECT e.doc_id, e.exact_dup, n.near_dup_of, n.near_jaccard,
+         |  CASE WHEN e.exact_dup THEN 'drop_exact'
+         |       WHEN n.near_dup_of IS NOT NULL THEN 'drop_near'
+         |       ELSE 'keep' END AS decision
+         |FROM ex e LEFT JOIN nearj n ON n.doc_a = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin
+  )
+}
