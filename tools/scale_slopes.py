@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Build SCALE.md from two Bench JSON lines (sf0.1 and derived sf1).
+
+For each query present in both runs, slope = t(sf1) / t(sf0.1) on the
+CONVERGED rep times. With a 10x data ratio, slope <= ~10 is linear-or-
+better; the report flags anything above a super-linear threshold that
+can't be explained by fixed per-query overhead (very fast queries have
+noisy ratios, so a floor on the sf1 time is applied before flagging).
+
+Usage: python3 tools/scale_slopes.py target/bench_sf01.json \
+    target/bench_sf1.json SCALE.md
+
+Dev-only tool (driver-side python; not part of the engine).
+"""
+import json
+import sys
+from collections import defaultdict
+
+SUPERLINEAR = 20.0   # 2x the 10x data ratio
+MIN_SF1_SEC = 2.0    # ignore ratio noise on sub-2s sf1 queries
+
+
+def family(name: str) -> str:
+    if name.startswith("q") and name[1].isdigit():
+        return "tpch"
+    return name.split("_")[0]
+
+
+def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
+    a = json.load(open(sf01_path))
+    b = json.load(open(sf1_path))
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+    rows = [(n, qa[n], qb[n], (qb[n] / qa[n]) if qa[n] > 0 else float("inf"))
+            for n in common]
+    fams = defaultdict(list)
+    for n, t0, t1, r in rows:
+        fams[family(n)].append((n, t0, t1, r))
+    flagged = [(n, t0, t1, r) for n, t0, t1, r in rows
+               if r > SUPERLINEAR and t1 >= MIN_SF1_SEC]
+    lines = []
+    lines.append("# SCALE — 10x scale probe (derived sf1 vs sf0.1)\n")
+    lines.append(
+        f"Data: `/root/testdata/sf0.1` vs `target/sf1` (graft.ScaleUp 10x "
+        f"key-remapped replication; near-dup structure preserved per replica, "
+        f"no cross-replica near-dups by construction).\n")
+    lines.append(
+        f"Totals (converged reps): sf0.1 = {a['value']:.1f}s, "
+        f"sf1 = {b['value']:.1f}s over {len(common)} shared queries "
+        f"-> overall slope {b['value']/a['value']:.1f}x on 10x data. "
+        f"Failed queries: sf0.1={a['failed']}, sf1={b['failed']}.\n")
+    lines.append("## Per-family slopes (median ratio, 10x data)\n")
+    lines.append("| family | queries | median slope | max slope | max query |")
+    lines.append("|---|---|---|---|---|")
+    for f in sorted(fams):
+        fr = sorted(x[3] for x in fams[f])
+        med = fr[len(fr) // 2]
+        mx = max(fams[f], key=lambda x: x[3])
+        lines.append(f"| {f} | {len(fams[f])} | {med:.1f}x | {mx[3]:.1f}x "
+                     f"| {mx[0]} ({mx[1]:.2f}s -> {mx[2]:.2f}s) |")
+    lines.append("\n## Flagged super-linear (> %.0fx and sf1 >= %.1fs)\n"
+                 % (SUPERLINEAR, MIN_SF1_SEC))
+    if not flagged:
+        lines.append("None.")
+    else:
+        lines.append("| query | sf0.1 | sf1 | slope |")
+        lines.append("|---|---|---|---|")
+        for n, t0, t1, r in sorted(flagged, key=lambda x: -x[3]):
+            lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x |")
+    lines.append("\n## Slowest 15 at sf1 (converged)\n")
+    lines.append("| query | sf0.1 | sf1 | slope |")
+    lines.append("|---|---|---|---|")
+    for n, t0, t1, r in sorted(rows, key=lambda x: -x[2])[:15]:
+        lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x |")
+    open(out_path, "w").write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}: {len(common)} queries, {len(flagged)} flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:4]))
