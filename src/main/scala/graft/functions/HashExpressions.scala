@@ -112,9 +112,12 @@ object HashUtil {
     * UTF-8 bytes. Empty array for inputs shorter than `w`. */
   def charWindowHashes(s: UTF8String, w: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val bytes = s.getBytes
+    new GenericArrayData(rollHashes(s.getBytes, w))
+  }
+
+  private def rollHashes(bytes: Array[Byte], w: Int): Array[Long] = {
     val n = bytes.length
-    if (n < w) return new GenericArrayData(Array.empty[Long])
+    if (n < w) return Array.empty[Long]
     var pow1 = 1L
     var pow2 = 1L
     var k = 0
@@ -139,6 +142,54 @@ object HashUtil {
       out(j) = h1 * 2147483648L + h2
       j += 1
     }
+    out
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): over the rolling `w`-char window hashes, every window of `win`
+    * consecutive hashes contributes its minimum (rightmost position on
+    * ties), and the selected positions' hashes form the fingerprint set —
+    * ~2/(win+1) of all positions, with the guarantee that any shared
+    * substring of length ≥ w + win − 1 produces at least one shared
+    * fingerprint. O(n) via a monotonic deque (pop-equal keeps the
+    * rightmost minimum at the front). Sequences shorter than one window
+    * winnow as a single window. May contain duplicate VALUES (the same
+    * hash selected at different positions); callers dedupe. */
+  def winnowHashes(s: UTF8String, w: Int, win: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hs = rollHashes(s.getBytes, w)
+    val n = hs.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n < win) {
+      var best = 0
+      var i = 1
+      while (i < n) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      return new GenericArrayData(Array(hs(best)))
+    }
+    val selected = new Array[Boolean](n)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque indices live in dq[head, tail)
+    var j = 0
+    while (j < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      val s0 = j - win + 1
+      if (s0 >= 0) {
+        while (dq(head) < s0) head += 1
+        selected(dq(head)) = true
+      }
+      j += 1
+    }
+    var cnt = 0
+    j = 0
+    while (j < n) { if (selected(j)) cnt += 1; j += 1 }
+    val out = new Array[Long](cnt)
+    var o = 0
+    j = 0
+    while (j < n) { if (selected(j)) { out(o) = hs(j); o += 1 }; j += 1 }
     new GenericArrayData(out)
   }
 }
@@ -177,6 +228,43 @@ object CharWindowHashes {
     val width = exprs.lift(1).map(e =>
       e.eval(null).asInstanceOf[Number].intValue).getOrElse(40)
     CharWindowHashes(exprs.head, width)
+  }
+}
+
+/** `winnow_hashes(str[, width[, window]])` → array<bigint>: winnowed
+  * fingerprint hashes over the rolling `width`-char window hashes with
+  * winnowing window `window`. See [[HashUtil.winnowHashes]]. */
+case class WinnowHashes(child: Expression, width: Int, window: Int)
+    extends UnaryExpression {
+  require(width >= 1 && window >= 1, "width and window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_hashes expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.winnowHashes(input.asInstanceOf[UTF8String], width, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.functions.HashUtil.winnowHashes($c, $width, $window);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
+object WinnowHashes {
+  def fromArgs(exprs: Seq[Expression]): WinnowHashes = {
+    val width = exprs.lift(1).map(e =>
+      e.eval(null).asInstanceOf[Number].intValue).getOrElse(40)
+    val window = exprs.lift(2).map(e =>
+      e.eval(null).asInstanceOf[Number].intValue).getOrElse(8)
+    WinnowHashes(exprs.head, width, window)
   }
 }
 

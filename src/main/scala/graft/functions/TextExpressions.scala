@@ -139,5 +139,7 @@ object Registry {
       "shingle_hashes", exprs => ShingleHashes.fromArgs(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "char_window_hashes", exprs => CharWindowHashes.fromArgs(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_hashes", exprs => WinnowHashes.fromArgs(exprs), "built-in")
   }
 }

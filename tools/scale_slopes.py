@@ -19,6 +19,18 @@ from collections import defaultdict
 SUPERLINEAR = 20.0   # 2x the 10x data ratio
 MIN_SF1_SEC = 2.0    # ignore ratio noise on sub-2s sf1 queries
 
+# Queries whose cost is INTENTIONALLY superlinear: exhaustive differential
+# baselines that exist to prove a linear/banded production twin correct.
+# They are reported separately, not flagged as defects.
+BASELINES = {
+    "dedup_embedding_cosine":
+        "exact all-pairs cosine baseline; production twin is the banded "
+        "dedup_embedding_lsh (n^2/256 candidates), proven equal at gate scale",
+    "dedup_substring_pairs":
+        "all-windows inverted-index baseline; production twin is "
+        "dedup_substring_winnow (~2/(W+1) sampled fingerprints)",
+}
+
 
 def family(name: str) -> str:
     if name.startswith("q") and name[1].isdigit():
@@ -37,7 +49,8 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
     for n, t0, t1, r in rows:
         fams[family(n)].append((n, t0, t1, r))
     flagged = [(n, t0, t1, r) for n, t0, t1, r in rows
-               if r > SUPERLINEAR and t1 >= MIN_SF1_SEC]
+               if r > SUPERLINEAR and t1 >= MIN_SF1_SEC and n not in BASELINES]
+    baselined = [(n, t0, t1, r) for n, t0, t1, r in rows if n in BASELINES]
     lines = []
     lines.append("# SCALE — 10x scale probe (derived sf1 vs sf0.1)\n")
     lines.append(
@@ -67,6 +80,12 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
         lines.append("|---|---|---|---|")
         for n, t0, t1, r in sorted(flagged, key=lambda x: -x[3]):
             lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x |")
+    lines.append("\n## Declared exhaustive baselines (superlinear by design)\n")
+    lines.append("| query | sf0.1 | sf1 | slope | why |")
+    lines.append("|---|---|---|---|---|")
+    for n, t0, t1, r in sorted(baselined, key=lambda x: -x[3]):
+        lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x "
+                     f"| {BASELINES[n]} |")
     lines.append("\n## Slowest 15 at sf1 (converged)\n")
     lines.append("| query | sf0.1 | sf1 | slope |")
     lines.append("|---|---|---|---|")
