@@ -19,22 +19,64 @@ object AdvancedAggs {
 
   private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
 
-  /** Exact price/quantity percentiles per return flag. All four price
-    * percentiles come from ONE `percentile(col, array(...))` aggregate —
-    * one value buffer and one sort per group instead of four. */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))").as("ps"),
-        expr("percentile(l_quantity, 0.5)").as("median_qty"))
-      .select(col("l_returnflag"),
-        element_at(col("ps"), 1).as("p25_price"),
-        element_at(col("ps"), 2).as("p50_price"),
-        element_at(col("ps"), 3).as("p75_price"),
-        element_at(col("ps"), 4).as("p90_price"),
-        col("median_qty"))
+  /** Exact interpolated percentiles of a value column per return flag,
+    * from an AGGREGATED cumulative histogram instead of the built-in
+    * `percentile` aggregate: `percentile` buffers a value→count map per
+    * group in executor memory (value-domain-proportional state — the
+    * pattern this repo evicts everywhere it appears), while the histogram
+    * is a partial-aggregated (flag, value) count whose window pass runs
+    * over distinct values only. The interpolation reproduces Spark's
+    * `Percentile.getPercentile` IEEE tree exactly — position
+    * `p·(n−1)`, order statistics at floor/ceil ranks, and the
+    * `lo·(⌈pos⌉−pos) + hi·(pos−⌊pos⌋)` blend with the integral-position
+    * branch — which DuckDB's `quantile_cont` matches on this data (the
+    * pre-rewrite gate proved that equality; the rewrite preserves it). */
+  private def histPercentiles(values: DataFrame, ps: Seq[(Double, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy("l_returnflag").orderBy("v")
+    val whole = Window.partitionBy("l_returnflag")
+    val cum = values
+      .groupBy(col("l_returnflag"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hi", sum(col("c")).over(byV))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("vd", col("v").cast("double"))
+    val aggCols = ps.flatMap { case (p, nm) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        max(when((floor(pos).cast("long") + 1).between(col("lo"), col("hi")),
+          col("vd"))).as(s"${nm}_lo"),
+        max(when((ceil(pos).cast("long") + 1).between(col("lo"), col("hi")),
+          col("vd"))).as(s"${nm}_hi"),
+        max(pos).as(s"${nm}_pos"))
+    }
+    cum.groupBy("l_returnflag").agg(aggCols.head, aggCols.tail: _*)
+      .select(col("l_returnflag") +: ps.map { case (_, nm) =>
+        val pos = col(s"${nm}_pos")
+        when(floor(pos) === ceil(pos), col(s"${nm}_lo"))
+          .otherwise(col(s"${nm}_lo") * (ceil(pos) - pos)
+            + col(s"${nm}_hi") * (pos - floor(pos))).as(nm)
+      }: _*)
+  }
+
+  /** Exact price/quantity percentiles per return flag, via
+    * [[histPercentiles]] (one histogram per value column). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val prices = histPercentiles(
+      li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      Seq(0.25 -> "p25_price", 0.5 -> "p50_price",
+        0.75 -> "p75_price", 0.9 -> "p90_price"))
+    val qty = histPercentiles(
+      li.select(col("l_returnflag"), col("l_quantity").as("v")),
+      Seq(0.5 -> "median_qty"))
+    prices.join(qty, "l_returnflag")
+      .select(col("l_returnflag"), col("p25_price"), col("p50_price"),
+        col("p75_price"), col("p90_price"), col("median_qty"))
       .orderBy("l_returnflag")
+  }
 
   /** Cross-tab: order counts per priority pivoted over the status domain. */
   def pivotPriorityByStatus(spark: SparkSession, dir: String): DataFrame =

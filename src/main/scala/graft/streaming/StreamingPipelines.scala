@@ -329,4 +329,113 @@ object StreamingPipelines {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  private val Mersenne61 = "2305843009213693951L"
+
+  /** Static-corpus index for [[incrementalDedup]]: the exact content-hash
+    * set and the per-(band, bkey) bucket table of corpus signatures,
+    * computed ONCE as batch DataFrames. At 100 TB this is the
+    * precomputed-and-maintained side — per incoming batch only the stream
+    * rows are hashed, and Spark broadcasts or co-partitions the bucket
+    * table across the stream-static joins. Signature construction mirrors
+    * [[graft.operators.Dedup.minhashLsh]] term for term (distinct
+    * (h1, h2m) pairs → sorted h1 set; 16 double-hash minima; 4×4 band
+    * keys), so candidates equal the batch band join's exactly. */
+  def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    graft.functions.Registry.register(spark)
+    val chashes = corpus.select(sha2(col("text"), 256).as("chash")).distinct()
+    val sig = corpus.selectExpr("doc_id",
+        "shingle_hashes(split(text, '\\\\s+')) AS h1s",
+        "transform(shingle_hashes(split(text, '\\\\s+'), '~'), " +
+          "h -> h % 72057594037927936L) AS h2ms")
+      .where("size(h1s) > 0")
+      .withColumn("hs", expr(
+        "array_sort(transform(array_distinct(zip_with(h1s, h2ms, " +
+          "(a, b) -> named_struct('h1', a, 'h2', b))), s -> s.h1))"))
+    val mhCols = (0 until 16).map(j => expr(
+      s"cast(array_min(zip_with(h1s, h2ms, (a, b) -> (a + $j * b) % $Mersenne61)) as string)")
+      .as(s"mh$j"))
+    val buckets = sig.select(Seq(col("doc_id"), col("hs")) ++ mhCols: _*)
+      .selectExpr("doc_id", "hs",
+        """stack(4,
+          |  0, concat_ws(',', mh0, mh1, mh2, mh3),
+          |  1, concat_ws(',', mh4, mh5, mh6, mh7),
+          |  2, concat_ws(',', mh8, mh9, mh10, mh11),
+          |  3, concat_ws(',', mh12, mh13, mh14, mh15)) as (band, bkey)""".stripMargin)
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("cands"))
+    (chashes, buckets)
+  }
+
+  /** Streaming incremental dedup — the streaming form of
+    * [[graft.operators.SubstringDedup.incrementalDedup]]: an unbounded
+    * stream of incoming documents is deduplicated against a STATIC corpus
+    * through stream-static left joins, with ZERO streaming state. Per
+    * stream row: the exact content hash probes the corpus hash set; the
+    * four MinHash band keys (computed as COLUMNS, not stacked rows — the
+    * stream is never exploded) each probe the corpus bucket table; the ≤4
+    * candidate lists merge row-locally and every candidate is verified by
+    * an exact Jaccard over the sorted signature sets
+    * (`sorted_intersect_count`, the same codegen expression the batch
+    * verify uses, with the same double division) — so a replay emits
+    * exactly the batch decisions (spec-proven). Stateless append mode:
+    * no watermark, no aggregation, memory bounded by bucket fan-in only —
+    * the ingestion-time dedup gate a 100 TB pipeline runs in front of its
+    * corpus store. */
+  def incrementalDedup(docs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Registry.register(spark)
+    val (chashes, buckets) = corpusIndex(corpus)
+    val mhCols = (0 until 16).map(j => expr(
+      s"cast(array_min(zip_with(h1s, h2ms, (a, b) -> (a + $j * b) % $Mersenne61)) as string)")
+      .as(s"mh$j"))
+    val sig = docs.selectExpr("doc_id", "ts", "text",
+        "shingle_hashes(split(text, '\\\\s+')) AS h1s",
+        "transform(shingle_hashes(split(text, '\\\\s+'), '~'), " +
+          "h -> h % 72057594037927936L) AS h2ms")
+      .withColumn("chash", sha2(col("text"), 256))
+      .withColumn("hs", expr(
+        "array_sort(transform(array_distinct(zip_with(h1s, h2ms, " +
+          "(a, b) -> named_struct('h1', a, 'h2', b))), s -> s.h1))"))
+    val withKeys = sig.select(
+      Seq(col("doc_id"), col("ts"), col("chash"), col("hs"), col("h1s")) ++
+        mhCols: _*)
+      .withColumn("bkey0", when(size(col("h1s")) > 0,
+        concat_ws(",", col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
+      .withColumn("bkey1", when(size(col("h1s")) > 0,
+        concat_ws(",", col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
+      .withColumn("bkey2", when(size(col("h1s")) > 0,
+        concat_ws(",", col("mh8"), col("mh9"), col("mh10"), col("mh11"))))
+      .withColumn("bkey3", when(size(col("h1s")) > 0,
+        concat_ws(",", col("mh12"), col("mh13"), col("mh14"), col("mh15"))))
+      .drop((Seq("h1s") ++ (0 until 16).map(j => s"mh$j")): _*)
+    var joined = withKeys
+      .join(chashes.withColumn("hit", lit(true)), Seq("chash"), "left")
+      .withColumn("exact_dup", coalesce(col("hit"), lit(false)))
+      .drop("hit", "chash")
+    for (b <- 0 until 4) {
+      joined = joined.join(
+        buckets.filter(col("band") === b)
+          .select(col("bkey").as(s"bkey$b"), col("cands").as(s"cands$b")),
+        Seq(s"bkey$b"), "left")
+    }
+    joined
+      .withColumn("cands", expr(
+        "array_distinct(flatten(array(" +
+          "coalesce(cands0, array()), coalesce(cands1, array()), " +
+          "coalesce(cands2, array()), coalesce(cands3, array()))))"))
+      .withColumn("scored", expr(
+        "transform(filter(cands, c -> c.doc_id != doc_id), c -> named_struct(" +
+          "'d', c.doc_id, " +
+          "'j', cast(sorted_intersect_count(hs, c.hs) as double) / " +
+          "cast(size(hs) + size(c.hs) - sorted_intersect_count(hs, c.hs) as double)))"))
+      .withColumn("best", expr(s"array_min(filter(scored, s -> s.j >= $threshold))"))
+      .select(col("doc_id"), col("ts"), col("exact_dup"),
+        col("best.d").as("near_dup_of"), col("best.j").as("near_jaccard"),
+        when(col("exact_dup"), "drop_exact")
+          .when(col("best").isNotNull, "drop_near")
+          .otherwise("keep").as("decision"))
+  }
 }

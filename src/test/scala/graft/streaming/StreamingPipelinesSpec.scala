@@ -393,4 +393,46 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(sessions.length == 1 && sessions.head.n_events == 1)
     } finally q.stop()
   }
+
+  test("stream-batch parity: streaming incremental dedup equals the batch decisions") {
+    // replay the incoming half (odd doc_ids) of the REAL documents table
+    // against the even-id corpus as the static side: every per-doc
+    // decision row (exact flag, near-dup representative, jaccard,
+    // decision) must equal graft.operators.SubstringDedup.incrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0)), r.getString(1)))
+    val batch = graft.operators.SubstringDedup.incrementalDedup(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getString(4)))
+      }.toMap
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipelines.incrementalDedup(
+        in.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val chunks = incoming.grouped(math.max(1, incoming.length / 3)).toSeq
+      chunks.foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val got = spark.table("incdedup").collect().map { r =>
+        r.getLong(0) -> ((r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getString(5)))
+      }.toMap
+      assert(got.keySet == batch.keySet, "one decision row per incoming doc")
+      val diffs = batch.keys.filter(k => got(k) != batch(k))
+      assert(diffs.isEmpty,
+        s"stream/batch divergence for docs ${diffs.take(5).toList}: " +
+          diffs.take(2).map(k => s"$k got=${got(k)} want=${batch(k)}").mkString("; "))
+    } finally q.stop()
+  }
 }
