@@ -320,9 +320,19 @@ object Dedup {
     * pathological chains. The edge set is persisted so the expensive
     * candidate-pair computation runs once, not once per round; each round's
     * convergence check is a metadata-sized count, not a collect. */
-  def ccClusters(spark: SparkSession, dir: String): DataFrame = {
+  def ccClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected edge list (doc_a, doc_b) →
+    * (v, lbl) labels, lbl = min vertex reachable. Only vertices that
+    * appear in at least one edge are labeled — callers add singletons.
+    * See [[ccClusters]] for the algorithmic/lineage contract. */
+  private[operators] def connectedComponents(edges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     val sym = edges.union(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -367,10 +377,6 @@ object Dedup {
     }
     sym.unpersist()
     labels
-      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .orderBy("doc_id")
   }
 
   /** Word-order-insensitive exact dedup: the fingerprint is md5 of the

@@ -124,6 +124,28 @@ object SubstringDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Substring-level near-dup CLUSTERS: connected components over the
+    * winnowed-fingerprint pair graph ([[substringWinnow]] edges), each doc
+    * labeled with the min doc_id reachable and singletons labeled with
+    * themselves — the boilerplate-family view (a~b, b~c collapse into one
+    * cluster even when a and c share no span directly). Reuses the
+    * min-label-propagation loop of [[Dedup.ccClusters]] (bounded lineage,
+    * persist hygiene); the oracle replays the same reachability with a
+    * recursive CTE over the identical pair SQL. */
+  def substringClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = substringWinnow(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labeled = Dedup.connectedComponents(edges)
+      .withColumnRenamed("v", "doc_id")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .drop("lbl")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup of an incoming batch (odd doc_ids) against an
     * existing corpus (even doc_ids): per incoming doc, an exact content
     * match flag, the smallest near-duplicate corpus doc (MinHash band
@@ -199,6 +221,7 @@ object SubstringDedup {
     "dedup_substring_profile" -> (substringProfile _),
     "dedup_substring_pairs" -> (substringPairs _),
     "dedup_substring_winnow" -> (substringWinnow _),
+    "dedup_substring_clusters" -> (substringClusters _),
     "dedup_incremental" -> (incrementalDedup _)
   )
 
@@ -226,6 +249,26 @@ object SubstringDedup {
        |  FROM documents, UNNEST(range(1, length(text) - $L + 2)) AS u(i)
        |  WHERE length(text) >= $L)""".stripMargin
 
+  /** The winnowing selection + df cap as a CTE chain ending in `fr`
+    * (doc_id, h) — shared by the winnow-pair and cluster oracles. */
+  private val winnowCtes: String =
+    s"""$posCte,
+       |nn AS (SELECT doc_id, COUNT(*) AS c FROM pos GROUP BY 1),
+       |wins AS (SELECT doc_id, s
+       |         FROM nn, UNNEST(range(1, GREATEST(c - $WinW + 2, 2))) AS u(s)),
+       |wmin AS (SELECT w.doc_id, w.s, MIN(p.h) AS mn
+       |         FROM wins w JOIN pos p ON p.doc_id = w.doc_id
+       |          AND p.p BETWEEN w.s AND w.s + ${WinW - 1} GROUP BY 1, 2),
+       |sel AS (SELECT m.doc_id, m.s, MAX(p.p) AS sp
+       |        FROM wmin m JOIN pos p ON p.doc_id = m.doc_id
+       |         AND p.p BETWEEN m.s AND m.s + ${WinW - 1} AND p.h = m.mn
+       |        GROUP BY 1, 2),
+       |fp AS (SELECT DISTINCT s.doc_id, p.h
+       |       FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.p = s.sp),
+       |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM fp GROUP BY h)
+       |         WHERE df <= $MaxDf),
+       |fr AS MATERIALIZED (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_substring_profile" ->
       s"""WITH $wndCte,
@@ -248,26 +291,28 @@ object SubstringDedup {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_substring_winnow" ->
-      s"""WITH $posCte,
-         |nn AS (SELECT doc_id, COUNT(*) AS c FROM pos GROUP BY 1),
-         |wins AS (SELECT doc_id, s
-         |         FROM nn, UNNEST(range(1, GREATEST(c - $WinW + 2, 2))) AS u(s)),
-         |wmin AS (SELECT w.doc_id, w.s, MIN(p.h) AS mn
-         |         FROM wins w JOIN pos p ON p.doc_id = w.doc_id
-         |          AND p.p BETWEEN w.s AND w.s + ${WinW - 1} GROUP BY 1, 2),
-         |sel AS (SELECT m.doc_id, m.s, MAX(p.p) AS sp
-         |        FROM wmin m JOIN pos p ON p.doc_id = m.doc_id
-         |         AND p.p BETWEEN m.s AND m.s + ${WinW - 1} AND p.h = m.mn
-         |        GROUP BY 1, 2),
-         |fp AS (SELECT DISTINCT s.doc_id, p.h
-         |       FROM sel s JOIN pos p ON p.doc_id = s.doc_id AND p.p = s.sp),
-         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM fp GROUP BY h)
-         |         WHERE df <= $MaxDf),
-         |fr AS (SELECT fp.doc_id, fp.h FROM fp JOIN rare USING (h))
+      s"""WITH $winnowCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
          |FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_substring_clusters" ->
+      s"""WITH RECURSIVE $winnowCtes,
+         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM prs
+         |        UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, lbl) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v),
+         |lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+         |allv AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |         FROM documents d LEFT JOIN lab USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM allv ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH ${Dedup.shCte},
          |shh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h1,

@@ -105,6 +105,28 @@ object TextAnalysis {
         col("n_chars_measured").cast("double") / greatest(col("n_bpe_tokens"), lit(1)))
       .orderBy("doc_id")
 
+  /** Per-document trigram coverage against the corpus: the fraction of a
+    * doc's distinct word-trigrams that are CORPUS-COMMON (document
+    * frequency ≥ 5) — a log-free n-gram language-model surprise proxy: a
+    * low-coverage doc is built from trigrams the corpus has rarely seen
+    * (noise, boilerplate-free novelty, or another register), a
+    * high-coverage doc is "in-distribution". Integer-exact throughout —
+    * the usual per-trigram log-probability is deliberately avoided
+    * because libm log is not bit-reproducible across engines. Cost: one
+    * codegen shingle-hash pass, one df aggregation, one join on longs. */
+  def trigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleHashes(spark, dir)
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("coverage",
+        col("n_common").cast("double") / col("n_trigrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Karp-Rabin rolling-hash fingerprint over the token stream (base 131,
     * mod 2^31-1, token hashes folded in order) + identical-fingerprint
     * cluster size. Sequential fold is mirrored in the oracle. */
@@ -535,7 +557,8 @@ object TextAnalysis {
     "ta_token_stats" -> (tokenStats _),
     "ta_fingerprint" -> (fingerprint _),
     "ta_tfidf" -> (tfidf _),
-    "ta_heavy_hitters" -> (heavyHitters _)
+    "ta_heavy_hitters" -> (heavyHitters _),
+    "ta_trigram_coverage" -> (trigramCoverage _)
   )
 
   private val dToks = """string_split_regex(text, '\s+')"""
@@ -771,6 +794,18 @@ object TextAnalysis {
          |SELECT token, cnt, n_total FROM cnts, n
          |WHERE CAST(cnt AS DOUBLE) > CAST(n_total AS DOUBLE) / 200.0
          |ORDER BY cnt DESC, token""".stripMargin,
+    "ta_trigram_coverage" ->
+      s"""WITH ${Dedup.shCte},
+         |sh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h FROM shg),
+         |dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+         |SELECT sh.doc_id,
+         |  COUNT(*) AS n_trigrams,
+         |  CAST(SUM(CASE WHEN dfreq.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common,
+         |  CAST(SUM(CASE WHEN dfreq.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS coverage
+         |FROM sh JOIN dfreq USING (h)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "ta_fingerprint" ->
       s"""WITH fp AS (SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),

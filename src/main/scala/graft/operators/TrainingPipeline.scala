@@ -297,12 +297,42 @@ object TrainingPipeline {
       .orderBy("source")
   }
 
+  /** Leakage-safe train/val/test split: the standard hash split assigns
+    * DOCUMENTS to splits independently, so two near-duplicate documents
+    * can land in train and test — the classic evaluation-leakage bug a
+    * dedup pipeline exists to prevent. This split hashes the near-dup
+    * CLUSTER representative instead: connected components over the
+    * Jaccard ≥ 0.8 pair graph ([[Dedup.ngramJaccard]] edges through
+    * [[Dedup.connectedComponents]]), singletons labeled with themselves,
+    * and every member inherits its cluster's split — near-duplicates
+    * cannot straddle a split BY CONSTRUCTION (spec-asserted over every
+    * pair). Reproducible across runs/engines: the split is a pure
+    * function of cluster_id via the portable hash. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val edges = Dedup.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labeled = Dedup.connectedComponents(edges).withColumnRenamed("v", "doc_id")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .drop("lbl")
+      .withColumn("bucket",
+        expr("portable_hash60(concat('split:', cast(cluster_id as string))) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_quantile_bins" -> (quantileBins _),
     "pipeline_corpus_stats" -> (corpusStats _),
     "pipeline_group_sample" -> (groupSample _),
     "pipeline_mix_quota" -> (mixQuota _),
     "pipeline_training_split" -> (trainingSplitReport _),
+    "pipeline_leakage_safe_split" -> (leakageSafeSplit _),
     "pipeline_stratified_sample" -> (stratifiedSample _),
     "pipeline_decontamination" -> (decontamination _),
     "pipeline_pack_sequences" -> (packSequences _),
@@ -315,6 +345,36 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${Dedup.shCte},
+         |sh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h FROM shg),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM sh GROUP BY h)
+         |         WHERE df <= 100000),
+         |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |card AS (SELECT doc_id, COUNT(*) c FROM shr GROUP BY 1),
+         |common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) AS common
+         |           FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |prs AS (SELECT doc_a, doc_b
+         |        FROM common JOIN card ca ON doc_a = ca.doc_id
+         |                    JOIN card cb ON doc_b = cb.doc_id
+         |        WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM prs
+         |        UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, lbl) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v),
+         |lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+         |allv AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |         FROM documents d LEFT JOIN lab USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN hm < 90 THEN 'train' WHEN hm < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        ${Dedup.dh60("'split:' || CAST(cluster_id AS VARCHAR)")} % 100 AS hm
+         |      FROM allv)
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_quantile_bins" ->
       """WITH r AS (SELECT doc_id, n_chars,
         |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
