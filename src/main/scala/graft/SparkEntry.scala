@@ -27,6 +27,7 @@ object SparkEntry {
       (Events.queries, Events.oracle),
       (Behavioral.queries, Behavioral.oracle),
       (Dedup.queries, Dedup.oracle),
+      (Graph.queries, Graph.oracle),
       (SubstringDedup.queries, SubstringDedup.oracle),
       (Bpe.queries, Bpe.oracle),
       (Similarity.queries, Similarity.oracle),
