@@ -119,6 +119,85 @@ object ImageIoDecoder extends MediaDecoder {
   }
 }
 
+/** Deterministic REAL audio payloads: a `doc_id`-parameterized 16-bit
+  * signed mono PCM tone encoded as an actual RIFF/WAVE container via
+  * `javax.sound.sampled` (JDK-only, bit-deterministic — PCM WAVE is
+  * lossless). Sample count, rate and every sample value are closed-form
+  * functions of doc_id:
+  *   n       = doc_id % 601 + 200              (200..800 samples)
+  *   rate    = 8000 + (doc_id % 4)·4000        (8/12/16/20 kHz)
+  *   base    = (doc_id % 997)·7
+  *   s(i)    = (i·31 + base) % 4096 − 2048     (16-bit signed subset)
+  * so the oracle recomputes decoded sample statistics analytically while
+  * the decoder still has to parse the RIFF header and every little-endian
+  * frame correctly — one wrong byte anywhere shifts a sum and fails the
+  * hash gate. */
+object AudioSynth {
+  def params(docId: Long): (Int, Float, Int) =
+    ((docId % 601 + 200).toInt,
+     (8000 + (docId % 4) * 4000).toFloat,
+     ((docId % 997) * 7).toInt)
+
+  def sample(i: Int, base: Int): Int = (i * 31 + base) % 4096 - 2048
+
+  def wav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val (n, rate, base) = params(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(i, base)
+      pcm(2 * i) = (s & 0xff).toByte            // little-endian int16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}
+
+/** Decoded-audio features: integer sample statistics straight off the PCM
+  * frames, all exactly representable (n ≤ 800, |s| ≤ 2048 ⇒ sums < 2⁶³). */
+case class AudioFeatures(
+    doc_id: Long, n_bytes: Long, sample_rate: Long, channels: Int,
+    n_samples: Long, sample_sum: Long, sample_sq_sum: Long,
+    sample_min: Int, sample_max: Int)
+
+/** REAL audio decoder: `AudioSystem.getAudioInputStream` parses the RIFF
+  * container, and the sample stats are computed from the decoded frames
+  * using the HEADER's format (rate/channels/endianness read from the file,
+  * not assumed). */
+object WavDecoder extends Serializable {
+  def decode(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+      s"unexpected WAV encoding $fmt")
+    val pcm = ais.readAllBytes()
+    ais.close()
+    val n = pcm.length / (2 * fmt.getChannels)
+    var sum = 0L; var sq = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < n * fmt.getChannels) {
+      val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+      sum += s; sq += s.toLong * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 1
+    }
+    AudioFeatures(docId, bytes.length.toLong, fmt.getSampleRate.toLong,
+      fmt.getChannels, n.toLong, sum, sq, mn, mx)
+  }
+}
+
 object Multimodal {
 
   /** Synthesizes a media table from `documents` (no binary table ships in
@@ -244,6 +323,51 @@ object Multimodal {
       .orderBy("width_mod")
   }
 
+  /** The REAL-codec audio table: every `audio`-typed document (doc_id ≡ 1
+    * mod 3, matching [[mediaFromDocuments]]'s cycle) carries an actual
+    * RIFF/WAVE payload synthesized by [[AudioSynth]], encoded
+    * partition-local in the executors. */
+  def audioMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .where(expr("doc_id % 3 = 1"))
+      .as[Long]
+      .map(d => MediaRecord(d, "audio", AudioSynth.wav(d)))
+  }
+
+  /** Partition-wise batched audio decode — same bounded-peak-memory batch
+    * shape as [[featureExtract]], typed for PCM sample statistics. */
+  def audioExtract(
+      media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(r => WavDecoder.decode(r.doc_id, r.media))
+      }
+    }
+  }
+
+  /** Decoded-PCM statistics over the REAL audio codec path — the
+    * oracle-gated query exercising synth WAVE → `javax.sound.sampled`
+    * decode → sample aggregation end to end. Groups by the HEADER-decoded
+    * sample rate (4 synthesis classes) and aggregates integer sample
+    * stats; the oracle recomputes every number analytically from doc_id,
+    * so one mis-parsed frame anywhere in the corpus fails the hash. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    audioExtract(audioMedia(spark, dir))
+      .groupBy(col("sample_rate"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("sample_sum")).as("sum_amplitude"),
+        sum(col("sample_sq_sum")).as("sum_square"),
+        min(col("sample_min")).cast("long").as("min_amplitude"),
+        max(col("sample_max")).cast("long").as("max_amplitude"))
+      .orderBy("sample_rate")
+  }
+
   /** Aspect-preserving resize plan for every REALLY-decoded image (32-px
     * box) — oracle-gated: [[resizeMeta]]'s integer fit arithmetic over the
     * ImageIO-decoded dimensions, mirrored analytically in SQL. */
@@ -311,6 +435,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_scene_change" -> (sceneChange _),
     "mm_media_stats" -> (mediaStats _),
+    "mm_audio_stats" -> (audioStats _),
     "mm_frame_stats" -> (frameStats _),
     "mm_resize_stats" -> (resizeStats _),
     "mm_frame_dedup" -> (frameDedup _)
@@ -343,6 +468,27 @@ object Multimodal {
     // closed-form pattern). The oracle never runs a codec — it predicts the
     // decoder's output, which is the strongest cross-engine check a binary
     // format admits.
+    "mm_audio_stats" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |p AS (SELECT doc_id,
+        |        8000 + (doc_id % 4) * 4000 AS rate,
+        |        doc_id % 601 + 200 AS n,
+        |        (doc_id % 997) * 7 AS base FROM docs),
+        |idx AS (SELECT doc_id, rate, n, base, unnest(range(0, n)) AS i FROM p),
+        |s AS (SELECT doc_id, rate, n,
+        |        SUM((i * 31 + base) % 4096 - 2048) AS ssum,
+        |        SUM(((i * 31 + base) % 4096 - 2048)
+        |            * ((i * 31 + base) % 4096 - 2048)) AS ssq,
+        |        MIN((i * 31 + base) % 4096 - 2048) AS smin,
+        |        MAX((i * 31 + base) % 4096 - 2048) AS smax
+        |      FROM idx GROUP BY 1, 2, 3)
+        |SELECT rate AS sample_rate, COUNT(*) AS n_clips,
+        |       CAST(SUM(n) AS BIGINT) AS total_samples,
+        |       CAST(SUM(ssum) AS BIGINT) AS sum_amplitude,
+        |       CAST(SUM(ssq) AS BIGINT) AS sum_square,
+        |       CAST(MIN(smin) AS BIGINT) AS min_amplitude,
+        |       CAST(MAX(smax) AS BIGINT) AS max_amplitude
+        |FROM s GROUP BY 1 ORDER BY sample_rate""".stripMargin,
     "mm_media_stats" ->
       """WITH imgs AS (
         |  SELECT doc_id,
