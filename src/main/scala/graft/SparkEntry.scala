@@ -37,6 +37,7 @@ object SparkEntry {
       (graft.agg.TopK.queries, graft.agg.TopK.oracle),
       (graft.plans.NativeTopK.queries, graft.plans.NativeTopK.oracle),
       (TrainingPipeline.queries, TrainingPipeline.oracle),
+      (Profile.queries, Profile.oracle),
       (Diagnostics.queries, Diagnostics.oracle)
     )
 
