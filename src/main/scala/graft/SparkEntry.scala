@@ -32,6 +32,7 @@ object SparkEntry {
       (Bpe.queries, Bpe.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
+      (Features.queries, Features.oracle),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
       (AdvancedAggs.queries, AdvancedAggs.oracle),
       (graft.agg.TopK.queries, graft.agg.TopK.oracle),

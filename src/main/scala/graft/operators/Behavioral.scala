@@ -622,7 +622,44 @@ object Behavioral {
       .limit(20)
   }
 
+  /** Seasonal-naive forecast BACKTEST over the daily value series: the
+    * forecast for day d is the actual of day d−7 (same weekday — the
+    * strongest zero-parameter baseline for weekly-seasonal product
+    * metrics), evaluated per event type with WAPE = Σ|actual−forecast| /
+    * Σactual. WAPE, not MAPE, on purpose: MAPE sums per-day ratios
+    * (float accumulation, undefined on zero-actual days) while WAPE is
+    * ONE double division of two exactly-summed BIGINT cent totals —
+    * cross-engine bit-exact, and the metric production forecast evals
+    * actually use (Hyndman & Koehler, "Another look at measures of
+    * forecast accuracy", IJF 2006). Only days with both an actual and a
+    * d−7 actual score (an inner join on exact date arithmetic — no lag
+    * over a possibly-gapped row series).
+    *
+    * Scale shape: the raw stream collapses to a (type, day) aggregate
+    * first (sub-linear rows), then a self-join on compact keys and a
+    * per-type rollup. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum((col("value").cast(DecimalType(15, 2)) * 100).cast("long"))
+        .as("cents"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("cents").as("pred_cents"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("pred_cents"))).as("sum_abs_err"),
+        sum(col("cents")).as("sum_actual"))
+      .withColumn("wape",
+        col("sum_abs_err").cast("double") / col("sum_actual"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_forecast_backtest" -> (forecastBacktest _),
     "evt_ab_test" -> (abTest _),
     "evt_top_paths" -> (topPaths _),
     "evt_user_features" -> (userFeatures _),
@@ -649,6 +686,20 @@ object Behavioral {
     s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
   val oracle: Map[String, String] = Map(
+    "evt_forecast_backtest" ->
+      s"""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |joined AS (SELECT a.event_type, a.cents, p.cents AS pred_cents
+         |           FROM daily a JOIN daily p
+         |             ON p.event_type = a.event_type AND p.day + 7 = a.day)
+         |SELECT event_type,
+         |  COUNT(*) AS n_days,
+         |  CAST(SUM(abs(cents - pred_cents)) AS BIGINT) AS sum_abs_err,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_actual,
+         |  CAST(SUM(abs(cents - pred_cents)) AS DOUBLE) / SUM(cents) AS wape
+         |FROM joined GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_ab_test" ->
       s"""WITH u AS (SELECT user_id,
          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,

@@ -209,7 +209,13 @@ object Dedup {
     * h2 reduced below 2^56 so j·h2 + h1 < 2^61 never overflows int64 —
     * DuckDB errors on BIGINT overflow, so the oracle needs this bound too.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc MinHash state: `hs` = the sorted distinct shingle-hash set
+    * (for exact-Jaccard verification) plus the 16 minhash signature
+    * components `mh0..mh15` (long columns). One aggregation computes
+    * both — no seed explosion, the shuffle carries each shingle once,
+    * not 16×; every downstream use shares this subtree, so Spark's
+    * exchange reuse executes the shingle scan + shuffle once. */
+  private def minhashPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val P = "2305843009213693951L" // 2^61 - 1 (Mersenne prime)
     // both hash families in one pass each (no shingle strings); the
     // distinct moves AFTER hashing — the set of distinct (h1, h2m) pairs
@@ -221,39 +227,84 @@ object Dedup {
       .select(col("doc_id"), col("z.h1").as("h1"),
         (col("z.h2") % lit(72057594037927936L)).as("h2m"))
       .distinct()
-    // ONE aggregation computes the full 16-hash signature (16 min columns —
-    // no seed explosion, so the shuffle carries each shingle once, not 16x)
-    // AND the doc's shingle-hash set for candidate verification. Every
-    // downstream use shares this subtree, so Spark's exchange reuse executes
-    // the shingle scan + shuffle once.
     val minCols = (0 until 16).map(j =>
-      min(expr(s"(h1 + $j * h2m) % $P")).cast("string").as(s"mh$j"))
-    val perDoc = shh.groupBy("doc_id")
+      min(expr(s"(h1 + $j * h2m) % $P")).as(s"mh$j"))
+    shh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h1"))).as("hs"), minCols: _*)
+  }
+
+  /** Banded (band, bkey, doc_id) rows and distinct candidate pairs from
+    * the 4×4 banding of [[minhashPerDoc]]'s signature. */
+  private def minhashCandidates(perDoc: DataFrame): DataFrame = {
     val bands = perDoc.selectExpr("doc_id",
       """stack(4,
         |  0, concat_ws(',', mh0, mh1, mh2, mh3),
         |  1, concat_ws(',', mh4, mh5, mh6, mh7),
         |  2, concat_ws(',', mh8, mh9, mh10, mh11),
         |  3, concat_ws(',', mh12, mh13, mh14, mh15)) as (band, bkey)""".stripMargin)
-    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
+  }
+
+  /** Candidate pairs with exact-Jaccard evidence: shingle-set overlap
+    * `common` and the two set cardinalities, for candidates sharing at
+    * least one shingle. */
+  private def minhashVerified(perDoc: DataFrame): DataFrame =
+    minhashCandidates(perDoc)
       .join(perDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(perDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      // hs is distinct + sorted (see perDoc) → merge-count ≡ intersect size
+      // hs is distinct + sorted (see minhashPerDoc) → merge-count ≡ intersect size
       .select(col("doc_a"), col("doc_b"),
         expr("sorted_intersect_count(hs_a, hs_b)").as("common"),
         size(col("hs_a")).cast("long").as("ca"), size(col("hs_b")).cast("long").as("cb"))
       .filter(col("common") > 0)
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashVerified(minhashPerDoc(spark, dir))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("ca") + col("cb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
+
+  /** MinHash ACCURACY CALIBRATION — the evaluation harness for the LSH
+    * estimator itself: for every banded candidate pair, the signature
+    * estimate ĵ = (matching components)/16 is compared against the exact
+    * shingle-set Jaccard, pooled per estimate decile. Per bin it reports
+    * the pair count, the estimate mass (Σ matches, so mean_est is ONE
+    * double division of exact integers) and the POOLED exact Jaccard
+    * (Σ|A∩B| / Σ|A∪B| — a ratio of exact integer sums, not a float mean
+    * of per-pair ratios, so both engines agree bit-for-bit). A
+    * well-calibrated sketch puts pooled_jaccard inside each bin's
+    * estimate range; this is the table that justifies a production
+    * banding threshold (Broder 1997's E[ĵ] = j made measurable).
+    *
+    * Scale shape: identical to [[minhashLsh]] (banded candidates only,
+    * never all pairs) plus one ≤11-row aggregation. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = minhashPerDoc(spark, dir)
+    val sigs = perDoc.select(col("doc_id"),
+      array((0 until 16).map(j => col(s"mh$j")): _*).as("sig"))
+    minhashVerified(perDoc)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("common"), col("ca"), col("cb"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+          .cast("long").as("matches"))
+      .groupBy(expr("(matches * 10) div 16").as("est_bin"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("matches")).as("sum_matches"),
+        sum(col("common")).as("sum_common"),
+        (sum(col("ca")) + sum(col("cb")) - sum(col("common"))).as("sum_union"))
+      .withColumn("mean_est",
+        col("sum_matches").cast("double") / (col("n_pairs") * 16))
+      .withColumn("pooled_jaccard",
+        col("sum_common").cast("double") / col("sum_union"))
+      .orderBy("est_bin")
   }
 
   /** 32-bit SimHash fingerprint per document (term-frequency weighted,
@@ -478,6 +529,7 @@ object Dedup {
     "dedup_cascade" -> (dedupCascade _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_cc_clusters" -> (ccClusters _)
@@ -616,6 +668,44 @@ object Dedup {
          |FROM common JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
          |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_calibration" ->
+      s"""WITH $shCte,
+         |shh AS (SELECT doc_id, ${dh60("s")} AS h1,
+         |          ${dh60("s || '~'")} % 72057594037927936 AS h2m FROM shg),
+         |hs AS (SELECT doc_id, seed, (h1 + seed * h2m) % 2305843009213693951 AS h
+         |       FROM shh, UNNEST(range(16)) AS se(seed)),
+         |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hs GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bkey
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |hsh AS (SELECT doc_id, h1 AS h FROM shh),
+         |card AS (SELECT doc_id, COUNT(*) c FROM hsh GROUP BY 1),
+         |common AS (SELECT doc_a, doc_b, COUNT(*) AS common
+         |           FROM cand JOIN hsh x ON x.doc_id = doc_a
+         |                     JOIN hsh y ON y.doc_id = doc_b AND x.h = y.h
+         |           GROUP BY 1, 2),
+         |mtch AS (SELECT doc_a, doc_b,
+         |           CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+         |                AS BIGINT) AS matches
+         |         FROM cand JOIN sig sa ON sa.doc_id = doc_a
+         |                   JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+         |         GROUP BY 1, 2),
+         |verified AS (SELECT m.matches, c.common, ca.c AS ca, cb.c AS cb
+         |             FROM mtch m JOIN common c USING (doc_a, doc_b)
+         |                  JOIN card ca ON m.doc_a = ca.doc_id
+         |                  JOIN card cb ON m.doc_b = cb.doc_id)
+         |SELECT CAST((matches * 10) // 16 AS BIGINT) AS est_bin,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(matches) AS BIGINT) AS sum_matches,
+         |  CAST(SUM(common) AS BIGINT) AS sum_common,
+         |  CAST(SUM(ca) + SUM(cb) - SUM(common) AS BIGINT) AS sum_union,
+         |  CAST(SUM(matches) AS DOUBLE) / (COUNT(*) * 16) AS mean_est,
+         |  CAST(SUM(common) AS DOUBLE) / (SUM(ca) + SUM(cb) - SUM(common))
+         |    AS pooled_jaccard
+         |FROM verified GROUP BY 1 ORDER BY est_bin""".stripMargin,
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE $shCte,
          |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM shg),

@@ -140,6 +140,42 @@ object Graph {
       .select(col("v").as("user_id"), col("pr"))
   }
 
+  /** Per-node local clustering coefficient over the co-presence graph:
+    * lcc(v) = triangles(v) / (deg(v)·(deg(v)−1)/2) — the classic
+    * Watts-Strogatz local density signal (collective dynamics of
+    * small-world networks, Nature 1998); in a behavioral graph, high-lcc
+    * high-degree nodes are tight coordinated pods (bot rings), low-lcc
+    * hubs are organic broadcast. Triangles are enumerated ONCE each via
+    * the same degree-ordered wedge scheme as [[triangleCount]], then each
+    * triangle credits its three corners (explode — no per-node
+    * re-enumeration). Wedge counts are exact integers; lcc is one double
+    * division. Nodes with deg < 2 (no possible triangle) are excluded. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    val deg = degrees(e)
+    val withDeg = e
+      .join(deg.select(col("v").as("u1"), col("deg").as("deg1")), "u1")
+      .join(deg.select(col("v").as("u2"), col("deg").as("deg2")), "u2")
+    val lowFirst = col("deg1") < col("deg2") ||
+      (col("deg1") === col("deg2") && col("u1") < col("u2"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("u1")).otherwise(col("u2")).as("src"),
+      when(lowFirst, col("u2")).otherwise(col("u1")).as("dst"))
+    val tri = oriented.select(col("src"), col("dst").as("b"))
+      .join(oriented.select(col("src"), col("dst").as("c")), "src")
+      .filter(col("b") < col("c"))
+      .join(e.select(col("u1").as("b"), col("u2").as("c")), Seq("b", "c"))
+    val perNode = tri.select(explode(array(col("src"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("v"), "left")
+      .select(col("v").as("user_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("(deg * (deg - 1)) div 2").as("n_wedges"))
+      .withColumn("lcc", col("n_tri").cast("double") / col("n_wedges"))
+      .orderBy("user_id")
+  }
+
   /** Component-size histogram of the REPEATED co-presence graph (weight ≥ 2
     * edges only — single shared bucket-hours are too noisy to cluster on):
     * (component_size, n_components). */
@@ -157,6 +193,7 @@ object Graph {
     "graph_degree_dist" -> (degreeDist _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_pagerank_int" -> (pagerankInt _),
+    "graph_local_clustering" -> (localClustering _),
     "graph_cc_sizes" -> (ccSizes _)
   )
 
@@ -208,6 +245,26 @@ object Graph {
          |        GROUP BY 1)
          |SELECT v AS user_id, CAST(pr AS BIGINT) AS pr FROM pr3
          |ORDER BY pr DESC, user_id LIMIT 20""".stripMargin,
+    "graph_local_clustering" ->
+      s"""WITH ${edgeCte(1)},
+         |deg AS (SELECT v, COUNT(*) AS deg FROM
+         |          (SELECT u1 AS v FROM edges UNION ALL SELECT u2 FROM edges)
+         |        GROUP BY v),
+         |tri AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+         |        FROM edges e1
+         |        JOIN edges e2 ON e2.u1 = e1.u2
+         |        JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2),
+         |corner AS (SELECT a AS v FROM tri
+         |           UNION ALL SELECT b FROM tri
+         |           UNION ALL SELECT c FROM tri),
+         |pern AS (SELECT v, COUNT(*) AS n_tri FROM corner GROUP BY v)
+         |SELECT d.v AS user_id, d.deg,
+         |  CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+         |  (d.deg * (d.deg - 1)) // 2 AS n_wedges,
+         |  CAST(COALESCE(p.n_tri, 0) AS DOUBLE) / ((d.deg * (d.deg - 1)) // 2)
+         |    AS lcc
+         |FROM deg d LEFT JOIN pern p ON p.v = d.v
+         |WHERE d.deg >= 2 ORDER BY user_id""".stripMargin,
     "graph_cc_sizes" ->
       s"""WITH RECURSIVE ${edgeCte(2)},
          |sym AS (SELECT u1 AS s, u2 AS d FROM edges

@@ -326,7 +326,72 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
+  /** Exact weighted sampling WITHOUT replacement, without a global sort
+    * of random draws: sequential Poisson / priority sampling (Ohlsson,
+    * "Sequential Poisson Sampling", J. Official Statistics 1998; the
+    * integer-priority cousin of Efraimidis-Spirakis weighted reservoir
+    * sampling). Each doc gets a deterministic pseudo-uniform draw
+    * r = portable_hash60('ws:'||doc_id) mod 2^30 and priority
+    * ⌊r·10⁶ / w⌋ with w = n_chars — larger docs draw stochastically
+    * smaller priorities, so the k smallest priorities are a
+    * size-biased sample (selection probability ≈ proportional to w).
+    * All-integer: r·10⁶ < 2^50 never overflows and floor division is
+    * identical in both engines, so the sample is bit-reproducible.
+    *
+    * Scale shape: ORDER BY + LIMIT k plans as TakeOrdered — each
+    * partition ships at most k rows, no global sort, no RNG state. The
+    * reservoir never lives on the driver. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("portable_hash60(concat('ws:', cast(doc_id as string))) % 1073741824")
+          .as("r30"))
+      .withColumn("priority", expr("(r30 * 1000000) div greatest(n_chars, 1)"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(50)
+      .select("doc_id", "n_chars", "priority")
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * training windows of [[ChunkWindow]] tokens with stride
+    * [[ChunkStride]] (overlap = window − stride, the standard recipe for
+    * long-document LM training so no span is seen only truncated). Emits
+    * one row per (doc, chunk) with token offsets and an md5 content hash
+    * of the chunk text — the chunk-level identity downstream exact dedup
+    * runs on. Chunk count = 1 + ⌈max(n−W, 0)/S⌉, all integer arithmetic.
+    *
+    * Scale shape: one scan, per-doc `sequence` + `explode` (output rows
+    * ∝ tokens/stride — linear in corpus size), no shuffle at all: the
+    * chunk rows are produced where the doc row lives. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (ChunkWindow, ChunkStride)
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks", expr(s"1 + (greatest(n - $w, 0) + ${s - 1}) div $s"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * s)
+      .withColumn("n_tok", least(lit(w), col("n") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        col("n_tok").cast("long").as("n_tok"),
+        md5(concat_ws(" ", expr("slice(toks, tok_start + 1, n_tok)")))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Tokens per training window and per stride step for [[chunkWindows]].
+    * Sized to the test corpus (docs run 10-99 tokens, so 32/24 exercises
+    * the multi-chunk + overlap path at gate scale); a production LM run
+    * uses e.g. 1024/768 with the identical plan. */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_weighted_sample" -> (weightedSample _),
+    "pipeline_chunk_windows" -> (chunkWindows _),
     "pipeline_quantile_bins" -> (quantileBins _),
     "pipeline_corpus_stats" -> (corpusStats _),
     "pipeline_group_sample" -> (groupSample _),
@@ -345,6 +410,31 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |  ${Dedup.dh60("'ws:' || CAST(doc_id AS VARCHAR)")} % 1073741824 AS r30
+         |FROM documents)
+         |SELECT doc_id, n_chars,
+         |  (r30 * 1000000) // greatest(n_chars, 1) AS priority
+         |FROM d
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "pipeline_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+         |             len(string_split_regex(text, '\\s+')) AS n
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks, n, u.ci AS chunk_id
+         |      FROM t, UNNEST(range(1 + (greatest(n - $ChunkWindow, 0)
+         |                                + ${ChunkStride - 1}) // $ChunkStride))
+         |           AS u(ci))
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * $ChunkStride AS BIGINT) AS tok_start,
+         |  CAST(least($ChunkWindow, n - chunk_id * $ChunkStride) AS BIGINT)
+         |    AS n_tok,
+         |  md5(array_to_string(toks[chunk_id * $ChunkStride + 1 :
+         |    chunk_id * $ChunkStride + least($ChunkWindow,
+         |                                    n - chunk_id * $ChunkStride)], ' '))
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "pipeline_leakage_safe_split" ->
       s"""WITH RECURSIVE ${Dedup.shCte},
          |sh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h FROM shg),
