@@ -401,10 +401,24 @@ object Dedup {
     while (changed > 0 && iter < 20) {
       val prop = sym.join(labels.withColumnRenamed("v", "doc_a"), "doc_a")
         .select(col("doc_b").as("v"), col("lbl"), lit(false).as("own"))
+      // Pointer-doubling shortcut: besides the one-hop neighbor
+      // propagation, each vertex also adopts its label vertex's own
+      // current label (lbl(v) → lbl(lbl(v))). Neighbor propagation alone
+      // moves the component min one hop per round — O(diameter) rounds,
+      // and per-round job latency is the whole cost on a high-diameter
+      // graph; composing with the label map doubles the covered distance
+      // every round, so convergence is O(log diameter). Labels stay
+      // component-member vertex ids, so the fixpoint argument (no change
+      // ⇒ labels constant across every edge ⇒ per-component min) is
+      // untouched — only the round count changes.
+      val hop = labels.as("x")
+        .join(labels.select(col("v").as("lv"), col("lbl").as("llbl")),
+          col("lbl") === col("lv"))
+        .select(col("v"), col("llbl").as("lbl"), lit(false).as("own"))
       // one aggregation yields both the new label and the old one, so the
       // convergence check and the label update share a single job/shuffle
       val merged = labels.select(col("v"), col("lbl"), lit(true).as("own"))
-        .union(prop)
+        .union(prop).union(hop)
         .groupBy("v")
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own"), col("lbl"))).as("old_lbl"))
@@ -414,17 +428,16 @@ object Dedup {
       prevCache = merged
       labels = merged.select(col("v"), col("lbl"))
       iter += 1
-      // Bounded-lineage contract: each round chains one join + one agg onto
-      // the previous round's plan, so an unchecked k-round loop carries an
-      // O(k)-deep logical plan — negligible for the 2-3 rounds dense
-      // near-dup graphs need, but a pathological high-diameter chain at
-      // cluster scale pays linearly growing analysis/serialization cost and
-      // risks deep-recompute on executor loss. A localCheckpoint every 5
-      // rounds cuts the plan back to O(1) while staying executor-local
-      // (no distributed-FS round trip; the checkpointed blocks replace the
-      // persist above for that round). Safe to cut eagerly: `merged` is
-      // already fully materialized by the convergence count.
-      if (changed > 0 && iter % 5 == 0) labels = labels.localCheckpoint(true)
+      // Bounded-lineage contract: each round's plan references the
+      // previous round's `labels` THREE times (own-label branch, neighbor
+      // propagation, shortcut), so without a cut the logical plan is a
+      // 3^k-traversal DAG — plan analysis alone OOMs after ~15 rounds. An
+      // eager localCheckpoint every round replaces the plan with an O(1)
+      // LogicalRDD leaf while staying executor-local (no distributed-FS
+      // round trip); it is nearly free because `merged` was just fully
+      // materialized by the convergence count, and it doubles as the
+      // executor-loss recompute guard at cluster scale.
+      if (changed > 0) labels = labels.localCheckpoint(true)
     }
     sym.unpersist()
     labels
