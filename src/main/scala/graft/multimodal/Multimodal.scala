@@ -11,14 +11,16 @@ import graft.core.Tables
   * a Python `mapInPandas`/Arrow pipeline has, expressed with typed Scala
   * `mapPartitions` here.
   *
-  * The image path runs a REAL codec: [[ImageSynth]] encodes deterministic
-  * PNG payloads (JDK `javax.imageio` — no external dependency), and
-  * [[ImageIoDecoder]] decodes those bytes back to pixels inside
-  * [[featureExtract]]. Because PNG is lossless and the synthesized pixel
-  * pattern has a closed form in `doc_id`, the DuckDB oracle can recompute
-  * the decoded widths/heights/channel sums ANALYTICALLY — so the decode
-  * gate is hard (hash-exact), not a stub mirror: any byte the codec gets
-  * wrong changes a channel sum and fails the gate.
+  * All three media types run REAL codecs (JDK-only, no external
+  * dependency): [[ImageSynth]]/[[ImageIoDecoder]] round-trip PNG stills,
+  * [[AudioSynth]]/[[WavDecoder]] round-trip RIFF/WAVE PCM clips, and
+  * [[VideoSynth]]/[[GifFramesDecoder]] round-trip multi-frame animated
+  * GIFs (container demux + per-frame LZW decode). Because each format is
+  * lossless and every synthesized sample has a closed form in `doc_id`,
+  * the DuckDB oracle recomputes the decoded dimensions/frame counts/pixel
+  * and sample sums ANALYTICALLY — so the decode gates are hard
+  * (hash-exact), not stub mirrors: any byte a codec gets wrong changes a
+  * sum and fails the gate.
   *
   * Scale notes: synthesis and decode are embarrassingly parallel per
   * partition; batch iteration bounds peak memory to `batchSize` decoded
@@ -198,6 +200,112 @@ object WavDecoder extends Serializable {
   }
 }
 
+/** Deterministic REAL video payloads: a `doc_id`-parameterized multi-frame
+  * animation encoded as an actual animated GIF via `javax.imageio`'s
+  * sequence writer (JDK-only). GIF is palette-indexed and LZW-compressed —
+  * LOSSLESS — so with a 256-entry grayscale palette (index i → (i,i,i))
+  * every decoded sample equals its synthesis index exactly. Frame count,
+  * dimensions and every pixel are closed-form functions of doc_id:
+  *   frames = doc_id % 5 + 2            (2..6)
+  *   w      = doc_id % 17 + 8           (8..24)
+  *   h      = (doc_id·5) % 13 + 6       (6..18)
+  *   dd     = doc_id % 199
+  *   idx(x, ·, f) = (3x + 31f + dd) % 256   (varies per column and frame)
+  * so the oracle predicts per-frame gray sums as h·Σ_x — while the decoder
+  * must demux the container (frame count from the stream, not metadata)
+  * and LZW-decode every raster correctly; one wrong sample anywhere shifts
+  * a sum and fails the hash gate. */
+object VideoSynth {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def params(docId: Long): (Int, Int, Int, Int) =
+    ((docId % 5 + 2).toInt, (docId % 17 + 8).toInt,
+      ((docId * 5) % 13 + 6).toInt, (docId % 199).toInt)
+
+  def idx(x: Int, f: Int, dd: Int): Int = (3 * x + 31 * f + dd) % 256
+
+  /** 256-entry grayscale palette: index i decodes to RGB (i,i,i). */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  def gif(docId: Long): Array[Byte] = {
+    val (nf, w, h, dd) = params(docId)
+    val cm = grayPalette
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, idx(x, f, dd)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Closed-form per-frame gray sum of the synthesized frame — what a
+    * correct demux + LZW decode must reproduce. */
+  def frameGraySum(docId: Long, f: Int): Long = {
+    val (_, w, h, dd) = params(docId)
+    var s = 0L
+    var x = 0
+    while (x < w) { s += idx(x, f, dd); x += 1 }
+    s * h
+  }
+}
+
+/** Decoded per-frame features off a REAL container demux: frame index,
+  * decoded dimensions and the gray-channel pixel sum. */
+case class VideoFrameFeatures(
+    doc_id: Long, frame_idx: Int, width: Int, height: Int, gray_sum: Long)
+
+/** REAL video decoder: `javax.imageio` GIF `ImageReader` demuxes the
+  * animated container (`getNumImages(true)` walks the stream — the frame
+  * count is discovered, not assumed) and LZW-decodes each raster; the
+  * gray value of every pixel is read back through the palette. */
+object GifFramesDecoder extends Serializable {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def decode(docId: Long, bytes: Array[Byte]): Seq[VideoFrameFeatures] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    reader.setInput(iis, false, true)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map { f =>
+      val img = reader.read(f)
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      VideoFrameFeatures(docId, f, w, h, s)
+    }
+    reader.dispose()
+    iis.close()
+    out
+  }
+}
+
 object Multimodal {
 
   /** Synthesizes a media table from `documents` (no binary table ships in
@@ -248,12 +356,11 @@ object Multimodal {
   case class FrameRecord(
       doc_id: Long, frame_idx: Int, byte_offset: Long, frame_bytes: Long)
 
-  /** STUB frame sampler (video decode unavailable — see class docs): emits
-    * `n` evenly-spaced "frames" per video payload, each a byte-range view
-    * (offset + length) into the binary column. The row-expansion shape
-    * (one payload → n typed frame rows via flatMap) is exactly what a real
-    * keyframe extractor produces; only the byte-range arithmetic stands in
-    * for the codec. */
+  /** Byte-range frame sampler over OPAQUE payloads: emits `n` evenly-spaced
+    * "frames" per video payload, each a byte-range view (offset + length)
+    * into the binary column — the container-agnostic sampling shape used
+    * when payload bytes are passed through without a codec (the REAL demux
+    * twin is [[videoExtract]], which decodes actual animated-GIF frames). */
   def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -377,6 +484,68 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The REAL-codec video table: every `video`-typed document (doc_id ≡ 2
+    * mod 3, matching [[mediaFromDocuments]]'s cycle) carries an actual
+    * animated GIF payload synthesized by [[VideoSynth]], encoded
+    * partition-local in the executors. */
+  def videoMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .where(expr("doc_id % 3 = 2"))
+      .as[Long]
+      .map(d => MediaRecord(d, "video", VideoSynth.gif(d)))
+  }
+
+  /** Partition-wise batched video demux + per-frame decode — the one
+    * payload → n typed frame rows expansion of a real keyframe pipeline,
+    * with peak decoded memory bounded to `batchSize` containers per task. */
+  def videoExtract(
+      media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[VideoFrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap(r => GifFramesDecoder.decode(r.doc_id, r.media))
+      }
+    }
+  }
+
+  /** Per-video decoded-frame statistics over the REAL video codec path —
+    * oracle-gated end to end: synth animated GIF → ImageIO demux + LZW
+    * decode → per-frame gray sums. The oracle recomputes frame counts,
+    * dimensions and every gray sum analytically from doc_id; a mis-demuxed
+    * frame boundary or one wrong decoded sample fails the hash. */
+  def videoStats(spark: SparkSession, dir: String): DataFrame = {
+    videoExtract(videoMedia(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        sum(col("gray_sum")).as("total_gray"),
+        max(col("gray_sum")).as("max_frame_gray"))
+      .orderBy("doc_id")
+  }
+
+  /** Shot-boundary detection over REALLY-decoded frames: a cut is a frame
+    * whose decoded gray-sum jumps by more than a fixed threshold from its
+    * predecessor — the decoded-feature twin of the fingerprint-lag
+    * [[sceneChange]]. One lag window per video on the typed frame rows. */
+  def videoCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videoExtract(videoMedia(spark, dir))
+      .withColumn("prev", lag(col("gray_sum"), 1).over(w))
+      .withColumn("d", abs(col("gray_sum") - col("prev")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("d") > 1000L, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(sum(col("d")), lit(0L)).as("sum_abs_diff"))
+      .orderBy("doc_id")
+  }
+
   /** Frame-level exact dedup across videos: every sampled frame's content
     * slice is fingerprinted (md5) and counted corpus-wide — the multimodal
     * twin of [[graft.operators.Dedup.exactDedup]], catching payload reuse
@@ -438,7 +607,9 @@ object Multimodal {
     "mm_audio_stats" -> (audioStats _),
     "mm_frame_stats" -> (frameStats _),
     "mm_resize_stats" -> (resizeStats _),
-    "mm_frame_dedup" -> (frameDedup _)
+    "mm_frame_dedup" -> (frameDedup _),
+    "mm_video_stats" -> (videoStats _),
+    "mm_video_cuts" -> (videoCuts _)
   )
 
   /** The oracle re-derives the stub's deterministic metadata arithmetic in
@@ -532,6 +703,42 @@ object Multimodal {
         |SELECT doc_id, frame_idx, frame_fp,
         |  COUNT(*) OVER (PARTITION BY frame_fp) AS fp_count
         |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
+    // Real-codec video gates: every number is the ANALYTIC value of what
+    // the GIF demux + LZW decode must produce from the synthesized
+    // containers (VideoSynth's closed-form pattern) — the oracle predicts
+    // the decoder's output without running a codec.
+    "mm_video_stats" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id % 5 + 2 AS nf, doc_id % 17 + 8 AS w,
+        |    (doc_id * 5) % 13 + 6 AS h, doc_id % 199 AS dd
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fs AS (
+        |  SELECT doc_id, f, w, h,
+        |    h * SUM((3 * x + 31 * f + dd) % 256) AS s
+        |  FROM vids, UNNEST(range(nf)) AS uf(f), UNNEST(range(w)) AS ux(x)
+        |  GROUP BY doc_id, f, w, h)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+        |  CAST(SUM(s) AS BIGINT) AS total_gray,
+        |  CAST(MAX(s) AS BIGINT) AS max_frame_gray
+        |FROM fs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_video_cuts" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id % 5 + 2 AS nf, doc_id % 17 + 8 AS w,
+        |    (doc_id * 5) % 13 + 6 AS h, doc_id % 199 AS dd
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fs AS (
+        |  SELECT doc_id, f, h * SUM((3 * x + 31 * f + dd) % 256) AS s
+        |  FROM vids, UNNEST(range(nf)) AS uf(f), UNNEST(range(w)) AS ux(x)
+        |  GROUP BY doc_id, f, h),
+        |d AS (
+        |  SELECT doc_id, s,
+        |    abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f)) AS ad
+        |  FROM fs)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN ad > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(COALESCE(SUM(ad), 0) AS BIGINT) AS sum_abs_diff
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frame_stats" ->
       """WITH vids AS (
         |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS total,
