@@ -31,6 +31,23 @@ BASELINES = {
         "dedup_substring_winnow (~2/(W+1) sampled fingerprints)",
 }
 
+# Queries whose INPUT grows superlinearly under ScaleUp's replication:
+# events keeps its (k, hour) bucket domain fixed while users scale 10x, so
+# the co-presence pair projection densifies quadratically per bucket (up to
+# Graph.HubCap). Measured at sf0.1 -> sf1: capped edges 67,154 -> 4,112,900
+# (61x), sum(deg^2) wedge-work proxy 12.3M -> 4.63G (376x). A runtime slope
+# below the edge-growth ratio is therefore SUBLINEAR in graph work, not a
+# defect; per-edge cost is reported to make that visible.
+DENSIFIED = {
+    "graph_triangle_count":
+        "wedge-join work scales with graph density, input edges grew 61x",
+    "graph_local_clustering":
+        "same degree-ordered wedge join as triangle_count over a 61x-denser "
+        "input graph",
+}
+# (query -> input-work ratio basis used for the normalized column)
+DENSIFIED_WORK_RATIO = 61.0
+
 
 def family(name: str) -> str:
     if name.startswith("q") and name[1].isdigit():
@@ -49,8 +66,10 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
     for n, t0, t1, r in rows:
         fams[family(n)].append((n, t0, t1, r))
     flagged = [(n, t0, t1, r) for n, t0, t1, r in rows
-               if r > SUPERLINEAR and t1 >= MIN_SF1_SEC and n not in BASELINES]
+               if r > SUPERLINEAR and t1 >= MIN_SF1_SEC
+               and n not in BASELINES and n not in DENSIFIED]
     baselined = [(n, t0, t1, r) for n, t0, t1, r in rows if n in BASELINES]
+    densified = [(n, t0, t1, r) for n, t0, t1, r in rows if n in DENSIFIED]
     lines = []
     lines.append("# SCALE — 10x scale probe (derived sf1 vs sf0.1)\n")
     lines.append(
@@ -80,6 +99,20 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
         lines.append("|---|---|---|---|")
         for n, t0, t1, r in sorted(flagged, key=lambda x: -x[3]):
             lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x |")
+    lines.append("\n## Input-densified (superlinear INPUT growth under "
+                 "ScaleUp, measured)\n")
+    lines.append(
+        "Events' (k, hour) bucket domain is fixed while users scale 10x, so "
+        "the co-presence projection's capped edge list grew 61x (67,154 -> "
+        "4,112,900 edges; sum(deg^2) 12.3M -> 4.63G). `work slope` divides "
+        "the runtime slope by that input-edge ratio: < 1.0x means the query "
+        "got CHEAPER per unit of graph, i.e. it scales sublinearly in its "
+        "real input.\n")
+    lines.append("| query | sf0.1 | sf1 | runtime slope | work slope | why |")
+    lines.append("|---|---|---|---|---|---|")
+    for n, t0, t1, r in sorted(densified, key=lambda x: -x[3]):
+        lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x "
+                     f"| {r / DENSIFIED_WORK_RATIO:.2f}x | {DENSIFIED[n]} |")
     lines.append("\n## Declared exhaustive baselines (superlinear by design)\n")
     lines.append("| query | sf0.1 | sf1 | slope | why |")
     lines.append("|---|---|---|---|---|")
