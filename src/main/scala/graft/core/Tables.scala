@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the analytic tables (TPC-H-ish star schema + events /
   * documents / embeddings), one parquet file per table under a scale-factor
@@ -16,8 +17,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet timestamps written WITHOUT the isAdjustedToUTC flag surface as
+    * TIMESTAMP_NTZ in Spark 4, which rejects casts to numeric epoch types
+    * ([DATATYPE_MISMATCH]) that every time-arithmetic query here relies on.
+    * All graft sessions run with spark.sql.session.timeZone=UTC, so casting
+    * NTZ → TIMESTAMP re-interprets the wall-clock fields in UTC — the exact
+    * micros value DuckDB's TIMESTAMP gives the oracle for the same file.
+    * Done once at the loader choke point so 200+ queries stay schema-stable
+    * whether the generator stamps the UTC flag or not. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.filter(_.dataType == TimestampNTZType) match {
+      case Array() => df
+      case ntz =>
+        df.withColumns(ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
