@@ -20,12 +20,16 @@ object Tables {
   /** Parquet timestamps written WITHOUT the isAdjustedToUTC flag surface as
     * TIMESTAMP_NTZ in Spark 4, which rejects casts to numeric epoch types
     * ([DATATYPE_MISMATCH]) that every time-arithmetic query here relies on.
-    * All graft sessions run with spark.sql.session.timeZone=UTC, so casting
-    * NTZ → TIMESTAMP re-interprets the wall-clock fields in UTC — the exact
-    * micros value DuckDB's TIMESTAMP gives the oracle for the same file.
-    * Done once at the loader choke point so 200+ queries stay schema-stable
-    * whether the generator stamps the UTC flag or not. */
+    * Disabling NTZ inference makes the scan emit TimestampType NATIVELY, so
+    * date/ts predicates still push into the parquet reader (a cast-on-top
+    * projection would block PushedFilters on every TPC-H date filter). All
+    * graft sessions run with spark.sql.session.timeZone=UTC, so the micros
+    * values are exactly what DuckDB's TIMESTAMP gives the oracle for the
+    * same file. Done once at the loader choke point so 200+ queries stay
+    * schema-stable whether the generator stamps the UTC flag or not; the
+    * cast fallback covers pre-inferred schemas from other code paths. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.filter(_.dataType == TimestampNTZType) match {
       case Array() => df
