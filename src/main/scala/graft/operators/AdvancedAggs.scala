@@ -886,7 +886,41 @@ object AdvancedAggs {
         col("mn.v").as("min_price"), col("mn.k").as("min_price_orderkey"))
       .orderBy("o_orderpriority")
 
+  /** Pearson chi-square test of independence between `event_type` and ISO
+    * day-of-week — the distribution-drift / feature-dependence check a
+    * pipeline runs before trusting a categorical split. Per contingency
+    * cell: observed `o`, row total `r`, column total `c`, grand total `n`,
+    * the exact cross-multiplied deviation `dev = o·n − r·c`, and the cell's
+    * chi-square contribution in exact micro-units
+    * `chi2_micro = ⌊dev²·10⁶ / (n·r·c)⌋` — dev² runs in DECIMAL(38,0) so
+    * nothing ever rounds, and the floor division makes every cell (and
+    * therefore the total statistic Σcells, derivable by the consumer) a
+    * pure integer that hash-matches across engines; a float Σ(o−e)²/e can
+    * never be gated because summation order differs. One scan, one
+    * R×C-cell aggregate, two tiny broadcast margins — no shape that grows
+    * with data beyond the R×C cell table. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), ((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("iso_dow").agg(sum(col("o")).as("c"))
+    val tot  = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "iso_dow")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+      .select(col("event_type"), col("iso_dow"), col("o"), col("r"), col("c"),
+        col("n"), col("dev"),
+        expr("""cast((cast(dev as decimal(38,0)) * cast(dev as decimal(38,0))
+               |      * 1000000) div (cast(n as decimal(38,0)) * r * c)
+               |  as bigint)""".stripMargin).as("chi2_micro"))
+      .orderBy("event_type", "iso_dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chi2_independence" -> (chi2Independence _),
     "agg_argmax" -> (argExtremes _),
     "agg_market_basket" -> (marketBasket _),
     "agg_autocorr" -> (autocorrRevenue _),
@@ -932,6 +966,19 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_chi2_independence" ->
+      """WITH cells AS (SELECT event_type, CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |    COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT iso_dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT cells.event_type, cells.iso_dow, CAST(o AS BIGINT) AS o, r, c, n,
+        |  CAST(o * n - r * c AS BIGINT) AS dev,
+        |  CAST((CAST(o * n - r * c AS HUGEINT) * (o * n - r * c) * 1000000)
+        |    // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi2_micro
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (iso_dow) CROSS JOIN tt
+        |ORDER BY event_type, iso_dow""".stripMargin,
     "agg_argmax" ->
       """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority

@@ -495,7 +495,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup (Abbas et al., arXiv 2023): SEMANTIC near-duplicate pruning
+    * — cluster the embedding space with the trained k-means quantizer,
+    * then compare only within-cluster pairs by exact cosine and keep one
+    * representative (lowest vec_id) per semantic-duplicate neighborhood.
+    * This is the embedding-space analogue of MinHash-band-then-verify:
+    * candidate generation is the cluster assignment (one broadcast-argmin
+    * scan, no shuffle of vectors), verification is exact. In production
+    * k grows with the corpus so per-cell population stays bounded —
+    * within-cell pairing is Σ n_c², the SemDeDup paper's own cost model —
+    * and the verify threshold (cos ≥ 0.3 on this near-orthogonal gaussian
+    * corpus; 1−ε ≈ 0.95+ on real text embeddings) drops the cheapest
+    * member of each pair. Output is the per-vector decision table:
+    * cluster, duplicate-neighbor count, and the keep flag
+    * (no lower-id semantic duplicate in the same cell). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssigned(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+    val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding"), col("nrm"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), pairSim.as("cos"))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("vec_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        sum(when(col("vec_b") < col("vec_a"), 1L).otherwise(0L)).as("n_lower"))
+    asg.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_lower"), lit(0L)) === 0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (semanticDedup _),
     "sim_topk_pq_adc" -> (topkPqAdc _),
     "sim_ann_recall" -> (annRecall _),
     "sim_pq" -> (productQuantize _),
@@ -665,6 +702,19 @@ object Similarity {
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_semantic" ->
+      s"""WITH $kmeansCte,
+         |dups AS (
+         |  SELECT a.vec_id AS vec_a, COUNT(*) AS n_dups,
+         |    SUM(CASE WHEN b.vec_id < a.vec_id THEN 1 ELSE 0 END) AS n_lower
+         |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |  GROUP BY 1)
+         |SELECT s.vec_id, s.cid,
+         |  CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |  COALESCE(d.n_lower, 0) = 0 AS keep
+         |FROM asg2 s LEFT JOIN dups d ON d.vec_a = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     "sim_ann_recall" ->
       s"""WITH $bucketedCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket

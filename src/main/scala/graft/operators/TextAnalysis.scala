@@ -541,7 +541,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 query terms: fixed mid-frequency corpus tokens (retrieval over a
+    * bounded query set — the bench/eval shape; a query STREAM would join
+    * through [[invertedIndex]] instead of scanning). */
+  private val bm25Terms = Seq("filter", "join", "stream")
+
+  /** Okapi BM25 (k1 = 6/5, b = 3/4) document ranking for a fixed term
+    * query, in the LOG-FREE rational form that keeps both engines exact:
+    * with N docs, total token mass TL (so avgdl = TL/N), per-doc length
+    * dl and per-(doc,term) frequency tf, clearing denominators gives
+    *
+    *   tf-part  = 22·TL·tf / (10·TL·tf + 3·TL + 9·dl·N)
+    *   idf'     = (N − df + 1)/(df + 1)        (Robertson idf sans log —
+    *              same ordering, rational instead of transcendental; `ln`
+    *              is libm-dependent and can differ in the last ulp across
+    *              engines, so it can never be hash-gated)
+    *
+    * so each term score is ONE double division of two exact BIGINT
+    * products, and the doc score folds the per-term doubles in ascending
+    * term order — the identical-IEEE-terms-in-identical-order contract
+    * ([[graft.operators.Behavioral.survivalCurve]]'s pattern). Shape: one
+    * corpus scan computes (dl, tf per query term) per doc; N/TL/df ride
+    * in as two broadcast scalars + a 3-row broadcast join; ranking is
+    * TakeOrdered top-15, never a global sort. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val termArr = array(bm25Terms.map(lit): _*)
+    val docs = tokenized(spark, dir)
+      .select(col("doc_id"),
+        expr("size(filter(toks, t -> t <> ''))").as("dl"),
+        explode(termArr).as("term"),
+        col("toks"))
+      .withColumn("tf", expr("size(filter(toks, t -> t = term))"))
+      .drop("toks")
+      .filter(col("tf") > 0)
+    val corpus = tokenized(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("size(filter(toks, t -> t <> ''))")).as("tl"))
+    val dfs = docs.groupBy("term").agg(count(lit(1)).as("df"))
+    docs
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score_term",
+        (lit(22L) * col("tl") * col("tf") * (col("n_docs") - col("df") + 1L))
+          .cast("double") /
+        ((lit(10L) * col("tl") * col("tf") + lit(3L) * col("tl")
+          + lit(9L) * col("dl") * col("n_docs")) * (col("df") + 1L))
+          .cast("double"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("""aggregate(
+               |  transform(array_sort(collect_list(struct(term, score_term))),
+               |            x -> x.score_term),
+               |  cast(0.0 as double), (acc, s) -> acc + s)""".stripMargin)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25_topk" -> (bm25TopK _),
     "ta_script_mix" -> (scriptMix _),
     "ta_readability" -> (readability _),
     "ta_pii_scrub" -> (piiScrub _),
@@ -585,6 +643,27 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS tl
+        |           FROM toks),
+        |dt AS (SELECT doc_id, len(tk) AS dl, term,
+        |    len(list_filter(tk, t -> t = term)) AS tf
+        |  FROM toks, (SELECT unnest(['filter', 'join', 'stream']) AS term) q),
+        |dtf AS (SELECT * FROM dt WHERE tf > 0),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM dtf GROUP BY 1),
+        |scored AS (SELECT doc_id, dl, term,
+        |    CAST(22 * tl * tf * (n_docs - df + 1) AS DOUBLE)
+        |      / CAST((10 * tl * tf + 3 * tl + 9 * dl * n_docs) * (df + 1) AS DOUBLE)
+        |      AS score_term
+        |  FROM dtf JOIN dfs USING (term) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(dl AS INTEGER) AS dl, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(score_term ORDER BY term)),
+        |              (a, b) -> a + b) AS score
+        |FROM scored GROUP BY doc_id, dl
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "ta_script_mix" ->
       s"""WITH c AS (SELECT doc_id,
          |    CAST(length(text) AS BIGINT) AS n_total,

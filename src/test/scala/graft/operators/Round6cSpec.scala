@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Invariant / differential tests for the round-6 sixth-session operators:
+  * chi-square independence, log-free BM25 ranking, and SemDeDup-style
+  * semantic embedding dedup. */
+class Round6cSpec extends SparkSpec {
+
+  test("chi2 cells: margins consistent, row deviations telescope to zero") {
+    val rows = AdvancedAggs.chi2Independence(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val n = rows.head._6
+    assert(rows.forall(_._6 == n), "grand total constant across cells")
+    // margins really are the row/column sums of the observed cells
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._3).sum == cs.head._4, "row margin = sum of row cells")
+      // Σ_cells(o·n − r·c) over one row = r·n − r·Σc_present; with every
+      // column present in the row it telescopes to exactly zero
+      if (cs.length == rows.map(_._2).distinct.length)
+        assert(cs.map(_._7).sum == 0L, "row deviations telescope to 0")
+    }
+    rows.groupBy(_._2).foreach { case (_, cs) =>
+      assert(cs.map(_._3).sum == cs.head._5, "col margin = sum of col cells")
+    }
+    // chi2_micro is the exact floor-division of BigInt cross products
+    rows.foreach { case (_, _, o, r, c, nn, dev, micro) =>
+      assert(BigInt(dev) == BigInt(o) * nn - BigInt(r) * c)
+      assert(BigInt(micro) ==
+        BigInt(dev) * dev * 1000000 / (BigInt(nn) * r * c))
+    }
+  }
+
+  test("bm25: driver-side recompute of the rational scoring at sf0.001") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val terms = Seq("filter", "join", "stream")
+    val nDocs = docs.length.toLong
+    val tl = docs.map(_._2.length.toLong).sum
+    val tfs = for {
+      (id, toks) <- docs
+      t <- terms
+      tf = toks.count(_ == t).toLong
+      if tf > 0
+    } yield (id, t, tf, toks.length.toLong)
+    val dfm = tfs.groupBy(_._2).map { case (t, xs) => (t, xs.length.toLong) }
+    val want = tfs.groupBy(_._1).map { case (id, xs) =>
+      val score = xs.sortBy(_._2).foldLeft(0.0) { case (acc, (_, t, tf, dl)) =>
+        val df = dfm(t)
+        acc + (22L * tl * tf * (nDocs - df + 1)).toDouble /
+          ((10L * tl * tf + 3L * tl + 9L * dl * nDocs) * (df + 1)).toDouble
+      }
+      (id, (xs.length.toLong, score))
+    }
+    val top = want.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(15)
+    val got = TextAnalysis.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 15)
+    assert(got.toSeq == top.map { case (id, (nt, s)) => (id, nt, s) },
+      "engine top-15 must equal the driver recompute bit-for-bit")
+  }
+
+  test("semantic dedup: decisions equal a driver-side within-cluster verify") {
+    val asg = Similarity.ivfKmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val ids = emb.keys.toSeq.sorted
+    val pairs = for {
+      x <- ids; y <- ids
+      if x != y && asg(x) == asg(y) && cos(emb(x), emb(y)) >= 0.3
+    } yield (x, y)
+    val nd = pairs.groupBy(_._1).map { case (v, ps) =>
+      (v, (ps.length.toLong, ps.forall(_._2 > v)))
+    }
+    val got = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == emb.keySet, "one decision row per vector")
+    got.foreach { case (v, (cid, dups, keep)) =>
+      assert(cid == asg(v))
+      val (wantDups, wantKeep) = nd.getOrElse(v, (0L, true))
+      assert(dups == wantDups, s"vec $v n_dups")
+      assert(keep == wantKeep, s"vec $v keep")
+    }
+    // at least the decision table is non-degenerate on this corpus: the
+    // gate corpus is near-orthogonal, so most vectors must be kept
+    assert(got.values.count(_._3) >= got.size / 2)
+  }
+}
