@@ -410,7 +410,81 @@ object Events {
       .orderBy("day")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test per event type — first half
+    * of the stream (ts < 2024-01-16) vs the second — in EXACT integer
+    * arithmetic: with per-sample sizes n1/n2 and cumulative counts
+    * cum1/cum2 at each distinct value, the KS statistic's numerator is
+    * d_num = max|cum1·n2 − cum2·n1| (D = d_num/(n1·n2)), so the sup runs
+    * over pure BIGINTs and the α=0.05 decision is the cross-multiplied
+    * inequality 10⁶·d_num² > 1844164·(n1+n2)·n1·n2 (1844164/10⁶ is
+    * EXACTLY 1.358², the two-sided critical coefficient) in DECIMAL(38,0)
+    * — no sqrt, no float, hash-gateable. Shape: the window runs over the
+    * aggregated (type, value) distinct-count rows, not raw events; for a
+    * 100 TB value domain the same statistic runs on fixed equi-width bins
+    * (the [[graft.operators.AdvancedAggs.exactMedianTwoPass]] histogram
+    * pattern), where binning makes the sup a lower bound evaluated at bin
+    * edges. */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L).as("in1"))
+      .groupBy("event_type", "value")
+      .agg(sum(col("in1")).as("c1"), sum(lit(1L) - col("in1")).as("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pts.groupBy("event_type")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    pts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("dev", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy(col("event_type"), col("n1"), col("n2"))
+      .agg(max(col("dev")).as("d_num"))
+      .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+        expr("d_num * 1000000 div (n1 * n2)").as("ks_micro"),
+        expr("""cast(1000000 as decimal(38,0)) * d_num * d_num
+               |  > cast(1844164 as decimal(38,0)) * (n1 + n2) * n1 * n2"""
+          .stripMargin).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  /** Session co-activity pairs — the interval-INTERVAL overlap join that
+    * completes [[rangeJoinSessions]]'s point-in-interval shape: pairs of
+    * users whose (≥2-event) sessions overlap in wall-clock time, with the
+    * overlap count and total overlapping seconds. Scale shape: sessions
+    * explode to the hour buckets they span, candidates join per bucket
+    * (equi-join on one long — never a full interval cross product), and
+    * each qualifying pair is emitted EXACTLY once, in the bucket holding
+    * the later session start (the standard dedup-free emit rule for
+    * bucketed interval joins — no global distinct pass). At cluster scale
+    * the bucket width tunes candidate fanout exactly like the Graph hub
+    * cap. */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("session_id"),
+        col("session_start").cast("long").as("st"),
+        col("session_end").cast("long").as("en"))
+    def side(p: String): DataFrame = s.select(
+      col("user_id").as(s"u$p"), col("st").as(s"st$p"), col("en").as(s"en$p"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"st$p div 3600"), expr(s"en$p div 3600"))))
+    side("1").join(side("2"), Seq("bucket"))
+      .filter(col("u1") < col("u2") &&
+        col("st1") <= col("en2") && col("st2") <= col("en1") &&
+        expr("greatest(st1, st2) div 3600") === col("bucket"))
+      .groupBy("u1", "u2")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("en1"), col("en2")) - greatest(col("st1"), col("st2")))
+          .as("overlap_s"))
+      .orderBy("u1", "u2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_drift_ks" -> (driftKs _),
+    "evt_session_overlap" -> (sessionOverlap _),
     "evt_bounce_rate" -> (bounceRate _),
     "evt_attribution_ushaped" -> (attributionUShaped _),
     "evt_attribution_linear" -> (attributionLinear _),
@@ -429,6 +503,58 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_drift_ks" ->
+      """WITH pts AS (SELECT event_type, value,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |    CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER w AS BIGINT) AS cum2
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n1, n2,
+        |  CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  CAST(MAX(abs(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2) AS BIGINT)
+        |    AS ks_micro,
+        |  1000000 * CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS HUGEINT)
+        |      * MAX(abs(cum1 * n2 - cum2 * n1))
+        |    > 1844164 * CAST(n1 + n2 AS HUGEINT) * n1 * n2 AS drifted
+        |FROM cum JOIN tot USING (event_type)
+        |GROUP BY event_type, n1, n2 ORDER BY event_type""".stripMargin,
+    "evt_session_overlap" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked),
+        |iv AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS st,
+        |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS en
+        |  FROM sess GROUP BY user_id, session_id HAVING COUNT(*) >= 2)
+        |SELECT a.user_id AS u1, b.user_id AS u2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
+        |    AS overlap_s
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_bounce_rate" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,

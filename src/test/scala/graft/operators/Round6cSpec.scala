@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Invariant / differential tests for the round-6 sixth-session operators:
@@ -61,6 +63,54 @@ class Round6cSpec extends SparkSpec {
     assert(got.length == 15)
     assert(got.toSeq == top.map { case (id, (nt, s)) => (id, nt, s) },
       "engine top-15 must equal the driver recompute bit-for-bit")
+  }
+
+  test("ks drift: statistic equals a driver-side exact recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "value",
+        "ts < timestamp'2024-01-16 00:00:00' as in1").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val want = ev.groupBy(_._1).map { case (et, xs) =>
+      val n1 = xs.count(_._3).toLong
+      val n2 = xs.length - n1
+      val vals = xs.map(_._2).distinct.sorted
+      var c1 = 0L; var c2 = 0L
+      val dnum = vals.map { v =>
+        c1 += xs.count(x => x._2 == v && x._3)
+        c2 += xs.count(x => x._2 == v && !x._3)
+        (c1 * n2 - c2 * n1).abs
+      }.max
+      (et, (n1, n2, dnum))
+    }
+    val got = Events.driftKs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.map(r => (r._1, (r._2, r._3, r._4))).toMap == want)
+    got.foreach { case (_, n1, n2, d, micro, drifted) =>
+      assert(micro == d * 1000000L / (n1 * n2))
+      assert(drifted ==
+        (BigInt(1000000) * d * d > BigInt(1844164) * (n1 + n2) * n1 * n2))
+    }
+  }
+
+  test("session overlap: bucketed join equals the quadratic verify") {
+    val sess = Events.sessionize(spark, sfDir)
+      .filter(col("n_events") >= 2)
+      .selectExpr("user_id", "cast(session_start as long) st",
+        "cast(session_end as long) en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield ((a._1, b._1),
+      math.min(a._3, b._3) - math.max(a._2, b._2)))
+      .groupBy(_._1).map { case (k, vs) =>
+        (k, (vs.length.toLong, vs.map(_._2).sum))
+      }
+    val got = Events.sessionOverlap(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, "bucketed emit-once join ≡ all-pairs interval join")
   }
 
   test("semantic dedup: decisions equal a driver-side within-cluster verify") {
