@@ -330,6 +330,59 @@ object StreamingPipelines {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Bounded Misra-Gries summary for one token shard. */
+  case class MgSummary(counts: Map[String, Long], processed: Long)
+  /** One summary row per (shard, surviving token) after a trigger. */
+  case class MgRow(shard: Int, token: String, mg_count: Long, shard_processed: Long)
+
+  /** Streaming heavy hitters with BOUNDED state: per-shard Misra-Gries
+    * summaries maintained in `flatMapGroupsWithState`, the streaming twin
+    * of [[graft.operators.TextAnalysis.heavyHitters]]'s per-partition
+    * batch sketches. Tokens route to a shard by hash, so ALL occurrences
+    * of a token land in one shard and the classic MG guarantees hold
+    * per token against its shard's stream: any token with true count
+    * > n_shard/capacity is guaranteed present, and its summary count
+    * undercounts by at most n_shard/capacity. Total state is
+    * O(shards × capacity) — independent of stream length, which is the
+    * whole point: an exact streaming count (Complete-mode groupBy) keys
+    * state by token cardinality, unbounded on an open vocabulary. Each
+    * trigger re-emits the shard's current summary (Update mode); readers
+    * take the rows with the shard's max `shard_processed`. A production
+    * deployment would follow with the batch recount join exactly as the
+    * batch operator does. */
+  def heavyHitterSummaries(
+      toks: DataFrame, capacity: Int = 64, shards: Int = 8): Dataset[MgRow] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+
+    def update(shard: Int, it: Iterator[String],
+        state: GroupState[MgSummary]): Iterator[MgRow] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      state.getOption.foreach { s => m ++= s.counts; n = s.processed }
+      for (t <- it) {
+        n += 1
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < capacity => m.update(t, 1L)
+          case None =>
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (k, c) =>
+              if (c == 1L) dead += k else m.update(k, c - 1)
+            }
+            dead.foreach(m.remove)
+        }
+      }
+      state.update(MgSummary(m.toMap, n))
+      m.iterator.map { case (t, c) => MgRow(shard, t, c, n) }
+    }
+
+    toks.select(col("token").cast("string")).as[String]
+      .groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   private val Mersenne61 = "2305843009213693951L"
 
   /** Static-corpus index for [[incrementalDedup]]: the exact content-hash

@@ -435,4 +435,51 @@ class StreamingPipelinesSpec extends SparkSpec {
           diffs.take(2).map(k => s"$k got=${got(k)} want=${batch(k)}").mkString("; "))
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries keeps every true heavy hitter with bounded undercount") {
+    implicit val sqlCtx = spark.sqlContext
+    val capacity = 64
+    val shards = 8
+    val allToks = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(text, '\\\\s+')) as token")
+      .where("token <> ''").collect().map(_.getString(0))
+    val in = MemoryStream[String]
+    val q = StreamingPipelines
+      .heavyHitterSummaries(in.toDF().withColumnRenamed("value", "token"),
+        capacity, shards)
+      .writeStream.format("memory").queryName("mg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      allToks.grouped(math.max(1, allToks.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("mg").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // current state of each shard = the rows of its latest emission
+      val latest = rows.groupBy(_._1).map { case (s, rs) =>
+        val maxN = rs.map(_._4).max
+        (s, (maxN, rs.filter(_._4 == maxN).map(r => r._2 -> r._3).toMap))
+      }
+      val truth = allToks.groupBy(identity).map { case (t, xs) =>
+        (t, xs.length.toLong)
+      }
+      val shardOf = (t: String) => math.floorMod(t.hashCode, shards)
+      val shardN = truth.toSeq.groupBy(x => shardOf(x._1))
+        .map { case (s, xs) => (s, xs.map(_._2).sum) }
+      latest.foreach { case (s, (n, summary)) =>
+        assert(n == shardN(s), s"shard $s processed count")
+        assert(summary.size <= capacity, s"shard $s summary bounded")
+        summary.foreach { case (t, c) =>
+          assert(c <= truth(t), s"MG never overcounts ($t)")
+          assert(c >= truth(t) - n / capacity, s"undercount bound ($t)")
+        }
+      }
+      truth.foreach { case (t, cnt) =>
+        val s = shardOf(t)
+        if (cnt > shardN(s) / capacity)
+          assert(latest(s)._2.contains(t), s"true heavy hitter $t survives")
+      }
+    } finally q.stop()
+  }
 }
