@@ -919,7 +919,56 @@ object AdvancedAggs {
       .orderBy("event_type", "iso_dow")
   }
 
+  /** Poisson(1) inverse-CDF thresholds at 60-bit scale: ⌊cdf_k·2⁶⁰⌋ for
+    * k = 0..6 (weight caps at 7). Fixed integer constants shared verbatim
+    * with the oracle, so the bootstrap weights are portable by
+    * construction — no engine ever evaluates e⁻¹ at runtime. */
+  private val PoissonThresholds: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L)
+
+  /** Distributed POISSON BOOTSTRAP confidence intervals (Chamandy et al.,
+    * Google 2012) for the mean event value per type: row i's weight in
+    * replicate b is Poisson(1)-distributed, derived deterministically as
+    * the number of [[PoissonThresholds]] ≤ portable_hash60("boot:i:b") —
+    * the resample-with-replacement scheme that needs NO shared RNG state
+    * and never materializes a resample (the classic n·B explode is one
+    * map-side flatMap; partial aggregation collapses it to G·B partial
+    * rows before the shuffle, so 100 replicates cost one wide pass, not
+    * 100 scans). Replicate means divide exact BIGINT cent sums once; the
+    * 95% CI takes the 3rd/98th order statistics of the 100 sorted
+    * replicate means (nearest-rank 2.5%/97.5%) — exact order stats over
+    * bit-identical doubles, so the whole CI is hash-gateable. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val thresholds = array(PoissonThresholds.map(lit): _*)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val base = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val means = ev
+      .withColumn("b", explode(sequence(lit(0), lit(99))))
+      .withColumn("u", expr(
+        "portable_hash60(concat('boot:', cast(event_id as string), ':', cast(b as string)))"))
+      .withColumn("w", size(filter(thresholds, t => t <= col("u"))).cast("long"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .select(col("event_type"), col("b"),
+        (col("swc").cast("double") / col("sw").cast("double")).as("m"))
+    means.groupBy("event_type")
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .join(broadcast(base), "event_type")
+      .select(col("event_type"), col("n"),
+        (col("sc").cast("double") / col("n").cast("double")).as("mean_value"),
+        element_at(col("ms"), 3).as("ci_lo"),
+        element_at(col("ms"), 98).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap_ci" -> (bootstrapCi _),
     "agg_chi2_independence" -> (chi2Independence _),
     "agg_argmax" -> (argExtremes _),
     "agg_market_basket" -> (marketBasket _),
@@ -966,6 +1015,28 @@ object AdvancedAggs {
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_bootstrap_ci" ->
+      s"""WITH ev AS (SELECT event_type, event_id,
+         |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |base AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sc
+         |         FROM ev GROUP BY 1),
+         |weighted AS (SELECT event_type, cents, r.b AS b,
+         |    len(list_filter([${PoissonThresholds.mkString(", ")}],
+         |        t -> t <= ${h60Sql("'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)")}))
+         |      AS w
+         |  FROM ev, range(0, 100) r(b)),
+         |rep AS (SELECT event_type, b,
+         |    CAST(SUM(w * cents) AS BIGINT) AS swc, CAST(SUM(w) AS BIGINT) AS sw
+         |  FROM weighted GROUP BY 1, 2),
+         |means AS (SELECT event_type, b,
+         |    CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM rep)
+         |SELECT means.event_type, n,
+         |  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+         |  (list(m ORDER BY m))[3] AS ci_lo,
+         |  (list(m ORDER BY m))[98] AS ci_hi
+         |FROM means JOIN base USING (event_type)
+         |GROUP BY means.event_type, n, sc ORDER BY event_type""".stripMargin,
     "agg_chi2_independence" ->
       """WITH cells AS (SELECT event_type, CAST(isodow(ts) AS INTEGER) AS iso_dow,
         |    COUNT(*) AS o

@@ -113,6 +113,47 @@ class Round6cSpec extends SparkSpec {
     assert(got == want, "bucketed emit-once join ≡ all-pairs interval join")
   }
 
+  test("bootstrap ci: replicate machinery equals a driver-side replay") {
+    import java.security.MessageDigest
+    def h60(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+    }
+    val thresholds = Seq(
+      424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+      1152825534095764625L)
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "event_id",
+        "cast(cast(value as decimal(15,2)) * 100 as long) cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val reps = for {
+      (et, rows) <- ev.groupBy(_._1).toSeq
+    } yield {
+      val ms = (0 until 100).map { b =>
+        var swc = 0L; var sw = 0L
+        rows.foreach { case (_, id, cents) =>
+          val u = h60(s"boot:$id:$b")
+          val w = thresholds.count(_ <= u).toLong
+          swc += w * cents; sw += w
+        }
+        swc.toDouble / sw.toDouble
+      }.sorted
+      (et, (rows.length.toLong,
+        rows.map(_._3).sum.toDouble / rows.length,
+        ms(2), ms(97)))
+    }
+    val got = AdvancedAggs.bootstrapCi(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == reps.toMap,
+      "engine bootstrap CI must equal the driver replay bit-for-bit")
+    // the interval is sane: nonempty and straddles the point estimate
+    got.values.foreach { case (_, m, lo, hi) =>
+      assert(lo <= hi && lo <= m && m <= hi)
+    }
+  }
+
   test("semantic dedup: decisions equal a driver-side within-cluster verify") {
     val asg = Similarity.ivfKmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2))).toMap
