@@ -531,7 +531,24 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cluster-quality evaluation: the (trained cell × ground-truth label)
+    * confusion table with per-cell cluster purity — the standard external
+    * validation of an unsupervised quantizer against labels, and the
+    * diagnostic that says whether IVF cells respect class structure. One
+    * R×C aggregate over the broadcast-argmin assignment scan plus a tiny
+    * per-cid margin join; nothing scales beyond k·|labels| rows. */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssigned(spark, dir).select("vec_id", "label", "cid")
+    val cells = asg.groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val tots = cells.groupBy("cid").agg(sum(col("n")).as("cid_total"))
+    cells.join(broadcast(tots), "cid")
+      .select(col("cid"), col("label"), col("n"), col("cid_total"),
+        (col("n").cast("double") / col("cid_total").cast("double")).as("share"))
+      .orderBy("cid", "label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_confusion" -> (centroidConfusion _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_topk_pq_adc" -> (topkPqAdc _),
     "sim_ann_recall" -> (annRecall _),
@@ -702,6 +719,15 @@ object Similarity {
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_centroid_confusion" ->
+      s"""WITH $kmeansCte,
+         |cells AS (SELECT cid, label, COUNT(*) AS n FROM asg2 GROUP BY 1, 2),
+         |tots AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS cid_total
+         |         FROM cells GROUP BY 1)
+         |SELECT cid, label, CAST(n AS BIGINT) AS n, cid_total,
+         |  CAST(n AS DOUBLE) / CAST(cid_total AS DOUBLE) AS share
+         |FROM cells JOIN tots USING (cid)
+         |ORDER BY cid, label""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $kmeansCte,
          |dups AS (

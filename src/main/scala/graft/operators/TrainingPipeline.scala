@@ -389,7 +389,40 @@ object TrainingPipeline {
   val ChunkWindow = 32
   val ChunkStride = 24
 
+  /** DSIR-style domain importance statistics (Xie et al., NeurIPS 2023
+    * "Data Selection for Language Models via Importance Resampling"): the
+    * per-hashed-feature likelihood ratio between the target domain
+    * (lang = 'en') and the rest of the corpus, over the same 16-bucket
+    * hashed unigram space as
+    * [[graft.operators.Features.featureHashing]]. Ratios are add-one
+    * smoothed and emitted BOTH as the exact integer 4-tuple
+    * (cnt_t, cnt_s, n_t, n_s) and as the floored micro-unit ratio
+    * ⌊(cnt_t+1)(n_s+16)·10⁶ / ((cnt_s+1)(n_t+16))⌋ in DECIMAL(38,0) —
+    * a downstream sampler multiplies per-feature ratios in log space on
+    * its own terms; the engine's job is the exact sufficient statistics.
+    * One token scan, one 16-row aggregate, zero joins — the hashed
+    * feature space is what makes DSIR corpus-scale. */
+  def dsirRatios(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val cnt = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .select((col("lang") === "en").as("is_target"),
+        expr("portable_hash60(t) % 16").as("dim"))
+      .groupBy("dim").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cnt_s"))
+    val tot = cnt.agg(sum(col("cnt_t")).as("n_t"), sum(col("cnt_s")).as("n_s"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("dim"), col("cnt_t"), col("cnt_s"), col("n_t"), col("n_s"),
+        expr("""cast(((cast(cnt_t as decimal(38,0)) + 1) * (n_s + 16) * 1000000)
+               |  div ((cast(cnt_s as decimal(38,0)) + 1) * (n_t + 16))
+               |  as bigint)""".stripMargin).as("ratio_micro"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir_ratios" -> (dsirRatios _),
     "pipeline_weighted_sample" -> (weightedSample _),
     "pipeline_chunk_windows" -> (chunkWindows _),
     "pipeline_quantile_bins" -> (quantileBins _),
@@ -410,6 +443,23 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_dsir_ratios" ->
+      s"""WITH toks AS (SELECT lang = 'en' AS is_target,
+         |    ${Dedup.dh60("t")} % 16 AS dim
+         |  FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE t <> ''),
+         |cnt AS (SELECT dim,
+         |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+         |    CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cnt_s
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+         |    CAST(SUM(cnt_s) AS BIGINT) AS n_s FROM cnt)
+         |SELECT dim, cnt_t, cnt_s, n_t, n_s,
+         |  CAST(((CAST(cnt_t AS HUGEINT) + 1) * (n_s + 16) * 1000000)
+         |    // ((CAST(cnt_s AS HUGEINT) + 1) * (n_t + 16)) AS BIGINT)
+         |    AS ratio_micro
+         |FROM cnt CROSS JOIN tot ORDER BY dim""".stripMargin,
     "pipeline_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
          |  ${Dedup.dh60("'ws:' || CAST(doc_id AS VARCHAR)")} % 1073741824 AS r30

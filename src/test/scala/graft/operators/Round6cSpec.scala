@@ -154,6 +154,49 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("centroid confusion equals the assignment cross-tab") {
+    val asg = Similarity.ivfKmeans(spark, sfDir).collect()
+      .map(r => (r.getInt(2), r.getInt(1)))
+    val want = asg.groupBy(identity).map { case ((cid, l), xs) =>
+      ((cid, l), xs.length.toLong)
+    }
+    val got = Similarity.centroidConfusion(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    assert(got.map(x => (x._1, x._2._1)).toMap == want)
+    got.groupBy(_._1._1).foreach { case (cid, cells) =>
+      assert(cells.map(_._2._1).sum == cells.head._2._2,
+        s"cid $cid margin = sum of its cells")
+    }
+    assert(got.map(_._2._1).sum == asg.length.toLong)
+  }
+
+  test("dsir ratios equal a driver-side recompute of the hashed-domain stats") {
+    import java.security.MessageDigest
+    def h60(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+    }
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(t => (r.getString(0) == "en", (h60(t) % 16).toInt)))
+    val cnt = toks.groupBy(_._2).map { case (dim, xs) =>
+      (dim, (xs.count(_._1).toLong, xs.count(!_._1).toLong))
+    }
+    val nT = cnt.values.map(_._1).sum
+    val nS = cnt.values.map(_._2).sum
+    val got = TrainingPipeline.dsirRatios(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == cnt.keySet)
+    got.foreach { case (dim, (ct, cs, gt, gs, micro)) =>
+      assert((ct, cs) == cnt(dim))
+      assert(gt == nT && gs == nS)
+      assert(BigInt(micro) ==
+        (BigInt(ct) + 1) * (nS + 16) * 1000000 / ((BigInt(cs) + 1) * (nT + 16)))
+    }
+  }
+
   test("semantic dedup: decisions equal a driver-side within-cluster verify") {
     val asg = Similarity.ivfKmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2))).toMap
