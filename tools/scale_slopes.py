@@ -29,6 +29,11 @@ BASELINES = {
     "dedup_substring_pairs":
         "all-windows inverted-index baseline; production twin is "
         "dedup_substring_winnow (~2/(W+1) sampled fingerprints)",
+    "dedup_semantic":
+        "SemDeDup verify over a FIXED k=8 trained quantizer: within-cell "
+        "pairs grow ~n^2/k on a 10x corpus. Production scales k with the "
+        "corpus so per-cell population (and the verify cost) stays bounded; "
+        "k is pinned here so the gate exercises the trained-codebook path",
 }
 
 # Queries whose INPUT grows superlinearly under ScaleUp's replication:
@@ -44,6 +49,11 @@ DENSIFIED = {
     "graph_local_clustering":
         "same degree-ordered wedge join as triangle_count over a 61x-denser "
         "input graph",
+    "evt_session_overlap":
+        "ScaleUp keeps the one-month event horizon while users scale 10x, so "
+        "concurrent sessions per hour bucket densify ~10x and overlapping "
+        "PAIRS (the query's own output) grow ~100x; per-output-pair cost is "
+        "the honest unit, and the hour-bucket width is the production knob",
 }
 # (query -> input-work ratio basis used for the normalized column)
 DENSIFIED_WORK_RATIO = 61.0
