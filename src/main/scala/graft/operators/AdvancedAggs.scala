@@ -942,17 +942,23 @@ object AdvancedAggs {
     * bit-identical doubles, so the whole CI is hash-gateable. */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
-    val thresholds = array(PoissonThresholds.map(lit): _*)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         (dec(col("value")) * 100).cast("long").as("cents"))
     val base = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    // The weight is a sum of 7 plain comparisons, NOT size(filter(...)):
+    // higher-order array functions are CodegenFallback, and one in the
+    // n·B hot path dropped the whole 10M-row stage out of whole-stage
+    // codegen (measured 30s → ~2s at sf0.1 for this query).
+    val weight = PoissonThresholds
+      .map(t => when(col("u") >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
     val means = ev
       .withColumn("b", explode(sequence(lit(0), lit(99))))
       .withColumn("u", expr(
         "portable_hash60(concat('boot:', cast(event_id as string), ':', cast(b as string)))"))
-      .withColumn("w", size(filter(thresholds, t => t <= col("u"))).cast("long"))
+      .withColumn("w", weight)
       .groupBy("event_type", "b")
       .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
       .select(col("event_type"), col("b"),
