@@ -62,12 +62,94 @@ object Diagnostics {
       .unionAll(colProfile(Tables.documents(spark, dir), "documents", "source"))
       .orderBy("table_name", "column_name")
 
+  /** Declarative data-quality constraint audit (the dbt-test / Deequ
+    * check suite shape): one row per named constraint with its exact
+    * violation count and pass flag — primary-key uniqueness, referential
+    * integrity (anti-join orphan counts), domain ranges, and a derived-
+    * column consistency invariant. Each check is one small aggregate or
+    * broadcast/shuffle anti-join; the union is a fixed-size report the
+    * pipeline gates a load on. Green-on-green matters: the gate proves
+    * the checks RUN correctly, not merely that the data happens to be
+    * clean (violation counts are oracle-compared, whatever they are). */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, d: => DataFrame): DataFrame =
+      d.select(lit(name).as("check_name"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0L).as("ok"))
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    check("orders_pk_unique",
+      orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+          .as("n_violations")))
+      .unionAll(check("customer_pk_unique",
+        customer.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+            .as("n_violations"))))
+      .unionAll(check("orders_fk_customer",
+        orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))))
+      .unionAll(check("lineitem_fk_orders",
+        lineitem.join(orders,
+            lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))))
+      .unionAll(check("lineitem_qty_range",
+        lineitem.agg(sum(when(col("l_quantity") < 1.0 ||
+            col("l_quantity") > 50.0, 1L).otherwise(0L))
+          .as("n_violations"))))
+      .unionAll(check("events_value_positive",
+        Tables.events(spark, dir)
+          .agg(sum(when(col("value") <= 0.0, 1L).otherwise(0L))
+            .as("n_violations"))))
+      .unionAll(check("documents_nchars_consistent",
+        Tables.documents(spark, dir)
+          .agg(sum(when(col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)).as("n_violations"))))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diag_key_skew" -> (keySkew _),
-    "diag_column_profile" -> (columnProfile _)
+    "diag_column_profile" -> (columnProfile _),
+    "diag_constraints" -> (constraintAudit _)
   )
 
   val oracle: Map[String, String] = Map(
+    "diag_constraints" ->
+      """WITH u(check_name, n_violations) AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+        |      AS n_violations
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'customer_pk_unique',
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events_value_positive',
+        |    CAST(COALESCE(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent',
+        |    CAST(COALESCE(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0
+        |                       END), 0) AS BIGINT)
+        |  FROM documents)
+        |SELECT check_name, n_violations, n_violations = 0 AS ok
+        |FROM u ORDER BY check_name""".stripMargin,
     "diag_column_profile" ->
       """SELECT * FROM (
         |  SELECT 'orders' AS table_name, 'o_custkey' AS column_name,

@@ -482,7 +482,31 @@ object Events {
       .orderBy("u1", "u2")
   }
 
+  /** Recency-weighted popularity with EXACT exponential decay: weight
+    * 2^(−age_weeks) against a fixed horizon, where age buckets to whole
+    * weeks — so every weight is a dyadic rational and the decayed score
+    * is one exact BIGINT Σ c_k·2^(5−k) in 1/32nds (ages clamp to [0,5]
+    * weeks over the one-month stream; widen the clamp with the data
+    * horizon). The continuous e^(−λt) form can never hash-gate — each
+    * engine's exp() differs in ulps and the sum is order-dependent —
+    * while the dyadic form is bit-identical everywhere and keeps the
+    * half-life semantics (1 week here). One scan, one G×6 aggregate. */
+  def decayPopularity(spark: SparkSession, dir: String): DataFrame = {
+    val ageW = least(lit(5), greatest(lit(0),
+      expr("datediff(to_date('2024-02-01'), to_date(ts)) div 7").cast("int")))
+    Tables.events(spark, dir)
+      .select(col("event_type"), ageW.as("age_w"))
+      .groupBy("event_type", "age_w").agg(count(lit(1)).as("c"))
+      .withColumn("part", expr("c * shiftleft(cast(1 as bigint), 5 - age_w)"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("part")).as("decayed_x32"))
+      .withColumn("decayed", col("decayed_x32").cast("double") / 32.0)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_decay_popularity" -> (decayPopularity _),
     "evt_drift_ks" -> (driftKs _),
     "evt_session_overlap" -> (sessionOverlap _),
     "evt_bounce_rate" -> (bounceRate _),
@@ -503,6 +527,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_decay_popularity" ->
+      """WITH ages AS (SELECT event_type,
+        |    LEAST(5, GREATEST(0,
+        |      date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7))
+        |      AS age_w
+        |  FROM events),
+        |bkt AS (SELECT event_type, age_w, COUNT(*) AS c FROM ages GROUP BY 1, 2)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(SUM(c * (CAST(1 AS BIGINT) << (5 - age_w))) AS BIGINT)
+        |    AS decayed_x32,
+        |  CAST(SUM(c * (CAST(1 AS BIGINT) << (5 - age_w))) AS DOUBLE) / 32.0
+        |    AS decayed
+        |FROM bkt GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_drift_ks" ->
       """WITH pts AS (SELECT event_type, value,
         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'

@@ -197,6 +197,38 @@ class Round6cSpec extends SparkSpec {
     }
   }
 
+  test("decay popularity equals a driver-side dyadic recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("event_type",
+        "datediff(to_date('2024-02-01'), to_date(ts)) div 7 as w").collect()
+      .map(r => (r.getString(0), math.min(5, math.max(0, r.getLong(1))).toInt))
+    val want = ev.groupBy(_._1).map { case (et, xs) =>
+      (et, (xs.length.toLong,
+        xs.map(x => 1L << (5 - x._2)).sum))
+    }
+    val got = Events.decayPopularity(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == want)
+    got.values.foreach { case (n, x32, d) =>
+      assert(x32 <= 32L * n && x32 >= n, "weights live in [1/32, 1]")
+      assert(d == x32.toDouble / 32.0)
+    }
+  }
+
+  test("constraint audit reports every check and the corpus is clean") {
+    val got = Diagnostics.constraintAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet == Set(
+      "orders_pk_unique", "customer_pk_unique", "orders_fk_customer",
+      "lineitem_fk_orders", "lineitem_qty_range", "events_value_positive",
+      "documents_nchars_consistent"))
+    got.foreach { case (name, v, ok) =>
+      assert(ok == (v == 0L), s"$name flag consistent")
+      assert(v == 0L, s"driver testdata violates $name")
+    }
+  }
+
   test("semantic dedup: decisions equal a driver-side within-cluster verify") {
     val asg = Similarity.ivfKmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2))).toMap
