@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup for one-time JVM statics. The first executed upper()/
     // lower() triggers CollationAwareUTF8String.<clinit> — Spark 4's ICU

@@ -15,6 +15,7 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
       // Same one-time-statics warmup as Bench (ICU collation <clinit>).

@@ -36,6 +36,7 @@ object ScaleUp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     val keyCols: Map[String, Seq[String]] = Map(

@@ -13,9 +13,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * This is an entry point (the driver may hand us a fresh session), so
+    * it applies the parquet-reader session conf like the other mains. */
+  def entry(spark: SparkSession): DataFrame = {
+    graft.core.Tables.configure(spark)
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+  }
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(

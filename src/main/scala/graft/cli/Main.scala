@@ -36,6 +36,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     Registry.register(spark)
     val docs = DocSource.read(spark, inputDir, numFiles.toInt)
@@ -64,6 +65,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
     spark.stop()

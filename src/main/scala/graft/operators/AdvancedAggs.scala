@@ -898,7 +898,16 @@ object AdvancedAggs {
     * pure integer that hash-matches across engines; a float Σ(o−e)²/e can
     * never be gated because summation order differs. One scan, one
     * R×C-cell aggregate, two tiny broadcast margins — no shape that grows
-    * with data beyond the R×C cell table. */
+    * with data beyond the R×C cell table.
+    *
+    * Exactness bound: dev²·10⁶ must fit DECIMAL(38,0), i.e. |dev| ≤ ~3e15,
+    * and |dev| = |o·n − r·c| can approach n² — so the exact path holds to
+    * n ≈ 5e7 events per contingency table (beyond it, non-ANSI Spark
+    * returns NULL chi2_micro rather than a wrong value, and DuckDB's
+    * HUGEINT keeps going — the gate would catch the divergence). For
+    * larger n, divide dev and n by g = gcd(dev, n·r·c) first or compute
+    * per-cell on a uniform row sample; the statistic's scale is the
+    * caller's to choose before the decimal width binds. */
   def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .groupBy(col("event_type"), ((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"))

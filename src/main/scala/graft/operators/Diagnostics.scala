@@ -79,13 +79,16 @@ object Diagnostics {
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
     val customer = Tables.customer(spark, dir)
+    // coalesce on every sum-based check mirrors the oracle's COALESCE:
+    // on an EMPTY input table sum() is NULL (and ok would be NULL), while
+    // an empty table violates nothing — both engines must report 0/true.
     check("orders_pk_unique",
       orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
-        .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+        .agg(coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)), lit(0L))
           .as("n_violations")))
       .unionAll(check("customer_pk_unique",
         customer.groupBy("c_custkey").agg(count(lit(1)).as("c"))
-          .agg(sum(when(col("c") > 1L, col("c")).otherwise(0L))
+          .agg(coalesce(sum(when(col("c") > 1L, col("c")).otherwise(0L)), lit(0L))
             .as("n_violations"))))
       .unionAll(check("orders_fk_customer",
         orders.join(customer,
@@ -96,17 +99,17 @@ object Diagnostics {
             lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
           .agg(count(lit(1)).as("n_violations"))))
       .unionAll(check("lineitem_qty_range",
-        lineitem.agg(sum(when(col("l_quantity") < 1.0 ||
-            col("l_quantity") > 50.0, 1L).otherwise(0L))
+        lineitem.agg(coalesce(sum(when(col("l_quantity") < 1.0 ||
+            col("l_quantity") > 50.0, 1L).otherwise(0L)), lit(0L))
           .as("n_violations"))))
       .unionAll(check("events_value_positive",
         Tables.events(spark, dir)
-          .agg(sum(when(col("value") <= 0.0, 1L).otherwise(0L))
+          .agg(coalesce(sum(when(col("value") <= 0.0, 1L).otherwise(0L)), lit(0L))
             .as("n_violations"))))
       .unionAll(check("documents_nchars_consistent",
         Tables.documents(spark, dir)
-          .agg(sum(when(col("n_chars") =!= length(col("text")), 1L)
-            .otherwise(0L)).as("n_violations"))))
+          .agg(coalesce(sum(when(col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)), lit(0L)).as("n_violations"))))
       .orderBy("check_name")
   }
 

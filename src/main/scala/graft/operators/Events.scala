@@ -443,7 +443,15 @@ object Events {
       .groupBy(col("event_type"), col("n1"), col("n2"))
       .agg(max(col("dev")).as("d_num"))
       .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
-        expr("d_num * 1000000 div (n1 * n2)").as("ks_micro"),
+        // DECIMAL(38,0) keeps d_num·10⁶ exact (d_num can reach n1·n2, so a
+        // BIGINT multiply overflows once n1·n2 > ~9.2e12 — a few million
+        // events per half); n1·n2 = 0 (an event type entirely in one half)
+        // must yield NULL in BOTH engines — plain BIGINT div gives NULL in
+        // Spark but raises a division-by-zero error in DuckDB.
+        expr("""case when n1 = 0 or n2 = 0 then cast(null as bigint)
+               |  else cast(cast(d_num as decimal(38,0)) * 1000000
+               |    div (cast(n1 as decimal(38,0)) * n2) as bigint) end"""
+          .stripMargin).as("ks_micro"),
         expr("""cast(1000000 as decimal(38,0)) * d_num * d_num
                |  > cast(1844164 as decimal(38,0)) * (n1 + n2) * n1 * n2"""
           .stripMargin).as("drifted"))
@@ -460,7 +468,17 @@ object Events {
     * the later session start (the standard dedup-free emit rule for
     * bucketed interval joins — no global distinct pass). At cluster scale
     * the bucket width tunes candidate fanout exactly like the Graph hub
-    * cap. */
+    * cap.
+    *
+    * OUTPUT is bounded by contract, because unbounded co-activity pairs
+    * themselves grow quadratically as concurrency densifies (the per-pair
+    * WORK is fine — SCALE.md measured 0.05×/output-pair — but a result a
+    * consumer can't hold isn't a query, it's a hazard): pairs must share
+    * at least [[MinOverlapS]] total overlapping seconds, and each lead
+    * user reports only its [[TopPartners]] strongest partners (by total
+    * overlap, then lead-order user id) — so output is ≤ TopPartners rows
+    * per user, linear in users, whatever the concurrency. Both bounds are
+    * mirrored verbatim in the oracle. */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
     val s = sessionize(spark, dir)
       .filter(col("n_events") >= 2)
@@ -479,8 +497,23 @@ object Events {
       .agg(count(lit(1)).as("n_overlaps"),
         sum(least(col("en1"), col("en2")) - greatest(col("st1"), col("st2")))
           .as("overlap_s"))
+      .filter(col("overlap_s") >= MinOverlapS)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("u1")).orderBy(col("overlap_s").desc, col("u2"))))
+      .filter(col("rk") <= TopPartners)
+      .drop("rk")
       .orderBy("u1", "u2")
   }
+
+  /** Minimum total overlapping seconds for a co-activity pair to count —
+    * sub-minute coincidences are join noise, and the floor keeps dense
+    * concurrency from emitting every grazing pair. */
+  val MinOverlapS = 60L
+
+  /** Per-lead-user partner cap: with it the result is ≤ cap rows per
+    * user — the knob that turns a quadratically-growing pair relation
+    * into a linearly-growing report. */
+  val TopPartners = 20
 
   /** Recency-weighted popularity with EXACT exponential decay: weight
     * 2^(−age_weeks) against a fixed horizon, where age buckets to whole
@@ -558,7 +591,9 @@ object Events {
         |  FROM pts GROUP BY 1)
         |SELECT event_type, n1, n2,
         |  CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
-        |  CAST(MAX(abs(cum1 * n2 - cum2 * n1)) * 1000000 // (n1 * n2) AS BIGINT)
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |       ELSE CAST(CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS HUGEINT)
+        |         * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) END
         |    AS ks_micro,
         |  1000000 * CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS HUGEINT)
         |      * MAX(abs(cum1 * n2 - cum2 * n1))
@@ -584,14 +619,19 @@ object Events {
         |  SELECT user_id,
         |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS st,
         |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS en
-        |  FROM sess GROUP BY user_id, session_id HAVING COUNT(*) >= 2)
-        |SELECT a.user_id AS u1, b.user_id AS u2,
-        |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
-        |  CAST(SUM(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
-        |    AS overlap_s
-        |FROM iv a JOIN iv b
-        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  FROM sess GROUP BY user_id, session_id HAVING COUNT(*) >= 2),
+        |pairs AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |    CAST(SUM(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
+        |      AS overlap_s
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |  GROUP BY 1, 2 HAVING overlap_s >= 60)
+        |SELECT u1, u2, n_overlaps, overlap_s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY u1
+        |    ORDER BY overlap_s DESC, u2) AS rk FROM pairs)
+        |WHERE rk <= 20 ORDER BY u1, u2""".stripMargin,
     "evt_bounce_rate" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,

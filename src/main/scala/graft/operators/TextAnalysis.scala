@@ -563,7 +563,16 @@ object TextAnalysis {
     * ([[graft.operators.Behavioral.survivalCurve]]'s pattern). Shape: one
     * corpus scan computes (dl, tf per query term) per doc; N/TL/df ride
     * in as two broadcast scalars + a 3-row broadcast join; ranking is
-    * TakeOrdered top-15, never a global sort. */
+    * TakeOrdered top-15, never a global sort.
+    *
+    * Codegen note: the per-row `size(filter(toks, ...))` higher-order
+    * functions are CodegenFallback — the same pattern bootstrapCi measured
+    * 29.9 s → 4.1 s when replaced by plain comparisons on its 10M-row
+    * exploded scan. Here the scan is |docs|·|terms| rows (3 per doc), two
+    * orders of magnitude below that regime, and the query sits outside
+    * the bench hot set; if either changes, the swap is a `tf`/`dl`
+    * precompute in [[tokenized]] via one codegen'd `aggregate`-free pass
+    * (or a dedicated Expression like sorted_intersect_count). */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val termArr = array(bm25Terms.map(lit): _*)
     val docs = tokenized(spark, dir)

@@ -13,6 +13,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Tables.configure(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
