@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -13,30 +13,70 @@ import graft.core.Tables
   *
   * Training operates on the WORD VOCABULARY (word → corpus count), never
   * the corpus itself: the corpus is scanned once to build the vocab, and
-  * every merge iteration is (1) a distributed weighted pair-count over the
-  * vocab's symbol arrays, (2) a single argmax row collected to the driver
-  * (bounded metadata, like the k-means/PQ codebooks), and (3) a
-  * distributed greedy merge-apply over the symbol arrays. At 100 TB the
-  * vocab is orders of magnitude smaller than the corpus and the per-merge
-  * cost is proportional to the vocab, not the data.
+  * every training ROUND is (1) a distributed weighted pair-count over the
+  * vocab's symbol arrays, (2) one driver round-trip that collects the
+  * top-[[CandidateBatch]] candidate pairs (bounded metadata, like the
+  * k-means/PQ codebooks), and (3) a distributed merge-apply over the
+  * symbol arrays. At 100 TB the vocab is orders of magnitude smaller than
+  * the corpus and the per-round cost is proportional to the vocab, not
+  * the data.
   *
-  * The greedy merge-apply is a left fold: the pair (l, r) merges at the
-  * earliest opportunity and the merged symbol never re-merges with the
-  * following symbol in the same step (exactly the reference BPE's
-  * left-to-right non-overlapping scan; for runs like `aaaa` under merge
-  * (a,a) this yields `[aa][aa]`, and `aaa` yields `[aa][a]`). The DuckDB
-  * oracle reproduces the same greedy semantics through a window-function
-  * formulation (chain parity selection), so the gate proves the two
-  * independent formulations agree on every word.
+  * BATCHED GREEDY SELECTION — the round-trip economics: a naive greedy
+  * loop runs one full distributed job per merge (a 32k-merge production
+  * vocab = 32k sequential Spark jobs, scheduler-bound for days). Instead
+  * each round accepts the longest sorted prefix of candidates that is
+  * PROVABLY the next run of sequential-greedy picks, so the job count is
+  * merges/batch — sublinear in merges — while the selected merge sequence
+  * (and each merge's recorded pair count) is bit-identical to the
+  * one-at-a-time loop (BpeBatchSpec proves it against the maxAccept = 1
+  * path; the DuckDB oracle re-derives the same sequence with fully
+  * sequential per-step argmax CTEs). A candidate p_i (count c_i) after
+  * accepted merges p_1..p_{i-1} is safe to accept when:
+  *
+  *  - SYMBOL-DISJOINT: {l_i, r_i, l_i+r_i} shares nothing with any
+  *    accepted {l_k, r_k, l_k+r_k}. Merging (l_k, r_k) cannot change the
+  *    count of a disjoint pair (neither endpoint is consumed, and new
+  *    adjacencies all involve the merged symbol), so c_i is still p_i's
+  *    exact current count when its turn comes.
+  *  - ABOVE THE HAZARD BOUND: c_i is strictly greater than every
+  *    batch-count of a pair that CONFLICTS with an accepted merge, and
+  *    strictly greater than the truncation sentinel (the last collected
+  *    count) when the batch didn't cover all pairs. Any pair the earlier
+  *    merges might have newly created or re-ranked has count bounded by
+  *    some conflicting pair's old count (a new pair (x, l_k r_k) arises
+  *    only where (x, l_k) was adjacent, etc.), so nothing can outrank
+  *    p_i at selection time; ties are excluded by strictness because a
+  *    new pair's key is unknowable without replaying the merge.
+  *
+  * The first candidate is always exact (top-1 of the sorted batch is the
+  * global argmax whatever the truncation). Acceptance stops at the first
+  * violation, the accepted rules apply in ONE fold pass (disjointness
+  * makes simultaneous = sequential application), and the next round
+  * recounts distributed — so batching never changes WHAT is learned,
+  * only how many driver round-trips learning costs.
+  *
+  * The greedy merge-apply is a left fold: a pair merges at the earliest
+  * opportunity and the merged symbol never re-merges with the following
+  * symbol in the same step (exactly the reference BPE's left-to-right
+  * non-overlapping scan; for runs like `aaaa` under merge (a,a) this
+  * yields `[aa][aa]`, and `aaa` yields `[aa][a]` — a batch rule can never
+  * consume another batch rule's output because outputs are
+  * disjointness-checked like inputs). The DuckDB oracle reproduces the
+  * same greedy semantics through a window-function formulation (chain
+  * parity selection), so the gate proves the two independent
+  * formulations agree on every word.
   */
 object Bpe {
 
-  /** Merge iterations. Small by design: each step is exactly gated, and 10
-    * steps already exercise multi-char symbol merges on this corpus. */
-  private val Steps = 10
+  /** Merge count. Raised from the early 10-step proof-of-semantics to 64
+    * so the batched selection actually exercises multi-merge rounds;
+    * every step is still exactly gated. */
+  private val Steps = 64
 
-  private def lit1(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  /** Candidate rows collected per round — bounded driver metadata. More
+    * candidates = bigger accepted batches = fewer rounds; the safety
+    * argument is independent of the size. */
+  private val CandidateBatch = 256
 
   /** word → (corpus count, initial char-level symbol array). */
   private def vocab0(spark: SparkSession, dir: String): DataFrame =
@@ -57,39 +97,113 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("c"))
 
-  /** Greedy left-to-right merge of (l, r) → lr in a symbol array, as a
-    * fold: merge when the accumulator's last symbol is l and the incoming
-    * is r; a just-merged `lr` can never cascade because `lr` ≠ l. */
-  private def mergeExpr(l: String, r: String) = expr(
-    s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-      s"case when size(acc) > 0 and try_element_at(acc, -1) = ${lit1(l)} " +
-      s"and x = ${lit1(r)} " +
-      s"then concat(slice(acc, 1, size(acc) - 1), array(${lit1(l + r)})) " +
-      s"else concat(acc, array(x)) end)")
+  /** One-pass greedy left-to-right application of a DISJOINT rule batch:
+    * merge when (accumulator's last symbol, incoming symbol) is a rule
+    * key; a just-merged output can never cascade because rule outputs are
+    * disjoint from all rule inputs in the same batch. The key separator
+    * is NUL, which whitespace-split words cannot contain. */
+  private def batchMergeExpr(accepted: Seq[(String, String, Long)]): Column = {
+    val rules = map(accepted.flatMap { case (l, r, _) =>
+      Seq(lit(l + "\u0000" + r), lit(l + r))
+    }: _*)
+    aggregate(
+      col("syms"),
+      expr("cast(array() as array<string>)"),
+      (acc, x) => {
+        val merged = try_element_at(rules,
+          concat_ws("\u0000", try_element_at(acc, lit(-1)), x))
+        when(merged.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x)))
+      })
+  }
 
-  /** Runs the merge loop: returns the merge table rows and the final
-    * vocab (lazily recomputable after the base cache is released). Ties
-    * in pair counts break deterministically by (count desc, l, r). */
-  private def train(spark: SparkSession, dir: String)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+  /** The maximal sorted-prefix batch that provably equals the next run of
+    * sequential-greedy selections (see the object scaladoc for the
+    * invariant). `truncated` = the collected batch may not contain every
+    * pair, so unseen counts are bounded by the last collected count. */
+  private def selectBatch(
+      cands: Array[(String, String, Long)],
+      truncated: Boolean,
+      maxAccept: Int): Seq[(String, String, Long)] = {
+    if (cands.isEmpty) return Seq.empty
+    val accepted = Seq.newBuilder[(String, String, Long)]
+    val acceptedSyms = scala.collection.mutable.HashSet[String]()
+    var nAccepted = 0
+    var hazard = if (truncated) cands.last._3 else -1L
+    def conflicts(l: String, r: String, m: String): Boolean =
+      acceptedSyms(l) || acceptedSyms(r) || acceptedSyms(m)
+    var i = 0
+    var stop = false
+    while (i < cands.length && !stop && nAccepted < maxAccept) {
+      val (l, r, c) = cands(i)
+      val m = l + r
+      val safe =
+        if (nAccepted == 0) true // global argmax is exact at any truncation
+        else !conflicts(l, r, m) && c > hazard
+      if (!safe) stop = true
+      else {
+        accepted += ((l, r, c))
+        nAccepted += 1
+        acceptedSyms ++= Seq(l, r, m)
+        // fold every remaining candidate that touches this merge's symbols
+        // into the hazard bound — their (old) counts cap anything the
+        // merge may create or re-rank
+        var j = i + 1
+        while (j < cands.length) {
+          val q = cands(j)
+          if (q._1 == l || q._1 == r || q._1 == m ||
+              q._2 == l || q._2 == r || q._2 == m)
+            hazard = math.max(hazard, q._3)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    accepted.result()
+  }
+
+  /** Runs the batched merge loop: returns the merge table rows, the final
+    * vocab (lazily recomputable after the base cache is released), and
+    * the number of distributed selection rounds (the job count the
+    * batching exists to shrink). `maxAccept = 1` degenerates to the
+    * classic one-merge-per-job sequential loop — the differential
+    * baseline BpeBatchSpec compares against. Ties in pair counts break
+    * deterministically by (count desc, l, r) exactly as before. */
+  private[graft] def trainBatched(
+      spark: SparkSession, dir: String, maxAccept: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
     val base = vocab0(spark, dir).persist()
     var vocab = base
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var k = 1
+    var rounds = 0
     var done = false
     while (k <= Steps && !done) {
-      val top = pairCounts(vocab)
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) done = true
+      val cands = pairCounts(vocab)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(CandidateBatch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      val batch = selectBatch(cands, cands.length == CandidateBatch,
+        math.min(maxAccept, Steps - k + 1))
+      if (batch.isEmpty) done = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((k, l, r, l + r, c))
-        vocab = vocab.withColumn("syms", mergeExpr(l, r))
-        k += 1
+        batch.foreach { case (l, r, c) =>
+          merges += ((k, l, r, l + r, c))
+          k += 1
+        }
+        vocab = vocab.withColumn("syms", batchMergeExpr(batch))
       }
     }
     base.unpersist()
-    (merges.result(), vocab)
+    (merges.result(), vocab, rounds)
+  }
+
+  private def train(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (merges, vocab, _) = trainBatched(spark, dir, CandidateBatch)
+    (merges, vocab)
   }
 
   /** The learned merge table: (step, l_sym, r_sym, merged, pair_count). */
@@ -122,16 +236,19 @@ object Bpe {
     "text_bpe_encode" -> (bpeEncode _)
   )
 
-  /** The merge loop unrolled: stage k computes pair counts p_k from vocab
-    * v_{k-1}, the argmax pair b_k, and the merged vocab v_k via the
-    * window-function greedy selection (positions matching the pair are
-    * grouped into overlap chains; every other chain member starting from
-    * the chain head merges — provably the same set the left fold merges). */
+  /** The merge loop unrolled SEQUENTIALLY (one argmax per step — the
+    * oracle never batches, so the gate independently proves the batched
+    * selection equals per-step greedy): stage k computes pair counts p_k
+    * from vocab v_{k-1}, the argmax pair b_k, and the merged vocab v_k
+    * via the window-function greedy selection (positions matching the
+    * pair are grouped into overlap chains; every other chain member
+    * starting from the chain head merges — provably the same set the
+    * left fold merges). */
   private def stageCtes: String = {
     val sb = new StringBuilder
     // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
     // every v_k is referenced twice (pair counts + merge apply) — without
-    // materialization the v10 expansion contains 2^10 copies of the
+    // materialization the v64 expansion contains 2^64 copies of the
     // documents scan and the oracle dies on file handles.
     sb.append(
       """w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt

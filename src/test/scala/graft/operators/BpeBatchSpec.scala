@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Differential proof that the batched BPE merge selection is exactly the
+  * sequential greedy loop, only with fewer driver round-trips: running
+  * [[Bpe.trainBatched]] with maxAccept = 1 IS the classic
+  * one-merge-per-job loop (each round collects the argmax and applies a
+  * single rule), so merge-table equality against the default batched run
+  * pins the selection invariant on the real corpus vocab — and the round
+  * counts demonstrate the job-count win the batching exists for. */
+class BpeBatchSpec extends SparkSpec {
+
+  test("batched merge selection = sequential greedy, with fewer rounds") {
+    val (seqMerges, _, seqRounds) = Bpe.trainBatched(spark, sfDir, 1)
+    val (batMerges, _, batRounds) = Bpe.trainBatched(spark, sfDir, Int.MaxValue)
+    assert(batMerges == seqMerges,
+      "batched selection must produce the identical merge sequence " +
+        "(step, l, r, merged, pair_count) as one-merge-per-round greedy")
+    assert(seqRounds == seqMerges.length,
+      "sequential mode pays one distributed round per merge")
+    assert(batRounds < seqRounds,
+      s"batching must cut rounds (got $batRounds vs sequential $seqRounds)")
+    // the tiny sf0.001 vocab is tie/conflict-dense, so batches are small;
+    // still expect a >= 25% round cut here (sf0.01 measures ~2x+)
+    assert(batRounds * 4 <= seqRounds * 3,
+      s"expect at least a 25% round reduction on this corpus ($batRounds)")
+  }
+
+  test("final vocab identical between batched and sequential application") {
+    val (_, seqVocab, _) = Bpe.trainBatched(spark, sfDir, 1)
+    val (_, batVocab, _) = Bpe.trainBatched(spark, sfDir, Int.MaxValue)
+    val a = seqVocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    val b = batVocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(a == b, "per-word symbol arrays must match exactly")
+  }
+}

@@ -62,10 +62,10 @@ class BpeSpec extends SparkSpec {
     val words = graft.core.Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0).as[String].collect().toSeq
-    val (refMerges, refVocab) = refTrain(words, 10)
+    val (refMerges, refVocab) = refTrain(words, 64)
     val got = Bpe.bpeMerges(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-    assert(got.map(_._1).toSeq == (1 to 10), "ten steps")
+    assert(got.map(_._1).toSeq == (1 to 64), "sixty-four steps")
     got.zip(refMerges).foreach { case ((k, l, r, m, c), (rl, rr, rc)) =>
       assert((l, r, c) == (rl, rr, rc), s"step $k")
       assert(m == l + r, s"step $k merged symbol")
