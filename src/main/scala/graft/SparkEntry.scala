@@ -36,6 +36,7 @@ object SparkEntry {
       (Bpe.queries, Bpe.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
+      (Html.queries, Html.oracle),
       (Features.queries, Features.oracle),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
       (AdvancedAggs.queries, AdvancedAggs.oracle),
