@@ -68,7 +68,16 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._3).sum
     val totalFirst = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"queries":$qs,"queries_first":$qsFirst,"failed":$failed,"sf":"$sfDir"}""")
+    // The compact per-query converged timings print FIRST on their own
+    // line: a consumer that truncates or tails the output still gets every
+    // query's number from one parseable line (the round-6 bench artifact
+    // lost ~2/3 of per-query timings to tail truncation of the single
+    // giant headline line). First-run timings follow on their own line;
+    // the headline stays last (and smaller) for the drivers that read the
+    // final line.
+    println(s"""{"metric":"per_query_converged","queries":$qs}""")
+    println(s"""{"metric":"per_query_first","queries":$qsFirst}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

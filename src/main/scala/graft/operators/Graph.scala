@@ -47,19 +47,23 @@ object Graph {
     * as a hub and excluded from pair projection. */
   val HubCap = 32
 
-  /** Distinct (user, campaign k, hour) co-presence triples, hub-capped. */
-  private def presence(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(
-        col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"),
-        date_trunc("hour", col("ts")).as("hr"))
-      .distinct()
+  /** Hub-cap + pair projection over ANY distinct (user_id, k, hr)
+    * presence relation — factored out so GraphHubCapSpec can drive it
+    * with a synthetic hub-heavy presence table and pin the cap's exact
+    * semantics (buckets with more than [[HubCap]] users contribute NO
+    * pairs; everything else projects exactly). */
+  private[operators] def capAndProject(ev: DataFrame, minWeight: Long): DataFrame = {
     // hub cap: a window count per bucket would also work, but an explicit
     // aggregate + join keeps the small bucket list broadcastable
     val ok = ev.groupBy("k", "hr").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= HubCap).drop("bn")
-    ev.join(ok, Seq("k", "hr"))
+    val evb = ev.join(ok, Seq("k", "hr"))
+    val a = evb.select(col("k"), col("hr"), col("user_id").as("u1"))
+    val b = evb.select(col("k"), col("hr"), col("user_id").as("u2"))
+    a.join(b, Seq("k", "hr"))
+      .filter(col("u1") < col("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
   }
 
   /** Undirected user–user edge list (u1 < u2) with co-presence weight
@@ -67,13 +71,13 @@ object Graph {
     * sparsifies (weight ≥ 2 keeps only repeated co-presence). */
   private[operators] def copresenceEdges(
       spark: SparkSession, dir: String, minWeight: Long): DataFrame = {
-    val ev = presence(spark, dir)
-    val a = ev.select(col("k"), col("hr"), col("user_id").as("u1"))
-    val b = ev.select(col("k"), col("hr"), col("user_id").as("u2"))
-    a.join(b, Seq("k", "hr"))
-      .filter(col("u1") < col("u2"))
-      .groupBy("u1", "u2").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minWeight)
+    val ev = Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    capAndProject(ev, minWeight)
   }
 
   /** Per-node degree on the weight≥1 co-presence graph. */
@@ -93,8 +97,13 @@ object Graph {
     * Wedges are enumerated at each triangle's unique out-degree-2 apex
     * under the (degree, id) total order and closed against the canonical
     * (min, max) edge list, so each triangle counts exactly once. */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(copresenceEdges(spark, dir, 1L).select("u1", "u2"))
+
+  /** Degree-ordered triangle census over ANY canonical (u1 < u2) edge
+    * list — factored out for GraphHubCapSpec's exactness check on the
+    * capped projection of a synthetic hub graph. */
+  private[operators] def triangleCensus(e: DataFrame): DataFrame = {
     val deg = degrees(e)
     val withDeg = e
       .join(deg.select(col("v").as("u1"), col("deg").as("deg1")), "u1")

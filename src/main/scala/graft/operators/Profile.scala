@@ -24,9 +24,16 @@ import graft.core.Tables
   * columnar parquet means the N single-column scans together read each
   * page exactly once, i.e. the same IO as one full scan, while the
   * shuffles carry only per-column distinct values. The 1-row results
-  * join back by broadcast. At cluster scale the documented swap is
-  * `approx_count_distinct` (HLL++, one pass, mergeable) — kept exact
-  * here because the DuckDB gate hash-compares the profile.
+  * join back by broadcast.
+  *
+  * At cluster scale the swap is the `approxDistinct = true` mode:
+  * `approx_count_distinct` (HLL++, Heule/Nunkesser/Hall, EDBT 2013) is
+  * one-pass and MERGEABLE, so ALL columns' distinct sketches ride in the
+  * single stats aggregate — one scan, one 1-row shuffle, no per-column
+  * jobs at all. The exact mode stays the DuckDB gate (a hash-compared
+  * estimate can never gate); ProfileApproxSpec pins the approx mode
+  * inside HLL++'s published error envelope of the exact gate values and
+  * proves the two modes agree on every non-distinct statistic.
   *
   * Numeric min/max surface as DOUBLE (`min_num`/`max_num`), strings
   * lexicographically and timestamps as second-precision ISO strings
@@ -34,7 +41,14 @@ import graft.core.Tables
   * through the pandas bridge, strings don't. */
 object Profile {
 
-  def profile(df: DataFrame): DataFrame = {
+  /** Default relative standard deviation of the approx mode's HLL++
+    * sketches (Spark's default). The published bound: the estimate's
+    * standard error is rsd·true_count, so a 3·rsd envelope holds with
+    * ~99.7% probability — and deterministically in practice here because
+    * the sketch of a FIXED input is itself deterministic. */
+  val ApproxRsd = 0.05
+
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields
     def statCols(f: StructField): (Column, Column, Column, Column) = {
       val c = col(f.name)
@@ -58,12 +72,20 @@ object Profile {
         mnn.as(s"mnn_${f.name}"), mxn.as(s"mxn_${f.name}"),
         mns.as(s"mns_${f.name}"), mxs.as(s"mxs_${f.name}"))
     } :+ count(lit(1)).as("n_rows")
-    // Per-column exact distincts: one single-distinct aggregate each (no
-    // Expand — see the scale-design note above), 1-row results broadcast-
-    // joined onto the base aggregate.
-    val one = fields.foldLeft(df.agg(aggs.head, aggs.tail: _*)) { (acc, f) =>
-      acc.crossJoin(df.agg(countDistinct(col(f.name)).as(s"nd_${f.name}")))
-    }
+    val one =
+      if (approxDistinct)
+        // The 100 TB path: HLL++ sketches are mergeable, so every column's
+        // distinct estimate joins the single stats aggregate — one scan,
+        // one 1-row result, zero extra jobs.
+        df.agg(aggs.head, aggs.tail ++ fields.toSeq.map(f =>
+          approx_count_distinct(col(f.name), ApproxRsd).as(s"nd_${f.name}")): _*)
+      else
+        // Per-column exact distincts: one single-distinct aggregate each
+        // (no Expand — see the scale-design note above), 1-row results
+        // broadcast-joined onto the base aggregate.
+        fields.foldLeft(df.agg(aggs.head, aggs.tail: _*)) { (acc, f) =>
+          acc.crossJoin(df.agg(countDistinct(col(f.name)).as(s"nd_${f.name}")))
+        }
     val stacked = fields.map { f =>
       s"'${f.name}', n_rows - nn_${f.name}, nd_${f.name}, " +
         s"mnn_${f.name}, mxn_${f.name}, mns_${f.name}, mxs_${f.name}"

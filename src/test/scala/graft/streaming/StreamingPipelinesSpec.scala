@@ -482,4 +482,42 @@ class StreamingPipelinesSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("minhash near-dedup TTL eviction: duplicates beyond the horizon are NOT paired") {
+    // the documented state contract: a bucket's signatures expire `ttl`
+    // after its last arrival, so an exact duplicate arriving past the
+    // horizon must not pair with the evicted original — memory (and the
+    // dedup window) is bounded by the TTL, not stream length
+    implicit val sqlCtx = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine"
+    val other2 = "red green blue cyan magenta yellow black white grey"
+    val ttlMs = 60L * 60 * 1000 // 1 hour
+    val t0 = 1000L * 3600 * 24
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipelines.minhashNearDup(
+        in.toDF().toDF("doc_id", "ts", "text"), ttlMs = ttlMs)
+      .writeStream.format("memory").queryName("mhttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc 1 arrives; doc 2 (same text) arrives INSIDE the horizon → pair
+      in.addData((1L, new Timestamp(t0), text))
+      q.processAllAvailable()
+      in.addData((2L, new Timestamp(t0 + ttlMs / 2), text))
+      q.processAllAvailable()
+      // unrelated traffic advances the watermark far past doc 2 + ttl
+      // (watermark from batch N applies in N+1 → two pushes)
+      in.addData((50L, new Timestamp(t0 + 4 * ttlMs), other))
+      q.processAllAvailable()
+      in.addData((51L, new Timestamp(t0 + 4 * ttlMs + 1), other2))
+      q.processAllAvailable()
+      // doc 3 (same text again) arrives after eviction → NO pair with 1/2
+      in.addData((3L, new Timestamp(t0 + 4 * ttlMs + 2), text))
+      q.processAllAvailable()
+      val pairs = spark.table("mhttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"expected only the in-horizon pair, got $pairs")
+    } finally q.stop()
+  }
 }

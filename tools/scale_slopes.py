@@ -19,22 +19,12 @@ from collections import defaultdict
 SUPERLINEAR = 20.0   # 2x the 10x data ratio
 MIN_SF1_SEC = 2.0    # ignore ratio noise on sub-2s sf1 queries
 
-# Queries whose cost is INTENTIONALLY superlinear: exhaustive differential
-# baselines that exist to prove a linear/banded production twin correct.
-# They are reported separately, not flagged as defects.
-BASELINES = {
-    "dedup_embedding_cosine":
-        "exact all-pairs cosine baseline; production twin is the banded "
-        "dedup_embedding_lsh (n^2/256 candidates), proven equal at gate scale",
-    "dedup_substring_pairs":
-        "all-windows inverted-index baseline; production twin is "
-        "dedup_substring_winnow (~2/(W+1) sampled fingerprints)",
-    "dedup_semantic":
-        "SemDeDup verify over a FIXED k=8 trained quantizer: within-cell "
-        "pairs grow ~n^2/k on a 10x corpus. Production scales k with the "
-        "corpus so per-cell population (and the verify cost) stays bounded; "
-        "k is pinned here so the gate exercises the trained-codebook path",
-}
+# Round 7 emptied this set: the three former exhaustive baselines
+# (dedup_embedding_cosine, dedup_substring_pairs, dedup_semantic) now ship
+# with fixed probe/representative bounds, so their plans are linear in
+# corpus size and they are measured like every other query. The unbounded
+# equivalence proofs live in BoundedBaselineSpec at gate scale.
+BASELINES = {}
 
 # Queries whose INPUT grows superlinearly under ScaleUp's replication:
 # events keeps its (k, hour) bucket domain fixed while users scale 10x, so
@@ -51,9 +41,10 @@ DENSIFIED = {
         "input graph",
     "evt_session_overlap":
         "ScaleUp keeps the one-month event horizon while users scale 10x, so "
-        "concurrent sessions per hour bucket densify ~10x and overlapping "
-        "PAIRS (the query's own output) grow ~100x; per-output-pair cost is "
-        "the honest unit, and the hour-bucket width is the production knob",
+        "concurrent sessions per hour bucket densify ~10x and candidate "
+        "PAIRS grow ~100x; round 7 bounded the OUTPUT (min-overlap floor + "
+        "per-user top-20) so consumers are safe, candidate work remains "
+        "densification-bound and the hour-bucket width is the production knob",
 }
 # (query -> input-work ratio basis used for the normalized column)
 DENSIFIED_WORK_RATIO = 61.0
