@@ -982,7 +982,89 @@ object AdvancedAggs {
       .orderBy("event_type")
   }
 
+  /** K for the KMV (k-minimum-values) sketches: standard error ≈
+    * 1/√(K−2) ≈ 12.7%. Sized so the gate data exercises BOTH regimes:
+    * sf0.001 has ~15 users/type (< K → exact path), sf0.01+ has ≥ 150
+    * (≥ K → estimator path). */
+  val KmvK = 64
+
+  /** Distinct (event_type, h) rows, h = portable 60-bit hash of the user
+    * id — the KMV sketch input. Unlike HLL (engine-private internals,
+    * self-gated via an error-bound boolean), KMV over the portable md5
+    * hash is REPRODUCIBLE cross-engine, so the sketch estimate itself is
+    * hash-gated, not just its accuracy claim. */
+  private def kmvHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("portable_hash60(concat('kmv:', cast(user_id as string)))").as("h"))
+      .distinct()
+  }
+
+  /** KMV distinct-count sketch (Bar-Yossef et al., RANDOM 2002 /
+    * Beyer et al., SIGMOD 2007): keep the K smallest hash values; with
+    * kth = K-th minimum over the 2^60 hash space, the unbiased distinct
+    * estimate is (K−1)·2^60 / kth (exact integer floor via DECIMAL(38,0)
+    * — 63·2^60 needs 67 bits). Types with fewer than K distinct hashes
+    * report the exact count (the sketch IS the full set there).
+    *
+    * Gate shape uses a per-type window sort of the distinct hashes;
+    * the 100 TB swap is the bounded size-K insertion buffer Aggregator
+    * already proven by [[graft.agg.TopK]] (shuffle ≤ K rows per type per
+    * partition, no sort) — same output bit-for-bit. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("h")
+    kmvHashes(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("exact_users"),
+        max(when(col("rn") === KmvK, col("h"))).as("kth"))
+      .withColumn("kmv_est",
+        when(col("exact_users") < KmvK, col("exact_users"))
+          .otherwise(expr(
+            s"cast(${KmvK - 1} as decimal(38,0)) * 1152921504606846976 div kth")))
+      .select(col("event_type"), col("exact_users"), col("kmv_est"))
+      .orderBy("event_type")
+  }
+
+  /** Sketch-based JACCARD between the user sets of every event-type pair
+    * (Beyer et al., SIGMOD 2007 §5: the K minimum hashes of A∪B are a
+    * uniform sample of the union, so the fraction of them belonging to
+    * A∩B estimates |A∩B|/|A∪B|), next to the exact Jaccard it
+    * approximates — both in exact integer micro-units, both hash-gated.
+    * The pair table is the (tiny, fixed) set of type pairs, broadcast
+    * against the distinct-hash relation; per-pair work is linear in
+    * union size, and the sketch fraction uses min(K, |union|) as its
+    * denominator so small unions degrade to the exact fraction. */
+  def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uh = kmvHashes(spark, dir)
+    val tp = uh.select(col("event_type")).distinct()
+    val pairs = tp.select(col("event_type").as("type_a"))
+      .crossJoin(tp.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val mem = uh.join(broadcast(pairs),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy("type_a", "type_b", "h")
+      .agg(
+        max(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("ina"),
+        max(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("inb"))
+    val w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    mem.withColumn("rn", row_number().over(w))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("ina") * col("inb")).as("inter"),
+        sum(when(col("rn") <= KmvK, col("ina") * col("inb")).otherwise(0L)).as("c"))
+      .select(col("type_a"), col("type_b"), col("n_union"),
+        expr("1000000 * inter div n_union").as("jacc_exact_micro"),
+        expr(s"1000000 * c div least(n_union, ${KmvK}L)").as("jacc_kmv_micro"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> (kmvDistinct _),
+    "sketch_kmv_jaccard" -> (kmvJaccard _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
     "agg_chi2_independence" -> (chi2Independence _),
     "agg_argmax" -> (argExtremes _),
@@ -1029,7 +1111,44 @@ object AdvancedAggs {
        |regs AS (SELECT g.i AS register, CAST(COALESCE(max_rank, 0) AS INTEGER) AS max_rank
        |  FROM (SELECT unnest(range(64)) AS i) g LEFT JOIN mx ON g.i = mx.register)""".stripMargin
 
+  /** Shared oracle CTE for the KMV sketches: distinct portable user
+    * hashes per event type. */
+  private val kmvCte: String =
+    s"""uh AS (SELECT DISTINCT event_type,
+       |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sketch_kmv_distinct" ->
+      s"""WITH $kmvCte,
+         |rn AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM uh),
+         |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users,
+         |    MAX(CASE WHEN rn = $KmvK THEN h END) AS kth
+         |  FROM rn GROUP BY 1)
+         |SELECT event_type, exact_users,
+         |  CAST(CASE WHEN exact_users < $KmvK THEN exact_users
+         |       ELSE CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976 // kth
+         |       END AS BIGINT) AS kmv_est
+         |FROM agg ORDER BY event_type""".stripMargin,
+    "sketch_kmv_jaccard" ->
+      s"""WITH $kmvCte,
+         |tp AS (SELECT DISTINCT event_type FROM uh),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |          FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |mem AS (SELECT p.type_a, p.type_b, u.h,
+         |    MAX(CASE WHEN u.event_type = p.type_a THEN 1 ELSE 0 END) AS ina,
+         |    MAX(CASE WHEN u.event_type = p.type_b THEN 1 ELSE 0 END) AS inb
+         |  FROM pairs p JOIN uh u ON u.event_type IN (p.type_a, p.type_b)
+         |  GROUP BY 1, 2, 3),
+         |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+         |                                    ORDER BY h) AS rn FROM mem)
+         |SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_union,
+         |  CAST(1000000 * SUM(ina * inb) // COUNT(*) AS BIGINT)
+         |    AS jacc_exact_micro,
+         |  CAST(1000000 * SUM(CASE WHEN rn <= $KmvK THEN ina * inb ELSE 0 END)
+         |       // LEAST(COUNT(*), $KmvK) AS BIGINT) AS jacc_kmv_micro
+         |FROM rn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_bootstrap_ci" ->
       s"""WITH ev AS (SELECT event_type, event_id,
          |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents

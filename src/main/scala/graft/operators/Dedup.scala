@@ -533,7 +533,62 @@ object Dedup {
       .orderBy("name_a", "name_b")
   }
 
+  /** Average CDC chunk length in tokens (boundary probability 1/8). */
+  val CdcDivisor = 8
+
+  /** CONTENT-DEFINED CHUNKING dedup — the storage-dedup classic (LBFS,
+    * Muthitacharoen et al. SOSP 2001; FastCDC, Xia et al. ATC 2016)
+    * applied at token granularity: a chunk boundary falls AFTER any token
+    * whose portable hash ≡ 0 (mod [[CdcDivisor]]), so boundaries depend
+    * only on local content — inserting or deleting text re-chunks only
+    * the edited neighborhood, never the whole document (the property
+    * fixed-size blocks lack, and the reason CDC is the sub-document
+    * dedup scheme that survives edits; CdcSpec pins it). Each doc's
+    * chunks are hashed and counted corpus-wide; the per-doc report gives
+    * chunk counts, duplicated-chunk counts, and the dup ratio in exact
+    * micro-units.
+    *
+    * Scale shape: the per-doc window is doc-length bounded; after
+    * chunking, everything shuffles as 8-byte chunk hashes (one count
+    * aggregation + one hash-partitioned join back) — never chunk text,
+    * never doc pairs. This is exactly how sub-document dedup runs at
+    * corpus scale: dedup_substring_* find shared substrings pairwise,
+    * CDC instead buckets globally at O(corpus) cost. */
+  /** (doc_id, chunk, chunk_text) CDC chunking of ANY (doc_id, text)
+    * relation — factored out so CdcSpec can pin the edit-locality
+    * property on synthetic edits. */
+  private[operators] def cdcChunkTexts(docs: DataFrame): DataFrame = {
+    graft.functions.Registry.register(docs.sparkSession)
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("b",
+        when(expr(s"portable_hash60(concat('cdc:', t)) % $CdcDivisor") === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk", coalesce(sum(col("b")).over(wPrev), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, t))), x -> x.t))")
+        .as("chunk_text"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkTexts(Tables.documents(spark, dir).select("doc_id", "text"))
+    val hashed = chunks.select(col("doc_id"),
+      expr("portable_hash60(concat('chunk:', chunk_text))").as("h"))
+    val freq = hashed.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    hashed.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio_micro", expr("1000000 * n_dup_chunks div n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_edit1_names" -> (edit1Names _),
     "dedup_spans" -> (spanDedup _),
     "dedup_bow" -> (bowFingerprint _),
@@ -561,6 +616,33 @@ object Dedup {
       |        FROM toks, UNNEST(range(len(t)-2)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |             FROM documents),
+         |tok AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i+1] AS tk
+         |        FROM toks, UNNEST(range(len(t))) AS u(i)
+         |        WHERE t[i+1] <> ''),
+         |b AS (SELECT doc_id, pos, tk,
+         |        CASE WHEN ${dh60("'cdc:' || tk")} % $CdcDivisor = 0
+         |             THEN 1 ELSE 0 END AS b
+         |      FROM tok),
+         |ch AS (SELECT doc_id, pos, tk,
+         |        COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |       FROM b),
+         |ctext AS (SELECT doc_id, chunk,
+         |            string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+         |          FROM ch GROUP BY 1, 2),
+         |hashed AS (SELECT doc_id, ${dh60("'chunk:' || chunk_text")} AS h
+         |           FROM ctext),
+         |freq AS (SELECT h, COUNT(*) AS n_occ FROM hashed GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(1000000 * SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END)
+         |       // COUNT(*) AS BIGINT) AS dup_ratio_micro
+         |FROM hashed hd JOIN freq f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_cascade" ->
       s"""WITH base AS (SELECT doc_id, md5(text) AS h_exact,
          |    md5(array_to_string(list_sort(string_split_regex(text, '\\s+')), ' ')) AS h_bow,

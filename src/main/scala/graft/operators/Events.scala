@@ -538,7 +538,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint detection over each event type's daily volume —
+    * the classic Page (Biometrika 1954) cumulative-sum statistic in
+    * EXACT integer form. With n observed days and total count T, the
+    * mean-removed partial sum after day t is S_t = Σ_{i≤t} (n·c_i − T)
+    * (each term is the day's deviation from the mean scaled by n, so no
+    * rational mean ever appears and S_n = 0 identically). The estimated
+    * changepoint is the day maximizing |S_t| (earliest day on ties) —
+    * the standard CUSUM location estimator for a single level shift.
+    * Shape: one daily pre-aggregation (the only shuffle that sees event
+    * rows), then windows over ≤ n_days rows per type — at 100 TB the
+    * windowed relation is days×types, not events. */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame =
+    cusumOverDaily(Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The CUSUM statistic + argmax over ANY (event_type, day, c) daily
+    * series — factored out so CusumSpec can drive a synthetic level
+    * shift with a known change date. */
+  private[operators] def cusumOverDaily(daily: DataFrame): DataFrame = {
+    val wTot = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("n_days", count(lit(1)).over(wTot))
+      .withColumn("total", sum(col("c")).over(wTot))
+      .withColumn("s", sum(col("n_days") * col("c") - col("total")).over(wCum))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("s")).desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        abs(col("s")).as("s_abs_max"), col("n_days"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_changepoint_cusum" -> (changepointCusum _),
     "evt_decay_popularity" -> (decayPopularity _),
     "evt_drift_ks" -> (driftKs _),
     "evt_session_overlap" -> (sessionOverlap _),
@@ -560,6 +596,24 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_changepoint_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |s AS (SELECT d.event_type, d.day, t.n_days,
+        |    CAST(SUM(t.n_days * d.c - t.total)
+        |      OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS s
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |r AS (SELECT event_type, day, n_days, ABS(s) AS sa,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY ABS(s) DESC, day) AS rk
+        |  FROM s)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+        |  CAST(sa AS BIGINT) AS s_abs_max, n_days
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "evt_decay_popularity" ->
       """WITH ages AS (SELECT event_type,
         |    LEAST(5, GREATEST(0,

@@ -76,9 +76,60 @@ object Features {
       .withColumn("label", when(col("score") > 0, "keep").otherwise("drop"))
       .orderBy("doc_id")
 
+  /** Training epochs for [[perceptronTrain]] — fixed and small; the gate
+    * pins the exact weight trajectory, PerceptronSpec pins that the
+    * trajectory actually learns (mistakes shrink vs the zero model). */
+  val PerceptronEpochs = 4
+
+  /** Distributed BATCH PERCEPTRON training (Rosenblatt 1958; the batch
+    * variant sums all misclassified gradients per epoch, so the update is
+    * ORDER-INDEPENDENT — the property that makes training hash-gateable
+    * across engines, where the classic per-row perceptron depends on row
+    * order and a float SGD depends on summation order). Task: predict
+    * lang='en' (y=+1) vs rest (y=−1) from the signed hashed bag-of-words
+    * of [[featureRows]] plus a bias feature; everything is exact BIGINT.
+    *
+    * Epoch e: margin_i = Σ_d w_d·x_id; misclassified iff y_i·margin_i ≤ 0
+    * (the zero model misclassifies everything, so epoch 1 is the classic
+    * class-mean initializer); w += Σ_misclassified y_i·x_i.
+    *
+    * Scale shape — this is the fastText/quality-classifier training loop
+    * at corpus scale: the model (17 ints) rides INSIDE the plan as a map
+    * literal (no weight join), each epoch is one pass — a per-doc window
+    * sum for margins and one dim-keyed aggregation for the gradient —
+    * and only the 17-row gradient ever reaches the driver (the k-means
+    * codebook pattern; epochs are fixed, not data-dependent). */
+  def perceptronTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val lab = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val fx = featureRows(spark, dir).join(lab, "doc_id")
+      .select(col("doc_id"), col("dim"), col("weight").as("x"), col("y"))
+      .unionByName(lab.select(col("doc_id"), lit(Dims).as("dim"), lit(1L).as("x"), col("y")))
+      .persist()
+    val wdoc = Window.partitionBy("doc_id")
+    val w = Array.fill[Long](Dims + 1)(0L)
+    try {
+      for (_ <- 1 to PerceptronEpochs) {
+        val wExpr = expr("element_at(map(" +
+          w.zipWithIndex.map { case (v, i) => s"$i, ${v}L" }.mkString(", ") + "), dim)")
+        val deltas = fx
+          .withColumn("mis", sum(col("x") * wExpr).over(wdoc) * col("y") <= 0)
+          .filter(col("mis"))
+          .groupBy("dim").agg(sum(col("y") * col("x")).as("d"))
+          .collect()
+        deltas.foreach(r => w(r.getAs[Int]("dim")) += r.getAs[Long]("d"))
+      }
+    } finally fx.unpersist()
+    w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("dim", "w").orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_feature_hashing" -> (featureHashing _),
-    "ta_classifier_score" -> (classifierScore _)
+    "ta_classifier_score" -> (classifierScore _),
+    "ml_perceptron_train" -> (perceptronTrain _)
   )
 
   /** Shared oracle CTE: signed hashed token features. */
@@ -93,7 +144,30 @@ object Features {
        |                AS BIGINT) AS weight
        |         FROM hashed GROUP BY 1, 2)""".stripMargin
 
+  /** One oracle epoch: margins under w{e−1}, misclassified-row gradient,
+    * updated weights w{e} — the literal batch-perceptron recurrence. */
+  private def epochSql(e: Int): String =
+    s"""m$e AS (SELECT fx.doc_id, fx.y, SUM(fx.x * w.w) AS margin
+       |  FROM fx JOIN w${e - 1} w USING (dim) GROUP BY 1, 2),
+       |d$e AS (SELECT fx.dim, SUM(fx.y * fx.x) AS delta
+       |  FROM fx JOIN m$e ON m$e.doc_id = fx.doc_id
+       |  WHERE m$e.y * m$e.margin <= 0 GROUP BY 1),
+       |w$e AS (SELECT w.dim, w.w + COALESCE(d$e.delta, 0) AS w
+       |  FROM w${e - 1} w LEFT JOIN d$e USING (dim))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ml_perceptron_train" ->
+      s"""WITH $featCte,
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |        FROM documents),
+         |fx AS (SELECT f.doc_id, f.dim, f.weight AS x, l.y
+         |       FROM feat f JOIN lab l USING (doc_id)
+         |       UNION ALL SELECT doc_id, $Dims, 1, y FROM lab),
+         |w0 AS (SELECT CAST(u.i AS INTEGER) AS dim, CAST(0 AS BIGINT) AS w
+         |       FROM UNNEST(range(${Dims + 1})) u(i)),
+         |${(1 to PerceptronEpochs).map(epochSql).mkString(",\n")}
+         |SELECT dim, CAST(w AS BIGINT) AS w FROM w$PerceptronEpochs
+         |ORDER BY dim""".stripMargin,
     "ta_feature_hashing" ->
       s"""WITH $featCte
          |SELECT doc_id, dim, weight FROM feat ORDER BY doc_id, dim""".stripMargin,

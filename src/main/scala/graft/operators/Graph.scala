@@ -198,7 +198,50 @@ object Graph {
       .orderBy("component_size")
   }
 
+  /** Core order for [[kcore]] (3-core: every retained node keeps ≥ 3
+    * neighbors inside the core). */
+  val KCoreK = 3
+
+  /** Peel rounds — fixed so the oracle can mirror the exact computation
+    * with staged CTEs; KCoreSpec asserts the peel has reached its
+    * fixpoint by round [[KCoreRounds]] at gate scale (one extra round
+    * changes nothing), so the fixed bound computes the true k-core, not
+    * a truncation. Peeling depth grows with the graph's degeneracy, not
+    * its size — real co-occurrence graphs converge in tens of rounds. */
+  val KCoreRounds = 8
+
+  /** Iterative k-core peeling over ANY canonical (u1 < u2) edge list:
+    * each round drops nodes with degree < k and their edges (Matula &
+    * Beck, JACM 1983 — repeated low-degree removal yields the maximal
+    * subgraph with min degree ≥ k). Factored out for KCoreSpec. Each
+    * round is one degree aggregation + two semi-joins, checkpointed so
+    * plan depth stays O(1) per round (the CC lineage-hygiene pattern). */
+  private[operators] def kcoreEdges(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = e0
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k)
+      e = e
+        .join(keep.select(col("v").as("u1")), Seq("u1"), "left_semi")
+        .join(keep.select(col("v").as("u2")), Seq("u2"), "left_semi")
+        .select("u1", "u2")
+        .localCheckpoint(true)
+    }
+    e
+  }
+
+  /** The 3-core of the co-presence graph: (user_id, core_deg) for every
+    * user surviving the peel, with their degree INSIDE the core — the
+    * standard dense-cohort extractor (spam rings and tight communities
+    * live in high cores; casual co-presence peels away). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    degrees(kcoreEdges(e0, KCoreK, KCoreRounds))
+      .select(col("v").as("user_id"), col("deg").as("core_deg"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore _),
     "graph_degree_dist" -> (degreeDist _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_pagerank_int" -> (pagerankInt _),
@@ -218,7 +261,27 @@ object Graph {
        |            ON a.k = b.k AND a.hr = b.hr AND a.user_id < b.user_id
        |          GROUP BY 1, 2 HAVING COUNT(*) >= $minW)""".stripMargin
 
+  /** One oracle peel round: degrees over e{r−1}, survivors, e{r}.
+    * MATERIALIZED is load-bearing: each round references the previous
+    * round's edges three times, so DuckDB's default CTE inlining would
+    * expand the 8-round chain into 3^8 scans of the base table. */
+  private def peelSql(r: Int): String =
+    s"""d$r AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM
+       |         (SELECT u1 AS v FROM e${r - 1} UNION ALL SELECT u2 FROM e${r - 1})
+       |       GROUP BY v),
+       |k$r AS (SELECT v FROM d$r WHERE deg >= $KCoreK),
+       |e$r AS MATERIALIZED (SELECT e.u1, e.u2 FROM e${r - 1} e
+       |        JOIN k$r a ON a.v = e.u1 JOIN k$r b ON b.v = e.u2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_kcore" ->
+      s"""WITH ${edgeCte(1)},
+         |e0 AS (SELECT u1, u2 FROM edges),
+         |${(1 to KCoreRounds).map(peelSql).mkString(",\n")}
+         |SELECT v AS user_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u1 AS v FROM e$KCoreRounds
+         |      UNION ALL SELECT u2 FROM e$KCoreRounds)
+         |GROUP BY v ORDER BY v""".stripMargin,
     "graph_degree_dist" ->
       s"""WITH ${edgeCte(1)},
          |deg AS (SELECT v, COUNT(*) AS deg FROM
