@@ -240,7 +240,42 @@ object Graph {
       .orderBy("user_id")
   }
 
+  /** Wedge-midpoint degree cap for [[linkPrediction]]: hub midpoints
+    * contribute O(deg²) wedges and almost no signal (everyone shares the
+    * hub — the reason Adamic-Adar downweights high-degree commons), so
+    * they are excluded from wedge generation. Inactive at gate scale
+    * (max degree ≪ 64); load-bearing at cluster scale. */
+  val LinkMidCap = 64
+
+  /** Common-neighbor LINK PREDICTION (Liben-Nowell & Kleinberg, CIKM
+    * 2003): for every NON-adjacent user pair, score = number of shared
+    * neighbors (wedges through capped midpoints), with the neighborhood-
+    * Jaccard variant cn/(deg_a + deg_b − cn) in exact micro-units. Top
+    * 20 pairs by (cn desc, ids). The wedge enumeration + anti-join on
+    * the existing edge list is the standard scalable shape: work is
+    * Σ_mid deg(mid)² bounded by [[LinkMidCap]]², never all-pairs. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    val sym = e.union(e.select(col("u2").as("u1"), col("u1").as("u2")))
+    val deg = sym.groupBy(col("u1").as("v")).agg(count(lit(1)).as("deg"))
+    val adj = sym.select(col("u1").as("mid"), col("u2").as("n"))
+      .join(deg.filter(col("deg") <= LinkMidCap).select(col("v").as("mid")), "mid")
+    val cand = adj.select(col("mid"), col("n").as("a"))
+      .join(adj.select(col("mid"), col("n").as("b")), "mid")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .join(e.select(col("u1").as("a"), col("u2").as("b")), Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+      .select(col("a").as("u1"), col("b").as("u2"), col("cn"),
+        expr("1000000 * cn div (dega + degb - cn)").as("jacc_micro"))
+      .orderBy(col("cn").desc, col("u1"), col("u2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_kcore" -> (kcore _),
     "graph_degree_dist" -> (degreeDist _),
     "graph_triangle_count" -> (triangleCount _),
@@ -274,6 +309,22 @@ object Graph {
        |        JOIN k$r a ON a.v = e.u1 JOIN k$r b ON b.v = e.u2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_link_prediction" ->
+      s"""WITH ${edgeCte(1)},
+         |sym AS (SELECT u1, u2 FROM edges UNION ALL SELECT u2, u1 FROM edges),
+         |deg AS (SELECT u1 AS v, COUNT(*) AS deg FROM sym GROUP BY 1),
+         |adj AS (SELECT s.u1 AS mid, s.u2 AS n FROM sym s
+         |        JOIN deg d ON d.v = s.u1 AND d.deg <= $LinkMidCap),
+         |wed AS (SELECT a.n AS a, b.n AS b, COUNT(*) AS cn
+         |        FROM adj a JOIN adj b ON a.mid = b.mid AND a.n < b.n
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT w.* FROM wed w
+         |         LEFT JOIN edges e ON e.u1 = w.a AND e.u2 = w.b
+         |         WHERE e.u1 IS NULL)
+         |SELECT a AS u1, b AS u2, CAST(cn AS BIGINT) AS cn,
+         |  CAST(1000000 * cn // (da.deg + db.deg - cn) AS BIGINT) AS jacc_micro
+         |FROM cand JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+         |ORDER BY cn DESC, u1, u2 LIMIT 20""".stripMargin,
     "graph_kcore" ->
       s"""WITH ${edgeCte(1)},
          |e0 AS (SELECT u1, u2 FROM edges),

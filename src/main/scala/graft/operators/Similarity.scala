@@ -600,7 +600,35 @@ object Similarity {
       .orderBy("cid", "label")
   }
 
+  /** DIVERSIFIED top-k: at most ONE result per quantizer cell (label),
+    * then the 5 best cell-representatives per query — the relational
+    * quota form of search-result diversification (Agrawal et al., WSDM
+    * 2009; the greedy-MMR family's scalable cousin: a facet quota needs
+    * two rank windows, MMR needs a sequential selection loop). Returns
+    * results spanning 5 distinct cells instead of a single dense
+    * neighborhood — what a retrieval-augmented sampler wants when near-
+    * duplicate neighbors add no information. Same bounded-query-batch,
+    * broadcast-queries, window-per-query shape as [[topkExact]]. */
+  def topkDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val emb = normed(spark, dir)
+    val q = emb.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), pairSim.as("sim"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("query_id"), col("label"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("lr") === 1)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("label"), col("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_diverse" -> (topkDiverse _),
     "sim_centroid_confusion" -> (centroidConfusion _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_topk_pq_adc" -> (topkPqAdc _),
@@ -876,6 +904,22 @@ object Similarity {
          |  FROM pairs)
          |SELECT query_id, cid, vec_id, sim, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_diverse" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id <= 9),
+         |pairs AS (SELECT query_id, e.vec_id, e.label,
+         |    ${cosSql("qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+         |cell AS (SELECT query_id, vec_id, label, sim,
+         |    row_number() OVER (PARTITION BY query_id, label
+         |                       ORDER BY sim DESC, vec_id) AS lr
+         |  FROM pairs),
+         |ranked AS (SELECT query_id, vec_id, label, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM cell WHERE lr = 1)
+         |SELECT query_id, vec_id, label, sim, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id <= 9),

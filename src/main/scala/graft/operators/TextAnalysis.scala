@@ -607,7 +607,42 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** Count-based LANGUAGE-MODEL data selection, integer form: score each
+    * held-out document by the fraction of its adjacent-token bigrams
+    * unseen in a reference corpus — the count-only proxy for in-domain
+    * cross-entropy selection (Moore & Lewis, "Intelligent Selection of
+    * Language Model Training Data", ACL 2010): a real pipeline scores
+    * perplexity under an in-domain LM; OOV-bigram rate is its exact-
+    * arithmetic skeleton (unseen n-grams dominate the perplexity of
+    * out-of-domain text). Reference = even doc_ids, scored = odd — the
+    * same deterministic split the training-split family uses.
+    *
+    * Scale shape: bigrams ship as 8-byte hashes; the reference is a
+    * DISTINCT hash set (linear in reference vocabulary, not corpus) and
+    * membership is one hash left-join; per-doc counts are a hash agg.
+    * The n-gram LM itself never materializes — exactly how count-based
+    * selection runs over a 100 TB corpus. */
+  def bigramOov(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("filter(split(text, '\\\\s+'), x -> x != '')").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> portable_hash60(concat('bg:', tk[i], ' ', tk[i+1])))"))
+        .as("h"))
+    val ref = bg.filter(col("doc_id") % 2 === 0)
+      .select("h").distinct().withColumn("known", lit(1L))
+    bg.filter(col("doc_id") % 2 === 1)
+      .join(ref, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro", expr("1000000 * n_oov div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bigram_oov" -> (bigramOov _),
     "ta_bm25_topk" -> (bm25TopK _),
     "ta_script_mix" -> (scriptMix _),
     "ta_readability" -> (readability _),
@@ -652,6 +687,21 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_bigram_oov" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |bg AS (SELECT doc_id,
+         |    ${Dedup.dh60("'bg:' || tk[i+1] || ' ' || tk[i+2]")} AS h
+         |  FROM toks, UNNEST(range(len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 2),
+         |ref AS (SELECT DISTINCT h FROM bg WHERE doc_id % 2 = 0),
+         |sc AS (SELECT b.doc_id, CASE WHEN r.h IS NULL THEN 1 ELSE 0 END AS oov
+         |       FROM bg b LEFT JOIN ref r USING (h) WHERE b.doc_id % 2 = 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(1000000 * SUM(oov) // COUNT(*) AS BIGINT) AS oov_micro
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "ta_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk

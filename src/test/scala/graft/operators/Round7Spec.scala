@@ -123,6 +123,54 @@ class Round7Spec extends SparkSpec {
     assert(core == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  // ---- bigram OOV scoring ----
+
+  test("bigram OOV rates are valid fractions and reference bigrams score 0") {
+    val rows = TextAnalysis.bigramOov(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val oov = r.getAs[Long]("n_oov")
+      val micro = r.getAs[Long]("oov_micro")
+      assert(r.getAs[Long]("doc_id") % 2 == 1, "only held-out docs are scored")
+      assert(oov >= 0 && oov <= n)
+      assert(micro == 1000000L * oov / n)
+    }
+  }
+
+  // ---- link prediction ----
+
+  test("link prediction candidates are non-adjacent and correctly scored") {
+    val dir = "/root/testdata/sf0.01"
+    val edges = Graph.copresenceEdges(spark, dir, 1L)
+      .select("u1", "u2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Graph.linkPrediction(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // driver-side recomputation of common-neighbor counts
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b, cn) = (r.getAs[Long]("u1"), r.getAs[Long]("u2"), r.getAs[Long]("cn"))
+      assert(!edges.contains((a, b)), s"($a,$b) must not already be an edge")
+      val commons = nbrs(a).intersect(nbrs(b))
+        .filter(m => nbrs(m).size <= Graph.LinkMidCap)
+      assert(cn == commons.size, s"($a,$b): cn=$cn expected ${commons.size}")
+    }
+  }
+
+  // ---- diversified top-k ----
+
+  test("diversified top-k spans distinct quantizer cells per query") {
+    val rows = Similarity.topkDiverse(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("label")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).distinct.length == rs.length,
+        "each query's results must come from distinct cells")
+    }
+  }
+
   test("k-core reaches its fixpoint within the fixed round budget") {
     val dir = "/root/testdata/sf0.01"
     val e0 = Graph.copresenceEdges(spark, dir, 1L).select("u1", "u2")
