@@ -331,6 +331,56 @@ object StreamingPipelines {
   }
 
   /** Bounded Misra-Gries summary for one token shard. */
+  /** Streaming KMV state: the ≤ K smallest DISTINCT portable user hashes
+    * seen so far for one event type (ascending). */
+  case class KmvState(hashes: List[Long], seen: Long)
+
+  /** `n_seen` is the type's total processed-row count — monotone per
+    * trigger, so readers take each type's max-`n_seen` row as the
+    * current estimate (the same latest-row convention as [[MgRow]]). */
+  case class KmvRow(event_type: String, n_seen: Long, n_sketch: Int, kmv_est: Long)
+
+  /** Bounded-state STREAMING distinct-count via the same KMV sketch the
+    * batch [[graft.operators.AdvancedAggs.kmvDistinct]] gate proves:
+    * per event type, keep only the K smallest distinct
+    * `portable_hash60('kmv:' || user_id)` values — bottom-K maintenance
+    * is exact under any arrival order, so after replaying a corpus the
+    * streaming sketch IS the batch sketch, element for element, and the
+    * estimate floor((K−1)·2^60 / kth) matches the batch DECIMAL division
+    * bit-for-bit (StreamingPipelinesSpec proves both on real events).
+    * State is O(K) longs per type — independent of stream length, the
+    * property an exact streaming countDistinct (state per user) lacks.
+    * Each trigger re-emits the current estimate (Update mode). */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): Dataset[KmvRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(key: String, it: Iterator[(String, Long)],
+        state: GroupState[KmvState]): Iterator[KmvRow] = {
+      val set = scala.collection.mutable.TreeSet.empty[Long]
+      var seen = 0L
+      state.getOption.foreach { s => set ++= s.hashes; seen = s.seen }
+      for ((_, uid) <- it) {
+        seen += 1
+        val h = graft.functions.HashUtil.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString("kmv:" + uid))
+        if (set.size < k) set += h
+        else if (h < set.last) { set += h; if (set.size > k) set -= set.last }
+      }
+      state.update(KmvState(set.toList, seen))
+      val est =
+        if (set.size < k) set.size.toLong
+        else ((BigInt(k - 1) << 60) / BigInt(set.last)).toLong
+      Iterator.single(KmvRow(key, seen, set.size, est))
+    }
+
+    events.select(col("event_type").cast("string"), col("user_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class MgSummary(counts: Map[String, Long], processed: Long)
   /** One summary row per (shard, surviving token) after a trigger. */
   case class MgRow(shard: Int, token: String, mg_count: Long, shard_processed: Long)

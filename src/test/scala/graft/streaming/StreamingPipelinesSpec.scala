@@ -520,4 +520,59 @@ class StreamingPipelinesSpec extends SparkSpec {
         s"expected only the in-horizon pair, got $pairs")
     } finally q.stop()
   }
+
+  test("stream-batch parity: streaming KMV sketch equals the batch KMV " +
+    "estimate after replaying real events") {
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01 exercises the estimator regime (150 users/type > K=64);
+    // arrival order differs from any batch scan order, which is the point:
+    // bottom-K maintenance is order-independent
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.core.Tables.events(spark, dir)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val batch = graft.operators.AdvancedAggs.kmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("exact_users"), r.getAs[Long]("kmv_est")))
+      .toMap
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingPipelines.kmvDistinctStream(
+        in.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Update).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val latest = spark.table("kmv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2) }
+      assert(latest.keySet == batch.keySet)
+      latest.foreach { case (t, (_, seen, nSketch, est)) =>
+        assert(seen == rows.count(_._1 == t), s"$t processed count")
+        assert(nSketch == 64, s"$t sketch is full in the estimator regime")
+        assert(est == batch(t)._2, s"$t: stream est=$est batch=${batch(t)._2}")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming KMV reports exact distinct counts below K") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingPipelines.kmvDistinctStream(
+        in.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("kmvex")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Seq(("a", 1L), ("a", 2L), ("a", 1L), ("b", 7L)))
+      q.processAllAvailable()
+      in.addData(Seq(("a", 3L), ("a", 2L)))
+      q.processAllAvailable()
+      val latest = spark.table("kmvex").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2) }
+      assert(latest("a")._3 == 3L, "3 distinct users under K → exact count")
+      assert(latest("b")._3 == 1L)
+    } finally q.stop()
+  }
 }
