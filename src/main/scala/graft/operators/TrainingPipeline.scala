@@ -421,7 +421,40 @@ object TrainingPipeline {
       .orderBy("dim")
   }
 
+  /** Competence-based CURRICULUM ordering (Bengio et al., "Curriculum
+    * Learning", ICML 2009; Platanios et al., NAACL 2019): the training
+    * stream presents easy examples first, hard last — difficulty here is
+    * the token count in fixed 12-token bands (clamped to 10 buckets) —
+    * while docs WITHIN a band are shuffled by the portable hash so no
+    * batch is a sorted length run. The global position is assembled the
+    * scale-correct way: a per-bucket rank window (partitioned — each
+    * bucket sorts independently) plus broadcast cumulative bucket
+    * offsets (a 10-row window), NEVER a global single-partition
+    * row_number over the corpus. Fixed difficulty bands rather than
+    * corpus deciles keep the bucketing one scan with no quantile pass
+    * (the decile variant would reuse pipeline_quantile_bins' aggregated
+    * histogram). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n_toks"))
+      .select(col("doc_id"),
+        least(lit(9L), expr("n_toks div 12")).as("bucket"),
+        expr("portable_hash60(concat('cur:', cast(doc_id as string)))").as("h"))
+    val r = b.withColumn("rk", row_number().over(
+      Window.partitionBy("bucket").orderBy("h", "doc_id")))
+    val off = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    r.join(broadcast(off.select("bucket", "off")), "bucket")
+      .select(col("doc_id"), col("bucket"), (col("off") + col("rk")).as("position"))
+      .orderBy("position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> (curriculumOrder _),
     "pipeline_dsir_ratios" -> (dsirRatios _),
     "pipeline_weighted_sample" -> (weightedSample _),
     "pipeline_chunk_windows" -> (chunkWindows _),
@@ -443,6 +476,21 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_curriculum" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_toks FROM documents),
+         |b AS (SELECT doc_id, LEAST(9, n_toks // 12) AS bucket,
+         |    ${Dedup.dh60("'cur:' || CAST(doc_id AS VARCHAR)")} AS h FROM d),
+         |r AS (SELECT doc_id, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+         |  FROM b),
+         |sz AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1),
+         |o AS (SELECT bucket, COALESCE(SUM(n) OVER (ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |      FROM sz)
+         |SELECT r.doc_id, CAST(r.bucket AS BIGINT) AS bucket,
+         |  CAST(o.off + r.rk AS BIGINT) AS position
+         |FROM r JOIN o USING (bucket) ORDER BY position""".stripMargin,
     "pipeline_dsir_ratios" ->
       s"""WITH toks AS (SELECT lang = 'en' AS is_target,
          |    ${Dedup.dh60("t")} % 16 AS dim

@@ -159,6 +159,20 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  // ---- curriculum ordering ----
+
+  test("curriculum positions are a 1..n permutation, easy buckets first") {
+    val rows = TrainingPipeline.curriculumOrder(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[Long]("position")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+      "positions must be a contiguous permutation")
+    assert(rows.map(_._1).distinct.length == rows.length, "each doc once")
+    val byPos = rows.sortBy(_._3).map(_._2)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+      "difficulty buckets must be nondecreasing along the curriculum")
+  }
+
   // ---- diversified top-k ----
 
   test("diversified top-k spans distinct quantizer cells per query") {
