@@ -1062,7 +1062,62 @@ object AdvancedAggs {
       .orderBy("type_a", "type_b")
   }
 
+  /** Theil-Sen robust trend estimator (Theil 1950, Sen 1968) over the
+    * monthly order-volume series: the median of all pairwise slopes
+    * (c_j − c_i)/(m_j − m_i) — the estimator that tolerates up to ~29%
+    * outliers where OLS ([[olsTrend]]) breaks on one. All arithmetic is
+    * exact integer: slopes are fixed-point millionths with an explicit
+    * truncate-toward-zero division (Spark `div` truncates, DuckDB `//`
+    * floors — they differ on negatives, so the sign is factored out and
+    * only nonnegative quantities are divided in BOTH engines), and the
+    * median is an order statistic selected by rank counting, not a sort.
+    *
+    * Scale shape: the corpus reduces to one calendar-bounded monthly
+    * aggregate (≤ a few hundred rows at ANY scale factor — pair count is
+    * bounded by time span, not data volume), so the pairwise stage and
+    * the rank-count self-join are O(months²)/O(slopes²) on a tiny table.
+    * No unpartitioned window and no driver collect: the median ranks
+    * (n+1)÷2 / (n+2)÷2 ride the plan as a broadcast scalar. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+    // Fresh aliases on the right copy: a bare self-join would resolve
+    // both sides' `m` to one attribute and make every denominator 0.
+    val later = monthly.select(col("m").as("m2"), col("c").as("c2"))
+    // The outer den>0 guard is load-bearing even though the join already
+    // ensures m < m2: InferFiltersFromConstraints derives isnotnull(micro)
+    // and evaluates the whole expression INSIDE the join condition, ahead
+    // of m < m2 — an unguarded division there hits den = 0 pairs and ANSI
+    // mode aborts. CASE evaluates lazily, so den = 0 never divides.
+    val pairs = monthly.join(later, col("m") < col("m2"))
+      .select(((col("c2") - col("c")) * 1000000L).as("num"),
+        (col("m2") - col("m")).as("den"))
+      .select(when(col("den") > 0,
+        when(col("num") >= 0, expr("num div den"))
+          .otherwise(-expr("(-num) div den"))).as("micro"))
+    val dc = pairs.groupBy("micro").agg(count(lit(1)).as("cnt"))
+    val tot = dc.agg(sum(col("cnt")).as("n_pairs"))
+    val nm = monthly.agg(count(lit(1)).as("n_months"))
+    val below = dc.select(col("micro").as("micro2"), col("cnt").as("cnt2"))
+    dc.join(below, col("micro2") <= col("micro"))
+      .groupBy(col("micro"))
+      .agg(sum(col("cnt2")).as("n_le"))
+      .crossJoin(broadcast(tot))
+      .groupBy("n_pairs")
+      .agg(
+        min(when(col("n_le") >= expr("(n_pairs + 1) div 2"), col("micro")))
+          .as("med_lo_micro"),
+        min(when(col("n_le") >= expr("(n_pairs + 2) div 2"), col("micro")))
+          .as("med_hi_micro"))
+      .crossJoin(broadcast(nm))
+      .select(col("n_months"), col("n_pairs"),
+        col("med_lo_micro"), col("med_hi_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil_sen" -> (theilSen _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_kmv_jaccard" -> (kmvJaccard _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
@@ -1118,6 +1173,29 @@ object AdvancedAggs {
        |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT (b.c - a.c) * 1000000 AS num, b.m - a.m AS den
+        |  FROM monthly a JOIN monthly b ON a.m < b.m),
+        |sl AS (
+        |  SELECT CASE WHEN num >= 0 THEN num // den
+        |              ELSE -((-num) // den) END AS micro
+        |  FROM pairs),
+        |dc AS (SELECT micro, COUNT(*) AS cnt FROM sl GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs FROM dc),
+        |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+        |cum AS (SELECT x.micro, CAST(SUM(y.cnt) AS BIGINT) AS n_le
+        |        FROM dc x JOIN dc y ON y.micro <= x.micro GROUP BY 1)
+        |SELECT n_months, n_pairs,
+        |  (SELECT MIN(micro) FROM cum, tot
+        |     WHERE n_le >= (n_pairs + 1) // 2) AS med_lo_micro,
+        |  (SELECT MIN(micro) FROM cum, tot
+        |     WHERE n_le >= (n_pairs + 2) // 2) AS med_hi_micro
+        |FROM nm, tot""".stripMargin,
     "sketch_kmv_distinct" ->
       s"""WITH $kmvCte,
          |rn AS (SELECT event_type, h,

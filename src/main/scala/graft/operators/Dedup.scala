@@ -587,7 +587,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Normalization-then-exact dedup — the "fuzzy-exact" pass real
+    * pretraining pipelines run between byte-exact and near-dup stages
+    * (CCNet/Dolma style): lowercase, collapse every non-alphanumeric run
+    * to a single space, trim, then group by the md5 of the normalized
+    * form. Catches whitespace/punctuation/case variants that byte-exact
+    * [[exactDedup]] misses at a fraction of MinHash's cost. Reports the
+    * kept representative (min doc_id), the group size, and how many
+    * DISTINCT raw texts the normalization collapsed (n_raw_variants > 1
+    * is exactly the set this pass wins over the byte-exact one).
+    *
+    * Scale shape: one scan; only 16-byte digests enter the shuffle (the
+    * normalized text never leaves the map side). */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, dir))
+
+  /** [[normalizedDedup]] over any (doc_id, text) frame — spec entry. */
+  private[operators] def normalizedDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("norm_hash"),
+        md5(col("text")).as("raw_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_hash")).as("n_raw_variants"))
+      .select(col("doc_id"), col("n_copies"), col("n_raw_variants"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_norm_exact" -> (normalizedDedup _),
     "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_edit1_names" -> (edit1Names _),
     "dedup_spans" -> (spanDedup _),
@@ -712,6 +741,15 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_norm_exact" ->
+      """WITH n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS norm_hash,
+        |    md5(text) AS raw_hash
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT raw_hash) AS n_raw_variants
+        |FROM n GROUP BY norm_hash ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shCte,
          |sh AS (SELECT doc_id, ${dh60("s")} AS h FROM shg),

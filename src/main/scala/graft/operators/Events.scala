@@ -168,6 +168,49 @@ object Events {
     * residual filter. Shuffle cost is linear in (events + interval-hours),
     * never quadratic. A point matches an interval through exactly one
     * bucket (its own), so no post-join dedup is needed. */
+  /** Peak session concurrency per day — the capacity-planning sweep-line:
+    * each session contributes +1 at its start and −1 one second after its
+    * end (closed interval at second granularity, matching the gap rule's
+    * epoch-second arithmetic); deltas are NETTED per timestamp first (so
+    * simultaneous starts/ends have no ordering ambiguity), and the
+    * running concurrency is a DAY-PARTITIONED prefix sum plus per-day
+    * carry-in offsets. The carry (total net delta of all prior days) is
+    * a calendar-bounded aggregate self-join, not a global window — the
+    * same two-level scan the curriculum ordering uses, so the plan has
+    * no single-task stage at any scale: events shuffle once on user_id
+    * (sessionization), once on timestamp (netting), once on day. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val s = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val deltas = s.select(col("st").as("t"), lit(1L).as("d"))
+      .union(s.select((col("en") + expr("interval 1 second")).as("t"),
+        lit(-1L).as("d")))
+    val net = deltas.groupBy("t").agg(sum(col("d")).as("nd"))
+      .withColumn("day", to_date(col("t")))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = net.withColumn("intraday", sum(col("nd")).over(wDay))
+    val dayTot = net.groupBy("day").agg(sum(col("nd")).as("day_net"))
+    val prior = dayTot.select(col("day").as("day2"), col("day_net").as("net2"))
+    val carry = dayTot.join(prior, col("day2") < col("day"), "left")
+      .groupBy(col("day"))
+      .agg(coalesce(sum(col("net2")), lit(0L)).as("carry"))
+    run.join(broadcast(carry), "day")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(max(col("intraday") + col("carry")).as("peak_concurrency"))
+      .orderBy("day")
+  }
+
   def rangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
     val sessions = sessionize(spark, dir)
       .filter(col("n_events") >= 2)
@@ -586,6 +629,7 @@ object Events {
     "evt_debounce" -> (debounce _),
     "evt_sliding_15m" -> (slidingQuarterHour _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
+    "evt_peak_concurrency" -> (peakConcurrency _),
     "evt_sessionize" -> (sessionize _),
     "evt_session_window_native" -> (sessionWindowNative _),
     "evt_asof_last_error" -> (asofLastError _),
@@ -817,6 +861,30 @@ object Events {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_peak_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |s AS (SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+        |      FROM sessions GROUP BY 1, 2),
+        |d AS (SELECT st AS t, 1 AS d FROM s
+        |      UNION ALL SELECT en + INTERVAL 1 SECOND, -1 FROM s),
+        |net AS (SELECT t, CAST(SUM(d) AS BIGINT) AS nd FROM d GROUP BY 1),
+        |run AS (SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+        |    SUM(nd) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS conc
+        |  FROM net)
+        |SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
     "evt_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,

@@ -513,7 +513,41 @@ object RelationalX {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** Number of salt replicas for [[saltedSkewJoin]] — small here; a real
+    * skew mitigation sizes it to the hottest key's row share. */
+  val SaltFactor = 8
+
+  /** SALTED skew join — the manual mitigation for a shuffle join whose
+    * key distribution concentrates on a few hot keys (the pre-AQE
+    * technique, still required when AQE's skew thresholds don't trigger
+    * or the build side must stay a shuffle join): replicate the dimension
+    * side SaltFactor ways with a salt column, spread the fact side across
+    * salts with a deterministic per-row salt, and join on (key, salt) —
+    * each hot key's rows now land on SaltFactor reducers instead of one.
+    * Every fact row still matches EXACTLY one replica, so the join result
+    * — per-segment order counts and revenue — is identical to the plain
+    * join the oracle runs; the gate proves the rewrite is semantics-free.
+    *
+    * Scale shape: dimension inflation is SaltFactor× (bounded, and only
+    * on the smaller side); the fact side's salt is computed map-side from
+    * o_orderkey, adding no shuffle of its own. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${SaltFactor - 1})")))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("fsalt", (col("o_orderkey") % SaltFactor).cast("int"))
+      .join(salted, col("o_custkey") === col("c_custkey") &&
+        col("salt") === col("fsalt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "joinx_salted_skew" -> (saltedSkewJoin _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q16_supplier_part_counts" -> (q16SupplierPartCounts _),
     "q20_excess_shippers" -> (q20ExcessShippers _),
@@ -541,6 +575,13 @@ object RelationalX {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   val oracle: Map[String, String] = Map(
+    // The oracle runs the PLAIN join: the salted rewrite must be
+    // observationally identical to it, which is the whole point.
+    "joinx_salted_skew" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q11_important_parts" ->
       s"""WITH pv AS (
         |  SELECT l_partkey AS p_partkey, SUM($discSql) AS v

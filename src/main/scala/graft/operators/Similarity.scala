@@ -627,7 +627,46 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** k-NN label classification over the embedding space (Fix & Hodges
+    * 1951; the label-propagation workhorse of weakly-supervised data
+    * curation — propagate a small labeled set's domains/quality tiers to
+    * the whole corpus by nearest-neighbor vote). For each probe vector
+    * (the standard bounded batch, vec_id < [[EmbeddingProbeN]]): exact
+    * top-5 cosine neighbors excluding self, majority label vote,
+    * smaller-label tie-break; reports the vote count and whether the
+    * prediction recovers the probe's own label.
+    *
+    * Scale shape: identical to the bounded-probe baseline family — the
+    * probe side broadcasts, one corpus scan, per-query top-k via a
+    * query-partitioned window, then two vocabulary-sized aggregations.
+    * Production swaps the exact scan for [[topkIvfTrained]]'s candidate
+    * generation; the vote logic is unchanged. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = normed(spark, dir)
+    val q = emb.filter(col("vec_id") < EmbeddingProbeN)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val votes = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
+        pairSim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"), col("label").as("pred_label"),
+        col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_classify" -> (knnClassify _),
     "sim_topk_diverse" -> (topkDiverse _),
     "sim_centroid_confusion" -> (centroidConfusion _),
     "dedup_semantic" -> (semanticDedup _),
@@ -904,6 +943,27 @@ object Similarity {
          |  FROM pairs)
          |SELECT query_id, cid, vec_id, sim, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+         |             embedding AS qv
+         |           FROM embeddings WHERE vec_id < $EmbeddingProbeN),
+         |pairs AS (SELECT query_id, true_label, e.vec_id, e.label,
+         |    ${cosSql("qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+         |ranked AS (SELECT query_id, true_label, label,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id) AS rank
+         |  FROM pairs),
+         |votes AS (SELECT query_id, true_label, label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+         |best AS (SELECT query_id, true_label, label, n_votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes)
+         |SELECT query_id, true_label, label AS pred_label, n_votes,
+         |  label = true_label AS correct
+         |FROM best WHERE vr = 1 ORDER BY query_id""".stripMargin,
     "sim_topk_diverse" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id <= 9),

@@ -641,7 +641,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau, "TextRank: Bringing
+    * Order into Texts", EMNLP 2004) over the corpus-level word
+    * co-occurrence graph: an undirected edge between adjacent tokens
+    * (window 2, the paper's default) weighted by corpus co-occurrence
+    * count, thresholded at ≥ 5 like [[collocations]]; then 3 iterations
+    * of weighted PageRank in exact SCALED-INTEGER arithmetic (the same
+    * micro-unit scheme as `graph_pagerank_int`: rank₀ = 10⁶, contribution
+    * = rank·w div wdeg, next = 0.15·10⁶ + 0.85·Σ with floor division —
+    * float PageRank can never hash-gate across engines). Top 20 words.
+    *
+    * Scale shape: the graph is vocabulary-sized, not corpus-sized — one
+    * token-pair hash agg reduces the corpus to (x, y, n) edges, and each
+    * iteration is one join + one hash agg on the word key. The corpus is
+    * scanned once; iterations touch only the vocabulary graph. */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    val bi = tokenized(spark, dir)
+      .select(explode(expr(
+        """if(size(toks) < 2, array(),
+          |  transform(sequence(0, size(toks)-2),
+          |    i -> named_struct('x', toks[i], 'y', toks[i+1])))""".stripMargin))
+        .as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "" && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+    val sym = bi.select(col("x").as("u"), col("y").as("v"), col("n"))
+      .union(bi.select(col("y").as("u"), col("x").as("v"), col("n")))
+    val wdeg = sym.groupBy(col("u")).agg(sum(col("n")).as("wdeg"))
+    var pr = wdeg.select(col("u").as("w"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = sym
+        .join(pr.select(col("w").as("u"), col("pr")), "u")
+        .join(wdeg, "u")
+        .select(col("v"), expr("pr * n div wdeg").as("c"))
+        .groupBy(col("v"))
+        .agg((lit(150000L) + expr("850 * sum(c) div 1000")).as("pr"))
+        .select(col("v").as("w"), col("pr"))
+    }
+    pr.join(wdeg.select(col("u").as("w"), col("wdeg")), "w")
+      .orderBy(col("pr").desc, col("w"))
+      .limit(20)
+      .select(col("w").as("word"), col("wdeg"), col("pr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_textrank" -> (textrank _),
     "ta_bigram_oov" -> (bigramOov _),
     "ta_bm25_topk" -> (bm25TopK _),
     "ta_script_mix" -> (scriptMix _),
@@ -687,6 +733,32 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_textrank" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |bg AS (SELECT LEAST(t[i+1], t[i+2]) AS x, GREATEST(t[i+1], t[i+2]) AS y
+         |       FROM toks, UNNEST(range(len(t)-1)) AS u(i)
+         |       WHERE t[i+1] <> '' AND t[i+2] <> '' AND t[i+1] <> t[i+2]),
+         |bi AS (SELECT x, y, COUNT(*) AS n FROM bg GROUP BY x, y
+         |       HAVING COUNT(*) >= 5),
+         |sym AS (SELECT x AS u, y AS v, n FROM bi
+         |        UNION ALL SELECT y, x, n FROM bi),
+         |wdeg AS (SELECT u, CAST(SUM(n) AS BIGINT) AS wdeg FROM sym GROUP BY u),
+         |pr0 AS (SELECT u AS w, CAST(1000000 AS BIGINT) AS pr FROM wdeg),
+         |pr1 AS (SELECT s.v AS w,
+         |          150000 + (850 * SUM((p.pr * s.n) // d.wdeg)) // 1000 AS pr
+         |        FROM sym s JOIN pr0 p ON p.w = s.u JOIN wdeg d ON d.u = s.u
+         |        GROUP BY 1),
+         |pr2 AS (SELECT s.v AS w,
+         |          150000 + (850 * SUM((p.pr * s.n) // d.wdeg)) // 1000 AS pr
+         |        FROM sym s JOIN pr1 p ON p.w = s.u JOIN wdeg d ON d.u = s.u
+         |        GROUP BY 1),
+         |pr3 AS (SELECT s.v AS w,
+         |          150000 + (850 * SUM((p.pr * s.n) // d.wdeg)) // 1000 AS pr
+         |        FROM sym s JOIN pr2 p ON p.w = s.u JOIN wdeg d ON d.u = s.u
+         |        GROUP BY 1)
+         |SELECT p.w AS word, d.wdeg, CAST(p.pr AS BIGINT) AS pr
+         |FROM pr3 p JOIN wdeg d ON d.u = p.w
+         |ORDER BY pr DESC, word LIMIT 20""".stripMargin,
     "ta_bigram_oov" ->
       s"""WITH toks AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk

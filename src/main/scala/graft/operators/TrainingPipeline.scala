@@ -429,8 +429,9 @@ object TrainingPipeline {
     * batch is a sorted length run. The global position is assembled the
     * scale-correct way: a per-bucket rank window (partitioned — each
     * bucket sorts independently) plus broadcast cumulative bucket
-    * offsets (a 10-row window), NEVER a global single-partition
-    * row_number over the corpus. Fixed difficulty bands rather than
+    * offsets (a ≤10-row aggregate self-join), NEVER a global
+    * single-partition row_number — or even a bounded global window —
+    * over the corpus. Fixed difficulty bands rather than
     * corpus deciles keep the bucketing one scan with no quantile pass
     * (the decile variant would reuse pipeline_quantile_bins' aggregated
     * histogram). */
@@ -444,10 +445,14 @@ object TrainingPipeline {
         expr("portable_hash60(concat('cur:', cast(doc_id as string)))").as("h"))
     val r = b.withColumn("rk", row_number().over(
       Window.partitionBy("bucket").orderBy("h", "doc_id")))
-    val off = b.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    // Cumulative bucket offsets via a ≤10×10 self-join on the aggregated
+    // bucket sizes — not a window: keeps the shipped-plan invariant that
+    // NO query contains an unpartitioned Window node, bounded or not.
+    val sz = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val prior = sz.select(col("bucket").as("b2"), col("n").as("n2"))
+    val off = sz.join(prior, col("b2") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("off"))
     r.join(broadcast(off.select("bucket", "off")), "bucket")
       .select(col("doc_id"), col("bucket"), (col("off") + col("rk")).as("position"))
       .orderBy("position")
