@@ -1116,7 +1116,34 @@ object AdvancedAggs {
         col("med_lo_micro"), col("med_hi_micro"))
   }
 
+  /** 5%-trimmed mean of order value per priority class — the robust
+    * location estimate that survives the heavy right tail OLS-style
+    * means don't (trim level k = ⌊n·5/100⌋ rows off EACH end, the
+    * classic symmetric trim). Exact integers throughout: prices become
+    * cents via one DECIMAL cast, ranks come from a PARTITIONED window
+    * (priority classes are the partitions — no global sort), and the
+    * mean ships as exact milli-cents floor division. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(15, 2)) * 100).cast("long")
+          .as("cents"))
+      .withColumn("rk", row_number().over(
+        byP.orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(byP))
+    ranked
+      .filter(col("rk") > expr("n * 5 div 100") &&
+        col("rk") <= col("n") - expr("n * 5 div 100"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+      .withColumn("mean_cents_milli", expr("1000 * sum_cents div n_kept"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean" -> (trimmedMean _),
     "agg_theil_sen" -> (theilSen _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_kmv_jaccard" -> (kmvJaccard _),
@@ -1173,6 +1200,22 @@ object AdvancedAggs {
        |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_trimmed_mean" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cents, o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM base)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST((1000 * SUM(cents)) // COUNT(*) AS BIGINT) AS mean_cents_milli
+        |FROM r
+        |WHERE rk > (n * 5) // 100 AND rk <= n - (n * 5) // 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_theil_sen" ->
       """WITH monthly AS (
         |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,

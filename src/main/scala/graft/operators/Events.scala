@@ -168,6 +168,27 @@ object Events {
     * residual filter. Shuffle cost is linear in (events + interval-hours),
     * never quadratic. A point matches an interval through exactly one
     * bucket (its own), so no post-join dedup is needed. */
+  /** Inter-arrival time histogram per event type: consecutive same-user
+    * same-type gaps at minute resolution, capped at 60 (the diagnostic
+    * behind every session-gap / rate-limit / bot-cadence threshold —
+    * the 30-minute sessionization rule IS a valley in this histogram).
+    * One (user_id, event_type)-partitioned window pass for the lag, one
+    * hash agg on the ≤ types×61-row key space; gaps are exact epoch-
+    * second integers, buckets exact integer division. */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("ts").cast("long").as("es"))
+      .withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"),
+        least(expr("gap div 60"), lit(60L)).as("bucket_min"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("event_type", "bucket_min")
+  }
+
   /** Peak session concurrency per day — the capacity-planning sweep-line:
     * each session contributes +1 at its start and −1 one second after its
     * end (closed interval at second granularity, matching the gap rule's
@@ -629,6 +650,7 @@ object Events {
     "evt_debounce" -> (debounce _),
     "evt_sliding_15m" -> (slidingQuarterHour _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
+    "evt_interarrival" -> (interarrival _),
     "evt_peak_concurrency" -> (peakConcurrency _),
     "evt_sessionize" -> (sessionize _),
     "evt_session_window_native" -> (sessionWindowNative _),
@@ -861,6 +883,17 @@ object Events {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT event_type, LEAST(gap // 60, 60) AS bucket_min,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, bucket_min""".stripMargin,
     "evt_peak_concurrency" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts,

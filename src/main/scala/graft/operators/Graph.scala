@@ -274,7 +274,29 @@ object Graph {
       .limit(20)
   }
 
+  /** BFS reachability layers from a deterministic source (the minimum
+    * node id): how many users sit at hop distance 0..3 in the co-presence
+    * graph — the ego-network expansion curve behind "degrees of
+    * separation" audits and influence-radius estimates. Three rounds of
+    * frontier-expand + min-distance fold (each one join + one hash agg on
+    * the edge list — the O(rounds) plan shape shared with the integer
+    * PageRank; nodes beyond hop 3 are simply absent, never scanned). */
+  def bfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    val sym = e.union(e.select(col("u2").as("u1"), col("u1").as("u2")))
+    var dist = sym.agg(min(col("u1")).as("v")).select(col("v"), lit(0L).as("dist"))
+    for (d <- 1 to 3) {
+      val next = sym
+        .join(dist.filter(col("dist") === (d - 1).toLong)
+          .select(col("v").as("u1")), "u1")
+        .select(col("u2").as("v"), lit(d.toLong).as("dist"))
+      dist = dist.union(next).groupBy("v").agg(min(col("dist")).as("dist"))
+    }
+    dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_layers" -> (bfsLayers _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_kcore" -> (kcore _),
     "graph_degree_dist" -> (degreeDist _),
@@ -333,6 +355,27 @@ object Graph {
          |FROM (SELECT u1 AS v FROM e$KCoreRounds
          |      UNION ALL SELECT u2 FROM e$KCoreRounds)
          |GROUP BY v ORDER BY v""".stripMargin,
+    "graph_bfs_layers" ->
+      s"""WITH ${edgeCte(1)},
+         |sym AS (SELECT u1, u2 FROM edges UNION ALL SELECT u2, u1 FROM edges),
+         |d0 AS (SELECT MIN(u1) AS v, CAST(0 AS BIGINT) AS dist FROM sym),
+         |d1 AS (SELECT v, MIN(dist) AS dist FROM (
+         |    SELECT v, dist FROM d0
+         |    UNION ALL
+         |    SELECT s.u2, CAST(1 AS BIGINT) FROM sym s
+         |    JOIN d0 ON d0.v = s.u1 AND d0.dist = 0) GROUP BY v),
+         |d2 AS (SELECT v, MIN(dist) AS dist FROM (
+         |    SELECT v, dist FROM d1
+         |    UNION ALL
+         |    SELECT s.u2, CAST(2 AS BIGINT) FROM sym s
+         |    JOIN d1 ON d1.v = s.u1 AND d1.dist = 1) GROUP BY v),
+         |d3 AS (SELECT v, MIN(dist) AS dist FROM (
+         |    SELECT v, dist FROM d2
+         |    UNION ALL
+         |    SELECT s.u2, CAST(3 AS BIGINT) FROM sym s
+         |    JOIN d2 ON d2.v = s.u1 AND d2.dist = 2) GROUP BY v)
+         |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin,
     "graph_degree_dist" ->
       s"""WITH ${edgeCte(1)},
          |deg AS (SELECT v, COUNT(*) AS deg FROM

@@ -686,7 +686,43 @@ object TextAnalysis {
       .select(col("w").as("word"), col("wdeg"), col("pr"))
   }
 
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): cumulative distinct
+    * vocabulary vs cumulative token count at 10 corpus checkpoints (doc_id
+    * deciles). The quantity every tokenizer-training and corpus-sizing
+    * decision reads off — V(N) ≈ K·N^β flattening signals the corpus is
+    * saturating its domain.
+    *
+    * Computed WITHOUT any cumulative window over the corpus: a token's
+    * contribution to every checkpoint is determined by its FIRST
+    * occurrence (min doc_id per token — one hash agg), so vocabulary at
+    * checkpoint c is a count of first_doc ≤ c, evaluated for all 10
+    * checkpoints via one broadcast cross join. Token totals come the same
+    * way from per-doc counts. Two corpus-sized hash aggs + two
+    * checkpoint-sized aggs — nothing scales worse than the token count. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+    val cps = Tables.documents(spark, dir).agg(max(col("doc_id")).as("max_id"))
+      .select(explode(expr(
+        "transform(sequence(1, 10), i -> (i * max_id) div 10)")).as("cp"))
+    val vocab = toks.groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(cps))
+      .filter(col("first_doc") <= col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("vocab_cum"))
+    val total = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(cps))
+      .filter(col("doc_id") <= col("cp"))
+      .groupBy("cp").agg(sum(col("n")).as("n_tokens_cum"))
+    total.join(vocab, "cp")
+      .select(col("cp").as("checkpoint_doc"), col("n_tokens_cum"),
+        col("vocab_cum"))
+      .orderBy("checkpoint_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heaps_law" -> (heapsLaw _),
     "ta_textrank" -> (textrank _),
     "ta_bigram_oov" -> (bigramOov _),
     "ta_bm25_topk" -> (bm25TopK _),
@@ -733,6 +769,21 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_heaps_law" ->
+      s"""WITH toks AS (SELECT doc_id, u.tk AS t
+         |  FROM (SELECT doc_id, $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)
+         |  WHERE u.tk <> ''),
+         |cps AS (SELECT (i * (SELECT MAX(doc_id) FROM documents)) // 10 AS cp
+         |        FROM UNNEST(range(1, 11)) AS r(i)),
+         |fo AS (SELECT t, MIN(doc_id) AS first_doc FROM toks GROUP BY t),
+         |vocab AS (SELECT cp, CAST(COUNT(*) AS BIGINT) AS vocab_cum
+         |          FROM fo, cps WHERE first_doc <= cp GROUP BY cp),
+         |dc AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         |tot AS (SELECT cp, CAST(SUM(n) AS BIGINT) AS n_tokens_cum
+         |        FROM dc, cps WHERE doc_id <= cp GROUP BY cp)
+         |SELECT t.cp AS checkpoint_doc, t.n_tokens_cum, v.vocab_cum
+         |FROM tot t JOIN vocab v ON v.cp = t.cp
+         |ORDER BY checkpoint_doc""".stripMargin,
     "ta_textrank" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
          |bg AS (SELECT LEAST(t[i+1], t[i+2]) AS x, GREATEST(t[i+1], t[i+2]) AS y

@@ -144,6 +144,92 @@ class Round7bSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  // ---- Heaps' law ----
+
+  test("heaps law checkpoints match a driver recompute and vocabulary " +
+    "growth is monotone") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val maxId = docs.map(_._1).max
+    val cps = (1 to 10).map(i => i * maxId / 10)
+    val expected = cps.map { cp =>
+      val in = docs.filter(_._1 <= cp)
+      val toks = in.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      (cp, toks.length.toLong, toks.distinct.length.toLong)
+    }
+    val got = TextAnalysis.heapsLaw(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3) == got.map(_._3).sorted,
+      "vocabulary must be nondecreasing across checkpoints")
+  }
+
+  // ---- inter-arrival histogram ----
+
+  test("inter-arrival histogram matches a driver recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("double").as("tsd"), col("ts").cast("long").as("es"))
+      .as[(Long, String, Long, Double, Long)].collect()
+    val hist = scala.collection.mutable.Map.empty[(String, Long), Long]
+    ev.groupBy(r => (r._1, r._2)).foreach { case ((_, typ), rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val bucket = math.min((b._5 - a._5) / 60L, 60L)
+          hist((typ, bucket)) = hist.getOrElse((typ, bucket), 0L) + 1L
+        case _ =>
+      }
+    }
+    val got = Events.interarrival(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == hist.toMap)
+  }
+
+  // ---- trimmed mean ----
+
+  test("trimmed mean drops exactly the top and bottom 5% per priority") {
+    val base = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(15,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val got = AdvancedAggs.trimmedMean(spark, sfDir)
+      .select("o_orderpriority", "n_kept", "sum_cents", "mean_cents_milli")
+      .as[(String, Long, Long, Long)].collect()
+    got.foreach { case (p, nKept, sumCents, meanMilli) =>
+      val vals = base.filter(_._1 == p).map(_._2).sorted
+      val k = vals.length * 5 / 100
+      val kept = vals.slice(k, vals.length - k)
+      assert(nKept == kept.length.toLong)
+      assert(sumCents == kept.sum)
+      assert(meanMilli == 1000L * kept.sum / kept.length)
+    }
+    assert(got.nonEmpty)
+  }
+
+  // ---- BFS layers ----
+
+  test("bfs layer counts match a driver BFS over the collected edges") {
+    val edges = Graph.copresenceEdges(spark, sfDir, 1L)
+      .select("u1", "u2").as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val src = edges.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(src -> 0L)
+    for (d <- 1 to 3) {
+      val frontier = dist.filter(_._2 == d - 1).keySet
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+      dist = dist ++ next.filterNot(dist.contains).map(_ -> d.toLong)
+    }
+    val expected = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = Graph.bfsLayers(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(0L) == 1L)
+  }
+
   // ---- peak concurrency ----
 
   test("peak concurrency matches a driver sweep-line over sessions") {
