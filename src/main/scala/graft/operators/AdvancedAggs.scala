@@ -1142,7 +1142,42 @@ object AdvancedAggs {
       .orderBy("o_orderpriority")
   }
 
+  /** Hodges-Lehmann pseudo-median (Hodges & Lehmann 1963) of the daily
+    * event volume: the median of all Walsh averages (c_i + c_j)/2, i ≤ j
+    * — the location estimator of the Wilcoxon test, robust like the
+    * median but ~50% more efficient at the Gaussian. Reported as the
+    * exact integer PAIR SUM (2× the pseudo-median) so no halving ever
+    * leaves the integers; the median is selected by the same rank-count
+    * scheme as [[theilSen]] — the day series is calendar-bounded, so the
+    * Walsh set is O(days²) on an aggregated table at ANY corpus scale,
+    * and there is no global window and no collect. */
+  def hodgesLehmann(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val other = daily.select(col("day").as("day2"), col("c").as("c2"))
+    val walsh = daily.join(other, col("day") <= col("day2"))
+      .select((col("c") + col("c2")).as("w"))
+    val dc = walsh.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = dc.agg(sum(col("cnt")).as("n_walsh"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val below = dc.select(col("w").as("w2"), col("cnt").as("cnt2"))
+    dc.join(below, col("w2") <= col("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("cnt2")).as("n_le"))
+      .crossJoin(broadcast(tot))
+      .groupBy("n_walsh")
+      .agg(
+        min(when(col("n_le") >= expr("(n_walsh + 1) div 2"), col("w")))
+          .as("hl2_lo"),
+        min(when(col("n_le") >= expr("(n_walsh + 2) div 2"), col("w")))
+          .as("hl2_hi"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_days"), col("n_walsh"), col("hl2_lo"), col("hl2_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hodges_lehmann" -> (hodgesLehmann _),
     "agg_trimmed_mean" -> (trimmedMean _),
     "agg_theil_sen" -> (theilSen _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
@@ -1200,6 +1235,23 @@ object AdvancedAggs {
        |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_hodges_lehmann" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |walsh AS (
+        |  SELECT a.c + b.c AS w FROM daily a JOIN daily b ON a.day <= b.day),
+        |dc AS (SELECT w, COUNT(*) AS cnt FROM walsh GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_walsh FROM dc),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |cum AS (SELECT x.w, CAST(SUM(y.cnt) AS BIGINT) AS n_le
+        |        FROM dc x JOIN dc y ON y.w <= x.w GROUP BY 1)
+        |SELECT n_days, n_walsh,
+        |  (SELECT MIN(w) FROM cum, tot
+        |     WHERE n_le >= (n_walsh + 1) // 2) AS hl2_lo,
+        |  (SELECT MIN(w) FROM cum, tot
+        |     WHERE n_le >= (n_walsh + 2) // 2) AS hl2_hi
+        |FROM nd, tot""".stripMargin,
     "agg_trimmed_mean" ->
       """WITH base AS (
         |  SELECT o_orderpriority, o_orderkey,

@@ -295,7 +295,39 @@ object Graph {
     dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
   }
 
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002): the Pearson correlation of endpoint degrees over every
+    * directed edge — positive in social graphs (hubs befriend hubs),
+    * negative in bot/spam topologies (hubs spray leaves), which is why
+    * it's a standard integrity fingerprint for a behavioral graph. The
+    * five moments Σx, Σy, Σxy, Σx², Σy² are exact BIGINT sums over the
+    * symmetric edge list (degrees are integers), and the textbook r is
+    * one fixed double expression at the end — the same exact-moments +
+    * final-IEEE-tree discipline as `agg_corr_price_qty`, so the value
+    * hash-gates. One degree agg + one broadcast-degree join + one global
+    * agg: linear in edges at any scale. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    val sym = e.union(e.select(col("u2").as("u1"), col("u1").as("u2")))
+    val deg = sym.groupBy(col("u1").as("v")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("v").as("u1"), col("deg").as("dx")), "u1")
+      .join(deg.select(col("v").as("u2"), col("deg").as("dy")), "u2")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        ((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+            sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_bfs_layers" -> (bfsLayers _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_kcore" -> (kcore _),
@@ -355,6 +387,24 @@ object Graph {
          |FROM (SELECT u1 AS v FROM e$KCoreRounds
          |      UNION ALL SELECT u2 FROM e$KCoreRounds)
          |GROUP BY v ORDER BY v""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH ${edgeCte(1)},
+         |sym AS (SELECT u1, u2 FROM edges UNION ALL SELECT u2, u1 FROM edges),
+         |deg AS (SELECT u1 AS v, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(a.deg) AS BIGINT) AS sx,
+         |    CAST(SUM(b.deg) AS BIGINT) AS sy,
+         |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sxy,
+         |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sxx,
+         |    CAST(SUM(b.deg * b.deg) AS BIGINT) AS syy
+         |  FROM sym s JOIN deg a ON a.v = s.u1 JOIN deg b ON b.v = s.u2)
+         |SELECT n, sx, sy, sxy, sxx, syy,
+         |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         |    AS assortativity
+         |FROM m""".stripMargin,
     "graph_bfs_layers" ->
       s"""WITH ${edgeCte(1)},
          |sym AS (SELECT u1, u2 FROM edges UNION ALL SELECT u2, u1 FROM edges),

@@ -721,7 +721,40 @@ object TextAnalysis {
       .orderBy("checkpoint_doc")
   }
 
+  /** Token burstiness (Church & Gale, "Poisson mixtures", 1995): the
+    * variance-to-mean ratio of a token's per-document counts over the
+    * documents that contain it. VMR ≈ 1 is Poisson scatter (function
+    * words); VMR ≫ 1 is a bursty content word that concentrates in few
+    * docs — the signal separating topical terms from glue, used by
+    * df-weighting and stopword-list induction. Exact integers: for token
+    * t with df docs, cf total occurrences and Σx² the per-doc square sum,
+    * vmr_micro = 10⁶·(df·Σx² − cf²) div (df·cf) — the population-variance
+    * cross-multiplication, one floor division at the end. Tokens with
+    * df ≥ 10; top 20 by burstiness.
+    *
+    * Scale shape: one (doc_id, token) hash agg then one token hash agg —
+    * the same two-stage reduction as TF-IDF; top-20 via TakeOrdered. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("x"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("df"), sum(col("x")).as("cf"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("df") >= 10)
+      .select(col("t").as("token"), col("df"), col("cf"),
+        // DECIMAL(38,0): cf² · 10⁶ exceeds BIGINT once cf ≳ 3e6 (a common
+        // token at a few hundred GB of text); decimals keep it exact
+        expr("""cast((cast(1000000 as decimal(38,0))
+               |      * (cast(df as decimal(38,0)) * sxx - cast(cf as decimal(38,0)) * cf))
+               |  div (cast(df as decimal(38,0)) * cf) as bigint)""".stripMargin)
+          .as("vmr_micro"))
+      .orderBy(col("vmr_micro").desc, col("token"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_burstiness" -> (burstiness _),
     "ta_heaps_law" -> (heapsLaw _),
     "ta_textrank" -> (textrank _),
     "ta_bigram_oov" -> (bigramOov _),
@@ -769,6 +802,22 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_burstiness" ->
+      s"""WITH toks AS (SELECT doc_id, u.tk AS t
+         |  FROM (SELECT doc_id, $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)
+         |  WHERE u.tk <> ''),
+         |dx AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS x
+         |       FROM toks GROUP BY 1, 2),
+         |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+         |         CAST(SUM(x) AS BIGINT) AS cf,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx
+         |       FROM dx GROUP BY t)
+         |SELECT t AS token, df, cf,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * (CAST(df AS HUGEINT) * sxx - CAST(cf AS HUGEINT) * cf))
+         |    // (CAST(df AS HUGEINT) * cf) AS BIGINT) AS vmr_micro
+         |FROM st WHERE df >= 10
+         |ORDER BY vmr_micro DESC, token LIMIT 20""".stripMargin,
     "ta_heaps_law" ->
       s"""WITH toks AS (SELECT doc_id, u.tk AS t
          |  FROM (SELECT doc_id, $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)

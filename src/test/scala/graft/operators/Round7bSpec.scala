@@ -230,6 +230,70 @@ class Round7bSpec extends SparkSpec {
     assert(got(0L) == 1L)
   }
 
+  // ---- Hodges-Lehmann ----
+
+  test("hodges-lehmann pair-sum median matches a driver recompute of " +
+    "walsh averages") {
+    val daily = graft.core.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect().toSeq
+    val walsh = (for {
+      i <- daily.indices; j <- i until daily.length
+    } yield daily(i) + daily(j)).sorted
+    val n = walsh.length
+    val row = AdvancedAggs.hodgesLehmann(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_days") == daily.length.toLong)
+    assert(row.getAs[Long]("n_walsh") == n.toLong)
+    assert(row.getAs[Long]("hl2_lo") == walsh((n + 1) / 2 - 1))
+    assert(row.getAs[Long]("hl2_hi") == walsh((n + 2) / 2 - 1))
+  }
+
+  // ---- burstiness ----
+
+  test("burstiness VMR matches a driver recompute and function words " +
+    "rank below content words") {
+    val perDoc = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (d, t) =>
+        t.split("\\s+").filter(_.nonEmpty).groupBy(identity)
+          .map { case (tok, xs) => (tok, xs.length.toLong) }
+      }
+    val stats = perDoc.groupBy(_._1).view.mapValues { xs =>
+      val counts = xs.map(_._2)
+      (counts.length.toLong, counts.sum, counts.map(x => x * x).sum)
+    }.toMap
+    val expected = stats.collect { case (tok, (df, cf, sxx)) if df >= 10 =>
+      (tok, df, cf, 1000000L * (df * sxx - cf * cf) / (df * cf))
+    }.toSeq.sortBy { case (tok, _, _, v) => (-v, tok) }.take(20)
+    val got = TextAnalysis.burstiness(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  // ---- assortativity ----
+
+  test("assortativity equals the Pearson correlation of endpoint " +
+    "degrees computed on the driver") {
+    val edges = Graph.copresenceEdges(spark, sfDir, 1L)
+      .select("u1", "u2").as[(Long, Long)].collect()
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = sym.map(e => deg(e._1))
+    val ys = sym.map(e => deg(e._2))
+    val n = sym.length.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+    val r = (n.toDouble * sxy - sx.toDouble * sy) /
+      (math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(n.toDouble * syy - sy.toDouble * sy))
+    val row = Graph.assortativity(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Double]("assortativity") == r)
+    // symmetric edge list => x and y moments coincide
+    assert(row.getAs[Long]("sx") == row.getAs[Long]("sy"))
+  }
+
   // ---- peak concurrency ----
 
   test("peak concurrency matches a driver sweep-line over sessions") {
