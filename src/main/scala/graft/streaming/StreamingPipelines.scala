@@ -330,6 +330,61 @@ object StreamingPipelines {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class DebEvent(user_id: Long, event_type: String, event_id: Long,
+      ts: Timestamp, value: Double)
+  case class KeptEvent(user_id: Long, event_type: String, event_id: Long,
+      ts: Timestamp, value: Double)
+  /** Last KEPT event time (epoch millis) for one (user, type) key. */
+  case class DebounceState(lastKeptMs: Long)
+
+  /** Streaming debounce under the TRUE previous-KEPT rule: an event is
+    * kept iff it arrives more than `minGapMs` after the last event that
+    * was KEPT for the same (user, type) — the recursive rule every rate
+    * limiter and alert deduper actually wants. The batch
+    * [[graft.operators.Events.debounce]] deliberately ships the
+    * previous-EVENT approximation because the kept-rule is sequential: a
+    * window can't express it without a per-partition UDF fold. Streaming
+    * state is where the sequential form becomes natural AND scalable —
+    * one epoch-millis long per active key, TTL-evicted (event-time
+    * timeout) once a key has been quiet past `ttlMs`, so state is
+    * bounded by ACTIVE keys, not stream length or user cardinality.
+    * The two rules agree exactly on streams whose bursts are shorter
+    * than the gap; the spec drives a long steady burst to pin where
+    * they diverge (kept-rule resamples every ⌈gap/Δ⌉·Δ; event-rule
+    * keeps only the first). */
+  def debounce(events: Dataset[DebEvent], minGapMs: Long = 300000L,
+      ttlMs: Long = 3600000L): Dataset[KeptEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(key: (Long, String), it: Iterator[DebEvent],
+        state: GroupState[DebounceState]): Iterator[KeptEvent] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var last = state.getOption.map(_.lastKeptMs)
+        val kept = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+          val t = e.ts.getTime
+          if (last.forall(l => t - l > minGapMs)) {
+            last = Some(t)
+            Some(KeptEvent(e.user_id, e.event_type, e.event_id, e.ts, e.value))
+          } else None
+        }
+        last.foreach { l =>
+          state.update(DebounceState(l))
+          state.setTimeoutTimestamp(l + ttlMs)
+        }
+        kept.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Bounded Misra-Gries summary for one token shard. */
   /** Streaming KMV state: the ≤ K smallest DISTINCT portable user hashes
     * seen so far for one event type (ascending). */

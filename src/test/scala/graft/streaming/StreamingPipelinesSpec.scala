@@ -575,4 +575,102 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(latest("b")._3 == 1L)
     } finally q.stop()
   }
+
+  test("streaming debounce implements the sequential previous-KEPT rule " +
+    "on a replay of the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipelines.{DebEvent, KeptEvent}
+    import org.apache.spark.sql.functions.col
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .collect()
+      .map(r => DebEvent(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // driver recompute of the sequential kept-rule; 6 h gap so the
+    // sparse sf0.001 stream actually has in-gap events to drop
+    val gapMs = 6L * 3600 * 1000
+    val expected = scala.collection.mutable.Set.empty[Long]
+    val lastKept = scala.collection.mutable.Map.empty[(Long, String), Long]
+    rows.foreach { e =>
+      val k = (e.user_id, e.event_type)
+      val t = e.ts.getTime
+      if (lastKept.get(k).forall(l => t - l > gapMs)) {
+        lastKept(k) = t
+        expected += e.event_id
+      }
+    }
+    val in = MemoryStream[DebEvent]
+    val q = StreamingPipelines.debounce(in.toDS(), minGapMs = gapMs,
+        ttlMs = 365L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("deb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val got = spark.table("deb").as[KeptEvent].collect().map(_.event_id).toSet
+      assert(got == expected.toSet)
+      assert(got.size < rows.length, "debounce must drop something")
+    } finally q.stop()
+  }
+
+  test("kept-rule resamples a long steady burst where the batch " +
+    "previous-event rule keeps only the head") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipelines.{DebEvent, KeptEvent}
+    // one event every 200 s for 40 min: consecutive gaps are all < 300 s,
+    // so the previous-EVENT rule keeps only the first event; the
+    // previous-KEPT rule re-keeps every 2nd event (400 s > 300 s)
+    val events = (0 until 12).map(i =>
+      DebEvent(1L, "click", i.toLong,
+        new Timestamp(600000L + i * 200000L), 1.0))
+    val in = MemoryStream[DebEvent]
+    val q = StreamingPipelines.debounce(in.toDS())
+      .writeStream.format("memory").queryName("debburst")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val keptIds = spark.table("debburst").as[KeptEvent].collect()
+        .map(_.event_id).sorted.toSeq
+      // kept at t=0, then first t with t-last > 300s: ids 0,2,4,6,8,10
+      assert(keptIds == Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    } finally q.stop()
+  }
+
+  test("debounce state is TTL-evicted: a key quiet past the horizon " +
+    "forgets its last-kept time") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingPipelines.{DebEvent, KeptEvent}
+    val in = MemoryStream[DebEvent]
+    // ttl (10 min) SHORTER than the gap (1 day): the once-per-day rate
+    // limit is only enforceable while the key's state lives — the
+    // configuration where eviction is observable (with ttl ≥ gap, any
+    // watermark-admissible event is past the gap anyway, and late rows
+    // below the watermark are filtered before the operator)
+    val q = StreamingPipelines.debounce(in.toDS(),
+        minGapMs = 24L * 3600 * 1000, ttlMs = 600000L)
+      .writeStream.format("memory").queryName("debttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(DebEvent(5L, "click", 1L, ts(10), 1.0))
+      q.processAllAvailable()
+      // unrelated key advances the watermark (1h delay) far past the
+      // key-5 timeout at lastKept + ttl = 20 min; two pushes because a
+      // batch's watermark applies from the NEXT batch
+      in.addData(DebEvent(6L, "click", 2L, ts(200), 1.0))
+      q.processAllAvailable()
+      in.addData(DebEvent(6L, "click", 4L, ts(201), 1.0))
+      q.processAllAvailable()
+      // 200 min after the (now-evicted) kept event — far inside the
+      // 1-day gap, so live state would drop it; after eviction it is
+      // kept — the documented trade of bounding state by the TTL
+      in.addData(DebEvent(5L, "click", 3L, ts(210), 1.0))
+      q.processAllAvailable()
+      val kept = spark.table("debttl").as[KeptEvent].collect().map(_.event_id).toSet
+      assert(kept == Set(1L, 2L, 3L),
+        s"expected eviction to forget key 5's last-kept time, got $kept")
+    } finally q.stop()
+  }
 }
