@@ -601,7 +601,132 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-image 8×8 integer average-hash halves over REALLY-decoded
+    * pixels. */
+  case class AHashRecord(doc_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Average-hash (aHash) — the classic perceptual image fingerprint:
+    * downscale to an 8×8 grid, threshold each cell against the global
+    * mean, pack the 64 bits. Everything is EXACT integer arithmetic so
+    * the hash is oracle-gateable: cells are the floor-division boxes
+    * [⌊i·w/8⌋, ⌊(i+1)·w/8⌋), cell values are gray sums (r+g+b per
+    * pixel), and the mean comparison is the cross-multiplication
+    * cellSum·(w·h) > totalSum·cellArea — no division, no float, exact
+    * under unequal cell areas. The 64 bits ship as two nonnegative
+    * 32-bit halves: DuckDB sums BIGINT as HUGEINT, so packing bit 63
+    * into one signed BIGINT could not hash-gate. */
+  object AHash {
+    private def bounds(n: Int): Array[Int] =
+      (0 to 8).map(i => i * n / 8).toArray
+
+    def halves(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val bx = bounds(w)
+      val by = bounds(h)
+      val cs = Array.ofDim[Long](8, 8)
+      var j = 0
+      while (j < 8) {
+        var y = by(j)
+        while (y < by(j + 1)) {
+          var i = 0
+          while (i < 8) {
+            var x = bx(i)
+            var s = 0L
+            while (x < bx(i + 1)) {
+              val p = img.getRGB(x, y)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            cs(j)(i) += s
+            i += 1
+          }
+          y += 1
+        }
+        j += 1
+      }
+      val totalSum = cs.map(_.sum).sum
+      val totalArea = w.toLong * h
+      var lo = 0L
+      var hi = 0L
+      j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val area = (bx(i + 1) - bx(i)).toLong * (by(j + 1) - by(j))
+          if (cs(j)(i) * totalArea > totalSum * area) {
+            val k = j * 8 + i
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  /** Decode + hash, partition-batched like [[featureExtract]]. */
+  private def imageAhashes(spark: SparkSession, dir: String): Dataset[AHashRecord] = {
+    val spark2 = spark
+    import spark2.implicits._
+    imageMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (hi, lo) = AHash.halves(img)
+          AHashRecord(r.doc_id, img.getWidth, img.getHeight, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** The gated aHash table: one wrong decoded pixel anywhere flips a
+    * threshold bit somewhere in the corpus and fails the hash gate. */
+  def imageAhash(spark: SparkSession, dir: String): DataFrame =
+    imageAhashes(spark, dir).toDF().orderBy("doc_id")
+
+  /** Perceptual near-duplicate image pairs at Hamming ≤ 3 via PIGEONHOLE
+    * banding: the 64-bit hash splits into four 16-bit bands; ≤ 3
+    * differing bits cannot touch all 4 bands, so every qualifying pair
+    * shares at least one EXACT band — candidates come from 4 equality
+    * joins on (band, value) keys and are then verified by exact
+    * bit_count(xor) Hamming, the same band-then-verify contract as the
+    * SimHash text family. Only 8-byte band keys shuffle; the oracle runs
+    * the naive all-pairs comparison and must agree exactly, proving the
+    * banding lossless. */
+  def ahashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = imageAhashes(spark, dir).toDF()
+    val banded = hs.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(expr(
+        """array(
+          |  named_struct('band', 0, 'v', ahash_lo & 65535),
+          |  named_struct('band', 1, 'v', shiftright(ahash_lo, 16) & 65535),
+          |  named_struct('band', 2, 'v', ahash_hi & 65535),
+          |  named_struct('band', 3, 'v', shiftright(ahash_hi, 16) & 65535))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("b.band").as("band"), col("b.v").as("v"))
+    val right = banded.select(col("band"), col("v"),
+      col("doc_id").as("doc_b"), col("ahash_hi").as("hi_b"),
+      col("ahash_lo").as("lo_b"))
+    banded
+      .join(right, Seq("band", "v"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        (expr("bit_count(ahash_lo ^ lo_b)") + expr("bit_count(ahash_hi ^ hi_b)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ahash" -> (imageAhash _),
+    "mm_ahash_dedup" -> (ahashDedup _),
     "mm_scene_change" -> (sceneChange _),
     "mm_media_stats" -> (mediaStats _),
     "mm_audio_stats" -> (audioStats _),
@@ -614,7 +739,55 @@ object Multimodal {
 
   /** The oracle re-derives the stub's deterministic metadata arithmetic in
     * SQL over the same payload bytes. */
+  /** Shared analytic aHash CTE: recomputes the hash halves in SQL from
+    * the synthesized pixel formula (pixels are column-constant, so cell
+    * sums factor into per-column gray sums × row counts). */
+  private val ahashCte: String =
+    """p AS (SELECT doc_id, CAST(doc_id % 49 + 16 AS BIGINT) AS w,
+      |         CAST((doc_id * 3) % 41 + 12 AS BIGINT) AS h,
+      |         CAST(doc_id % 251 AS BIGINT) AS dd
+      |       FROM documents WHERE doc_id % 3 = 0),
+      |gx AS (SELECT doc_id, w, h, u.x,
+      |         (x*7+dd)%256 + (x*11+2*dd)%256 + (x*13+3*dd)%256 AS g
+      |       FROM p, UNNEST(range(0, w)) AS u(x)),
+      |ci AS (SELECT doc_id, w, h, r.i, CAST(SUM(g) AS BIGINT) AS sgi
+      |       FROM gx, UNNEST(range(0, 8)) AS r(i)
+      |       WHERE x >= (i*w)//8 AND x < ((i+1)*w)//8
+      |       GROUP BY 1, 2, 3, 4),
+      |cells AS (SELECT doc_id, w, h, i, rj.j,
+      |            sgi * (((j+1)*h)//8 - (j*h)//8) AS cs,
+      |            (((i+1)*w)//8 - (i*w)//8) * (((j+1)*h)//8 - (j*h)//8) AS area
+      |          FROM ci, UNNEST(range(0, 8)) AS rj(j)),
+      |tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts,
+      |          CAST(SUM(area) AS BIGINT) AS ta
+      |        FROM cells GROUP BY 1),
+      |bits AS (SELECT c.doc_id, c.j * 8 + c.i AS k,
+      |           CASE WHEN c.cs * t.ta > t.ts * c.area THEN 1 ELSE 0 END AS b
+      |         FROM cells c JOIN tot t USING (doc_id)),
+      |hh AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN b = 1 AND k >= 32
+      |                       THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END)
+      |           AS BIGINT) AS ahash_hi,
+      |         CAST(SUM(CASE WHEN b = 1 AND k < 32
+      |                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+      |           AS BIGINT) AS ahash_lo
+      |       FROM bits GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mm_ahash" ->
+      s"""WITH $ahashCte
+         |SELECT h.doc_id, CAST(p.w AS INTEGER) AS width,
+         |  CAST(p.h AS INTEGER) AS height, h.ahash_hi, h.ahash_lo
+         |FROM hh h JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "mm_ahash_dedup" ->
+      s"""WITH $ahashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+         |       + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT) AS hamming
+         |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+         |      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_scene_change" ->
       """WITH vids AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS total,
         |    greatest(CAST(length(text) AS BIGINT) // 4, 1) AS stride

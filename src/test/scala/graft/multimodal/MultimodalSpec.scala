@@ -91,4 +91,36 @@ class MultimodalSpec extends SparkSpec {
     val byFp = rows.groupBy(_.getString(2)).view.mapValues(_.length.toLong)
     assert(rows.forall(r => r.getLong(3) == byFp(r.getString(2))))
   }
+
+  test("aHash of a half-dark/half-bright image sets exactly the bright " +
+    "columns' bits") {
+    // 16x16: left 8 columns black (gray 0), right 8 columns white —
+    // every cell in columns i>=4 is above the global mean, the rest below
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val (hi, lo) = Multimodal.AHash.halves(img)
+    val expectedRowBits = (4 until 8).map(i => 1L << i).sum // per 8-bit row
+    val expectedHalf = (0 until 4).map(j => expectedRowBits << (8 * j)).sum
+    assert(lo == expectedHalf && hi == expectedHalf)
+  }
+
+  test("aHash dedup pairs equal a driver all-pairs Hamming scan over the " +
+    "gated hash table (banding is lossless)") {
+    val hs = Multimodal.imageAhash(spark, sfDir)
+      .select("doc_id", "ahash_hi", "ahash_lo")
+      .as[(Long, Long, Long)].collect()
+    val expected = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 3
+    } yield (a._1, b._1) -> d.toLong).toMap
+    val got = Multimodal.ahashDedup(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "synth corpus must contain perceptual near-dups")
+  }
 }
