@@ -1176,7 +1176,132 @@ object AdvancedAggs {
       .select(col("n_days"), col("n_walsh"), col("hl2_lo"), col("hl2_hi"))
   }
 
+  /** Spearman rank correlation between quantity and price per return
+    * flag — the robust monotone-association twin of
+    * [[corrPriceQty]]'s Pearson. Ranks are AVERAGE ranks (the standard
+    * tie treatment), carried as DOUBLED integers (2·avg_rank is always
+    * integral) so every moment is exact; the moment sums run in
+    * DECIMAL(38,0) (bounded: n·Σr² ≤ ~5e23 at sf1 — 24 digits).
+    *
+    * Scale shape: ranks come from a window over the DISTINCT-VALUE
+    * histogram per flag (the [[histPercentiles]] trick — the window
+    * pass is value-domain-sized, not row-sized), joined back to rows on
+    * (flag, value); then one hash aggregation of five moments. The only
+    * doubles are the three final casts feeding one fixed IEEE
+    * sqrt/divide expression, identical term-for-term in the oracle, so
+    * rho_micro is bit-portable (int→double, ×, /, sqrt are all
+    * correctly rounded IEEE ops). */
+  def spearmanRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rank2(values: DataFrame, vcol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy("v")
+      values.groupBy(col("l_returnflag"), col(vcol).as("v"))
+        .agg(count(lit(1)).as("cc"))
+        .withColumn("hi", sum(col("cc")).over(w))
+        // doubled average rank of a tie-block ending at cumulative
+        // position hi with cc members: lo = hi-cc+1, 2·avg = lo+hi
+        .select(col("l_returnflag"), col("v").as(vcol),
+          (col("hi") * 2 - col("cc") + 1).as(out))
+    }
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val rx = rank2(li.select(col("l_returnflag"), col("l_quantity").as("v")),
+      "v", "rx").withColumnRenamed("v", "l_quantity")
+    val ry = rank2(li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      "v", "ry").withColumnRenamed("v", "l_extendedprice")
+    val d38 = DecimalType(38, 0)
+    val joined = li
+      .join(rx, Seq("l_returnflag", "l_quantity"))
+      .join(ry, Seq("l_returnflag", "l_extendedprice"))
+      .select(col("l_returnflag"),
+        col("rx").cast(d38).as("rx"), col("ry").cast(d38).as("ry"))
+    joined.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        expr("""cast(floor(1000000.0d
+               |  * cast(n * sxy - sx * sy as double)
+               |  / (sqrt(cast(n * sxx - sx * sx as double))
+               |     * sqrt(cast(n * syy - sy * sy as double))) + 0.5d)
+               |as bigint)""".stripMargin).as("rho_micro"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Kendall tau-b between time and monthly order volume — the
+    * rank-concordance trend test that complements [[mannKendall]] (which
+    * reports the S statistic; this reports the tie-corrected tau-b with
+    * full pair accounting). Months are distinct so ties_x = 0; y-ties
+    * enter the tau-b denominator. All pair counts are exact BIGINTs from
+    * a fresh-alias self-join of the MONTHLY aggregate (O(months²) on an
+    * aggregated table at any corpus scale); the only doubles feed one
+    * fixed IEEE sqrt expression, mirrored exactly in the oracle. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+    val later = monthly.select(col("m").as("m2"), col("c").as("c2"))
+    val pairs = monthly.join(later, col("m") < col("m2"))
+    val agg = pairs.agg(
+      sum(when(col("c2") > col("c"), 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("c2") < col("c"), 1L).otherwise(0L)).as("discordant"),
+      sum(when(col("c2") === col("c"), 1L).otherwise(0L)).as("ties_y"),
+      count(lit(1)).as("n_pairs"))
+    agg.crossJoin(broadcast(monthly.agg(count(lit(1)).as("n_months"))))
+      .select(col("n_months"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_y"),
+        expr("""cast(floor(1000000.0d
+               |  * cast(concordant - discordant as double)
+               |  / (sqrt(cast(n_pairs as double))
+               |     * sqrt(cast(n_pairs - ties_y as double))) + 0.5d)
+               |as bigint)""".stripMargin).as("tau_b_micro"))
+  }
+
+  /** Cramér's V effect size for the event-type × ISO-weekday
+    * contingency — the normalized companion of [[chi2Independence]]
+    * answering "HOW strong is the association", not just "is there
+    * one". The statistic is defined over the exact per-cell integer
+    * micro contributions (each cell's ⌊dev²·10⁶/(n·r·c)⌋, the same
+    * quantity the chi2 query gates cell-by-cell), so the total is an
+    * exact BIGINT sum in both engines and the single IEEE sqrt at the
+    * end is bit-portable. One scan, 35-cell contingency, broadcast
+    * margins — no scale hazard at any corpus size. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), ((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("iso_dow").agg(sum(col("o")).as("c"))
+    val tot  = cells.agg(sum(col("o")).as("n"))
+    val dims = cells.agg(
+      countDistinct(col("event_type")).as("n_rows"),
+      countDistinct(col("iso_dow")).as("n_cols"))
+    cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "iso_dow")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+      .select(col("n"),
+        expr("""cast((cast(dev as decimal(38,0)) * cast(dev as decimal(38,0))
+               |      * 1000000) div (cast(n as decimal(38,0)) * r * c)
+               |  as bigint)""".stripMargin).as("cell_micro"))
+      .groupBy("n").agg(sum(col("cell_micro")).as("chi2_micro_total"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_micro_total"),
+        expr("""cast(floor(1000000.0d * sqrt(
+               |    cast(chi2_micro_total as double)
+               |  / (1000000.0d * cast(n as double)
+               |     * cast(least(n_rows - 1, n_cols - 1) as double))) + 0.5d)
+               |as bigint)""".stripMargin).as("cramers_v_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_spearman" -> (spearmanRank _),
+    "agg_kendall_tau" -> (kendallTau _),
+    "agg_cramers_v" -> (cramersV _),
     "agg_hodges_lehmann" -> (hodgesLehmann _),
     "agg_trimmed_mean" -> (trimmedMean _),
     "agg_theil_sen" -> (theilSen _),
@@ -1235,6 +1360,84 @@ object AdvancedAggs {
        |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_spearman" ->
+      """WITH rx AS (
+        |  SELECT l_returnflag, v AS l_quantity,
+        |    CAST(2 * SUM(cc) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |         - cc + 1 AS BIGINT) AS rx
+        |  FROM (SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cc
+        |        FROM lineitem GROUP BY 1, 2)),
+        |ry AS (
+        |  SELECT l_returnflag, v AS l_extendedprice,
+        |    CAST(2 * SUM(cc) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |         - cc + 1 AS BIGINT) AS ry
+        |  FROM (SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS cc
+        |        FROM lineitem GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT li.l_returnflag,
+        |    CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+        |  FROM lineitem li
+        |  JOIN rx ON li.l_returnflag = rx.l_returnflag
+        |         AND li.l_quantity = rx.l_quantity
+        |  JOIN ry ON li.l_returnflag = ry.l_returnflag
+        |         AND li.l_extendedprice = ry.l_extendedprice),
+        |mo AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+        |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(FLOOR(1000000.0
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) + 0.5)
+        |  AS BIGINT) AS rho_micro
+        |FROM mo ORDER BY l_returnflag""".stripMargin,
+    "agg_kendall_tau" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM monthly a JOIN monthly b ON a.m < b.m)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+        |  n_pairs, concordant, discordant, ties_y,
+        |  CAST(FLOOR(1000000.0 * CAST(concordant - discordant AS DOUBLE)
+        |    / (sqrt(CAST(n_pairs AS DOUBLE))
+        |       * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) + 0.5)
+        |  AS BIGINT) AS tau_b_micro
+        |FROM p""".stripMargin,
+    "agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS iso_dow, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rr AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cc AS (SELECT iso_dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |dims AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+        |                CAST(COUNT(DISTINCT iso_dow) AS BIGINT) AS n_cols
+        |         FROM cells),
+        |tot AS (
+        |  SELECT n, CAST(SUM(
+        |      (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |      * 1000000 // (CAST(n AS HUGEINT) * r * c)
+        |    ) AS BIGINT) AS chi2_micro_total
+        |  FROM cells
+        |  JOIN rr USING (event_type) JOIN cc USING (iso_dow), tt
+        |  GROUP BY n)
+        |SELECT n, n_rows, n_cols, chi2_micro_total,
+        |  CAST(FLOOR(1000000.0 * sqrt(
+        |      CAST(chi2_micro_total AS DOUBLE)
+        |    / (1000000.0 * CAST(n AS DOUBLE)
+        |       * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) + 0.5)
+        |  AS BIGINT) AS cramers_v_micro
+        |FROM tot, dims""".stripMargin,
     "agg_hodges_lehmann" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c

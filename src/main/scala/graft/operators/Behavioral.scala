@@ -658,7 +658,55 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** Funnel stage TIMING for full-funnel completers: how long users who
+    * finish signup → click → purchase spend in each stage (the question
+    * "WHERE does the funnel stall", complementing
+    * [[funnelConversion]]'s "where does it leak"). Per stage: completer
+    * count, exact milli-second mean, and the lo/hi median of the gap
+    * seconds selected by the same rank-count scheme as the other
+    * medians here (aggregate the gap-value histogram, fresh-alias
+    * cumulative self-join — no global window, no collect; the gap
+    * domain is bounded by the observation window, so the histogram
+    * self-join is O(distinct_gaps²) on an aggregated table at any
+    * corpus scale). */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id").filter(col("ts") >= col("s_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"), min(col("s_ts")).as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"),
+        min(col("c_ts")).as("c_ts"), min(col("s_ts")).as("s_ts"))
+    val gaps = p.select(lit("signup_to_click").as("stage"),
+        (col("c_ts").cast("long") - col("s_ts").cast("long")).as("secs"))
+      .unionByName(p.select(lit("click_to_purchase").as("stage"),
+        (col("p_ts").cast("long") - col("c_ts").cast("long")).as("secs")))
+    val dc = gaps.groupBy("stage", "secs").agg(count(lit(1)).as("cnt"))
+    val tot = dc.groupBy("stage").agg(sum(col("cnt")).as("n_users"),
+      sum(col("secs") * col("cnt")).as("sum_secs"))
+    val below = dc.select(col("stage").as("stage2"),
+      col("secs").as("secs2"), col("cnt").as("cnt2"))
+    dc.join(below, col("stage2") === col("stage") && col("secs2") <= col("secs"))
+      .groupBy(col("stage"), col("secs"))
+      .agg(sum(col("cnt2")).as("n_le"))
+      .join(tot, "stage")
+      .groupBy(col("stage"), col("n_users"), col("sum_secs"))
+      .agg(
+        min(when(col("n_le") >= expr("(n_users + 1) div 2"), col("secs")))
+          .as("med_lo_secs"),
+        min(when(col("n_le") >= expr("(n_users + 2) div 2"), col("secs")))
+          .as("med_hi_secs"))
+      .select(col("stage"), col("n_users"),
+        expr("1000 * sum_secs div n_users").as("mean_milli_secs"),
+        col("med_lo_secs"), col("med_hi_secs"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_funnel_timing" -> (funnelTiming _),
     "evt_forecast_backtest" -> (forecastBacktest _),
     "evt_ab_test" -> (abTest _),
     "evt_top_paths" -> (topPaths _),
@@ -686,6 +734,43 @@ object Behavioral {
     s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
   val oracle: Map[String, String] = Map(
+    "evt_funnel_timing" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(s.s_ts) AS s_ts
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(c.c_ts) AS c_ts,
+        |             MIN(c.s_ts) AS s_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      GROUP BY e.user_id),
+        |gaps AS (
+        |  SELECT 'signup_to_click' AS stage,
+        |    CAST(floor(epoch(c_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(s_ts)) AS BIGINT) AS secs FROM p
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS stage,
+        |    CAST(floor(epoch(p_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(c_ts)) AS BIGINT) AS secs FROM p),
+        |dc AS (SELECT stage, secs, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM gaps GROUP BY 1, 2),
+        |tot AS (SELECT stage, CAST(SUM(cnt) AS BIGINT) AS n_users,
+        |               CAST(SUM(secs * cnt) AS BIGINT) AS sum_secs
+        |        FROM dc GROUP BY 1),
+        |cum AS (SELECT x.stage, x.secs, CAST(SUM(y.cnt) AS BIGINT) AS n_le
+        |        FROM dc x JOIN dc y ON y.stage = x.stage AND y.secs <= x.secs
+        |        GROUP BY 1, 2),
+        |med AS (SELECT cum.stage,
+        |    MIN(CASE WHEN n_le >= (n_users + 1) // 2 THEN secs END) AS med_lo_secs,
+        |    MIN(CASE WHEN n_le >= (n_users + 2) // 2 THEN secs END) AS med_hi_secs
+        |  FROM cum JOIN tot ON cum.stage = tot.stage GROUP BY 1)
+        |SELECT tot.stage, n_users,
+        |  CAST(1000 * sum_secs // n_users AS BIGINT) AS mean_milli_secs,
+        |  med_lo_secs, med_hi_secs
+        |FROM tot JOIN med ON tot.stage = med.stage
+        |ORDER BY tot.stage""".stripMargin,
     "evt_forecast_backtest" ->
       s"""WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT)

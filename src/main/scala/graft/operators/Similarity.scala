@@ -665,7 +665,39 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Cosine RANGE search (threshold query) for a bounded probe batch:
+    * every corpus vector within cosine ≥ 0.2 of each probe (vec_id <
+    * 500), reported as per-probe neighbor count + the single best
+    * neighbor — the radius-query counterpart of the top-k family
+    * (retrieval wants "all sufficiently-similar", dedup wants "any
+    * above τ"; top-k answers neither directly).
+    *
+    * Scale shape: the probe side broadcasts, one corpus scan, per-probe
+    * reduction through a PARTITIONED window (query_id partitions) —
+    * O(probe·n) like every bounded-batch baseline here; the same
+    * sequential-fold cosine keeps the threshold boundary bit-identical
+    * to the oracle's. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = normed(spark, dir)
+    val q = emb.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val c = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+    val w = Window.partitionBy("query_id")
+    broadcast(q).join(c, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), pairSim.as("cos"))
+      .filter(col("cos") >= 0.2)
+      .withColumn("n_neighbors", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("n_neighbors"),
+        col("vec_id").as("best_vec"), col("cos").as("best_cos"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_search" -> (rangeSearch _),
     "sim_knn_classify" -> (knnClassify _),
     "sim_topk_diverse" -> (topkDiverse _),
     "sim_centroid_confusion" -> (centroidConfusion _),
@@ -839,6 +871,19 @@ object Similarity {
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 500),
+         |pairs AS (SELECT query_id, e.vec_id,
+         |    ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+         |hits AS (SELECT * FROM pairs WHERE cos >= 0.2),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |    CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_neighbors,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM hits)
+         |SELECT query_id, n_neighbors, vec_id AS best_vec, cos AS best_cos
+         |FROM ranked WHERE rk = 1 ORDER BY query_id""".stripMargin,
     "sim_centroid_confusion" ->
       s"""WITH $kmeansCte,
          |cells AS (SELECT cid, label, COUNT(*) AS n FROM asg2 GROUP BY 1, 2),

@@ -753,7 +753,43 @@ object TextAnalysis {
       .orderBy(col("vmr_micro").desc, col("token"))
       .limit(20)
 
+  /** Log-binned word frequency spectrum (the Zipf/Good-Turing
+    * diagnostic): distinct-word and token-mass counts per power-of-two
+    * corpus-frequency band [2ᵏ, 2ᵏ⁺¹), plus the vocabulary size and
+    * singleton count as constants. N₁/vocab (the singleton share) is
+    * Good-Turing's unseen-mass estimate — the standard smoothing input
+    * for any n-gram LM over the corpus — and the band slope is the
+    * in-practice Zipf check. Power-of-two bands keep the report
+    * populated and bounded (≤63 rows) at EVERY corpus scale, where a
+    * raw freq≤K cut goes empty once the corpus outgrows K.
+    *
+    * Exact integers throughout: the band is the max power of two ≤ freq
+    * from a broadcast 63-row shift table — no log2, no doubles.
+    *
+    * Scale shape: token hash agg → vocabulary-sized band agg — the
+    * second input is vocab-sized, not corpus-sized. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = tokenized(spark, dir)
+      .select(explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_singletons"))
+    val powers = (0 until 63).map(i => 1L << i).toDF("band")
+    counts.join(broadcast(powers), col("band") <= col("cnt"))
+      .groupBy("t", "cnt").agg(max(col("band")).as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("band"), col("n_words"), col("n_tokens"),
+        col("vocab_size"), col("n_singletons"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_freq_spectrum" -> (freqSpectrum _),
     "ta_burstiness" -> (burstiness _),
     "ta_heaps_law" -> (heapsLaw _),
     "ta_textrank" -> (textrank _),
@@ -802,6 +838,21 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_freq_spectrum" ->
+      s"""WITH toks AS (SELECT u.tk AS t
+         |  FROM (SELECT $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)
+         |  WHERE u.tk <> ''),
+         |cnts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+         |  FROM cnts),
+         |pw AS (SELECT CAST(1 AS BIGINT) << CAST(i AS INTEGER) AS band
+         |       FROM (SELECT unnest(range(0, 63)) AS i)),
+         |banded AS (SELECT t, cnt, MAX(band) AS band
+         |  FROM cnts JOIN pw ON band <= cnt GROUP BY t, cnt)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_tokens, vocab_size, n_singletons
+         |FROM banded, tot GROUP BY 1, 4, 5 ORDER BY band""".stripMargin,
     "ta_burstiness" ->
       s"""WITH toks AS (SELECT doc_id, u.tk AS t
          |  FROM (SELECT doc_id, $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)

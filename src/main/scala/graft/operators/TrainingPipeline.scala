@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -458,7 +458,73 @@ object TrainingPipeline {
       .orderBy("position")
   }
 
+  /** Length-bucketed batching report: documents grouped into
+    * power-of-two token-length buckets (cap = next power of two ≥
+    * n_toks, clamped to [16, 4096]) — the standard padding-efficiency
+    * scheme for fixed-shape training batches. Per bucket: doc count,
+    * real token mass, padded mass (cap · docs), and the padding waste in
+    * exact micro units. The power-of-two cap is a 9-arm integer CASE
+    * chain (16..4096), not a log2 — no floating point anywhere.
+    *
+    * Scale shape: one scan + one ≤9-key hash aggregation. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+    val capCol = caps.foldRight(lit(4096L): Column) { (c, rest) =>
+      when(col("n_toks") <= c, lit(c)).otherwise(rest)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+"))
+        .cast("long").as("n_toks"))
+      .select(col("n_toks"), capCol.as("bucket_cap"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_toks"),
+        (col("bucket_cap") * col("n_docs")).as("padded_toks"),
+        expr("((bucket_cap * n_docs - sum_toks) * 1000000) div (bucket_cap * n_docs)")
+          .as("waste_micro"))
+      .orderBy("bucket_cap")
+  }
+
+  /** Deterministic epoch shuffle positions: each training epoch orders
+    * the corpus by a seeded portable hash (h = hash60("ep:epoch:doc")),
+    * giving a reproducible, coordination-free global permutation per
+    * epoch — the shuffling scheme a multi-epoch data loader needs
+    * (re-runnable on any worker without an RNG handshake). Reported as
+    * the exact global position of each PROBE document (doc_id < 100)
+    * in epochs 0 and 1: position = #{docs with (h, doc_id) below the
+    * probe's} + 1.
+    *
+    * Scale shape: probe side broadcasts (200 rows), corpus side is one
+    * scan — O(probe·n) total, no global sort and no unpartitioned
+    * window; the full-permutation materialization (a range-partitioned
+    * sort by h at 100 TB) is deliberately NOT part of the query
+    * contract, only the verifiable positions are. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val epochs = Seq(0, 1)
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(lit(epochs.toArray)))
+      .withColumn("h", expr(
+        "portable_hash60(concat('ep:', cast(epoch as string), ':', cast(doc_id as string)))"))
+    val probe = hashed.filter(col("doc_id") < 100)
+      .select(col("epoch"), col("doc_id").as("probe_id"), col("h").as("ph"))
+    // The "below" test lives INSIDE the aggregate (conditional sum, not
+    // a pre-filter): a first-position probe has zero below-rows, and a
+    // pre-filter would drop its group entirely.
+    broadcast(probe).join(hashed, Seq("epoch"))
+      .groupBy(col("epoch"), col("probe_id"))
+      .agg((sum(when(col("h") < col("ph") ||
+        (col("h") === col("ph") && col("doc_id") < col("probe_id")), 1L)
+        .otherwise(0L)) + 1L).as("position"))
+      .select(col("epoch").cast("int").as("epoch"),
+        col("probe_id").as("doc_id"), col("position"))
+      .orderBy("epoch", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_length_buckets" -> (lengthBuckets _),
+    "pipeline_epoch_shuffle" -> (epochShuffle _),
     "pipeline_curriculum" -> (curriculumOrder _),
     "pipeline_dsir_ratios" -> (dsirRatios _),
     "pipeline_weighted_sample" -> (weightedSample _),
@@ -481,6 +547,35 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (SELECT n_toks,
+        |    CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
+        |         WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
+        |         WHEN n_toks <= 256 THEN 256 WHEN n_toks <= 512 THEN 512
+        |         WHEN n_toks <= 1024 THEN 1024 WHEN n_toks <= 2048 THEN 2048
+        |         ELSE 4096 END AS bucket_cap
+        |  FROM d)
+        |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_toks,
+        |  CAST(((bucket_cap * COUNT(*) - SUM(n_toks)) * 1000000)
+        |    // (bucket_cap * COUNT(*)) AS BIGINT) AS waste_micro
+        |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
+    "pipeline_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, e.epoch,
+         |    ${Dedup.dh60("'ep:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents, (SELECT unnest(range(0, 2)) AS epoch) e),
+         |probe AS (SELECT epoch, doc_id AS probe_id, h AS ph FROM h WHERE doc_id < 100)
+         |SELECT CAST(p.epoch AS INTEGER) AS epoch, p.probe_id AS doc_id,
+         |  CAST(SUM(CASE WHEN c.h < p.ph
+         |                  OR (c.h = p.ph AND c.doc_id < p.probe_id)
+         |           THEN 1 ELSE 0 END) + 1 AS BIGINT) AS position
+         |FROM probe p JOIN h c ON p.epoch = c.epoch
+         |GROUP BY 1, 2 ORDER BY epoch, doc_id""".stripMargin,
     "pipeline_curriculum" ->
       s"""WITH d AS (SELECT doc_id,
          |    len(string_split_regex(text, '\\s+')) AS n_toks FROM documents),
