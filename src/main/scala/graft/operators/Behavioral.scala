@@ -663,12 +663,13 @@ object Behavioral {
     * "WHERE does the funnel stall", complementing
     * [[funnelConversion]]'s "where does it leak"). Per stage: completer
     * count, exact milli-second mean, and the lo/hi median of the gap
-    * seconds selected by the same rank-count scheme as the other
-    * medians here (aggregate the gap-value histogram, fresh-alias
-    * cumulative self-join — no global window, no collect; the gap
-    * domain is bounded by the observation window, so the histogram
-    * self-join is O(distinct_gaps²) on an aggregated table at any
-    * corpus scale). */
+    * seconds selected by rank-count over the aggregated gap-value
+    * histogram. Cumulative counts come from a PARTITIONED window over
+    * the histogram (stage partitions, the histPercentiles shape) — the
+    * window input is value-domain-sized (distinct gap seconds, bounded
+    * by the observation window span), NOT a fresh-alias self-join,
+    * whose O(distinct²) would bite here: unlike the month/day domains
+    * of theilSen/hodgesLehmann, the seconds domain can reach ~3e7. */
   def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
     val s = ev.filter(col("event_type") === "signup")
@@ -687,11 +688,9 @@ object Behavioral {
     val dc = gaps.groupBy("stage", "secs").agg(count(lit(1)).as("cnt"))
     val tot = dc.groupBy("stage").agg(sum(col("cnt")).as("n_users"),
       sum(col("secs") * col("cnt")).as("sum_secs"))
-    val below = dc.select(col("stage").as("stage2"),
-      col("secs").as("secs2"), col("cnt").as("cnt2"))
-    dc.join(below, col("stage2") === col("stage") && col("secs2") <= col("secs"))
-      .groupBy(col("stage"), col("secs"))
-      .agg(sum(col("cnt2")).as("n_le"))
+    val byStage = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage").orderBy("secs")
+    dc.withColumn("n_le", sum(col("cnt")).over(byStage))
       .join(tot, "stage")
       .groupBy(col("stage"), col("n_users"), col("sum_secs"))
       .agg(
@@ -759,9 +758,9 @@ object Behavioral {
         |tot AS (SELECT stage, CAST(SUM(cnt) AS BIGINT) AS n_users,
         |               CAST(SUM(secs * cnt) AS BIGINT) AS sum_secs
         |        FROM dc GROUP BY 1),
-        |cum AS (SELECT x.stage, x.secs, CAST(SUM(y.cnt) AS BIGINT) AS n_le
-        |        FROM dc x JOIN dc y ON y.stage = x.stage AND y.secs <= x.secs
-        |        GROUP BY 1, 2),
+        |cum AS (SELECT stage, secs, CAST(SUM(cnt) OVER (
+        |          PARTITION BY stage ORDER BY secs) AS BIGINT) AS n_le
+        |        FROM dc),
         |med AS (SELECT cum.stage,
         |    MIN(CASE WHEN n_le >= (n_users + 1) // 2 THEN secs END) AS med_lo_secs,
         |    MIN(CASE WHEN n_le >= (n_users + 2) // 2 THEN secs END) AS med_hi_secs
