@@ -724,7 +724,133 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Difference-hash (dHash) — the gradient-sign perceptual fingerprint
+    * complementing [[AHash]]'s brightness threshold (dHash is invariant
+    * to global brightness/contrast shifts aHash is not): a 9×8 grid of
+    * gray-sum cells, bit (j,i) = "cell i brighter than its right
+    * neighbor in row j", packed 64 bits. Exact integer arithmetic like
+    * AHash: floor-division boxes and the cross-multiplied comparison
+    * cs(j,i)·area(j,i+1) > cs(j,i+1)·area(j,i) — no division, no
+    * float, exact under unequal box widths (w is rarely divisible by
+    * 9). Same two nonnegative 32-bit halves so HUGEINT sums gate. */
+  object DHash {
+    private def bounds(n: Int, k: Int): Array[Int] =
+      (0 to k).map(i => i * n / k).toArray
+
+    def halves(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val bx = bounds(w, 9)
+      val by = bounds(h, 8)
+      val cs = Array.ofDim[Long](8, 9)
+      var j = 0
+      while (j < 8) {
+        var y = by(j)
+        while (y < by(j + 1)) {
+          var i = 0
+          while (i < 9) {
+            var x = bx(i)
+            var s = 0L
+            while (x < bx(i + 1)) {
+              val p = img.getRGB(x, y)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            cs(j)(i) += s
+            i += 1
+          }
+          y += 1
+        }
+        j += 1
+      }
+      var lo = 0L
+      var hi = 0L
+      j = 0
+      while (j < 8) {
+        val rowH = (by(j + 1) - by(j)).toLong
+        var i = 0
+        while (i < 8) {
+          val aL = (bx(i + 1) - bx(i)).toLong * rowH
+          val aR = (bx(i + 2) - bx(i + 1)).toLong * rowH
+          if (cs(j)(i) * aR > cs(j)(i + 1) * aL) {
+            val k = j * 8 + i
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  case class DHashRecord(doc_id: Long, width: Int, height: Int,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** The gated dHash table over REALLY-decoded PNG pixels — one wrong
+    * pixel anywhere flips a gradient bit and fails the hash gate. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    imageMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (hi, lo) = DHash.halves(img)
+          DHashRecord(r.doc_id, img.getWidth, img.getHeight, hi, lo)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Per-clip silence-run detection over REALLY-decoded PCM samples —
+    * the segmentation primitive every audio pipeline needs (VAD-style
+    * trimming, clip splitting): a sample is quiet iff |s| < 512
+    * (−12 dBFS-ish for this 12-bit-range synth), and maximal quiet runs
+    * are counted sequentially INSIDE the per-clip decode (runs are an
+    * inherently sequential per-clip stat — computing them next to the
+    * decoder avoids exploding samples into a shuffle; clips are
+    * independent, so the operator is embarrassingly parallel at any
+    * corpus scale). */
+  case class SilenceRecord(doc_id: Long, sample_rate: Long, n_samples: Long,
+      n_quiet: Long, n_runs: Long, max_run: Long)
+
+  def audioSilence(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    audioMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          import javax.sound.sampled._
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / (2 * fmt.getChannels)
+          var quiet = 0L; var runs = 0L; var maxRun = 0L
+          var cur = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+            if (math.abs(s) < 512) {
+              quiet += 1; cur += 1
+              if (cur == 1) runs += 1
+              if (cur > maxRun) maxRun = cur
+            } else cur = 0
+            i += 1
+          }
+          SilenceRecord(r.doc_id, fmt.getSampleRate.toLong, n.toLong,
+            quiet, runs, maxRun)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dhash" -> (imageDhash _),
+    "mm_audio_silence" -> (audioSilence _),
     "mm_ahash" -> (imageAhash _),
     "mm_ahash_dedup" -> (ahashDedup _),
     "mm_scene_change" -> (sceneChange _),
@@ -773,7 +899,76 @@ object Multimodal {
       |           AS BIGINT) AS ahash_lo
       |       FROM bits GROUP BY 1)""".stripMargin
 
+  /** Analytic dHash CTE: 9 column-box gray sums (pixels are
+    * column-constant, so the row factor cancels in the comparison but
+    * is carried anyway to mirror the decoder's arithmetic). */
+  private val dhashCte: String =
+    """p AS (SELECT doc_id, CAST(doc_id % 49 + 16 AS BIGINT) AS w,
+      |         CAST((doc_id * 3) % 41 + 12 AS BIGINT) AS h,
+      |         CAST(doc_id % 251 AS BIGINT) AS dd
+      |       FROM documents WHERE doc_id % 3 = 0),
+      |gx AS (SELECT doc_id, w, h, u.x,
+      |         (x*7+dd)%256 + (x*11+2*dd)%256 + (x*13+3*dd)%256 AS g
+      |       FROM p, UNNEST(range(0, w)) AS u(x)),
+      |ci AS (SELECT doc_id, w, h, r.i, CAST(SUM(g) AS BIGINT) AS sgi,
+      |         ((i+1)*w)//9 - (i*w)//9 AS wi
+      |       FROM gx, UNNEST(range(0, 9)) AS r(i)
+      |       WHERE x >= (i*w)//9 AND x < ((i+1)*w)//9
+      |       GROUP BY 1, 2, 3, 4),
+      |bits AS (SELECT cl.doc_id, rj.j * 8 + cl.i AS k,
+      |           CASE WHEN cl.sgi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+      |                     * cr.wi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+      |                   > cr.sgi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+      |                     * cl.wi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+      |                THEN 1 ELSE 0 END AS b
+      |         FROM ci cl JOIN ci cr
+      |           ON cl.doc_id = cr.doc_id AND cr.i = cl.i + 1,
+      |           UNNEST(range(0, 8)) AS rj(j)
+      |         WHERE cl.i < 8),
+      |dh AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN b = 1 AND k >= 32
+      |                       THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)
+      |                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |         CAST(SUM(CASE WHEN b = 1 AND k < 32
+      |                       THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+      |                       ELSE 0 END) AS BIGINT) AS dhash_lo
+      |       FROM bits GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mm_dhash" ->
+      s"""WITH $dhashCte
+         |SELECT d.doc_id, CAST(p.w AS INTEGER) AS width,
+         |  CAST(p.h AS INTEGER) AS height, d.dhash_hi, d.dhash_lo
+         |FROM dh d JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "mm_audio_silence" ->
+      """WITH p AS (SELECT doc_id,
+        |        CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+        |        CAST(doc_id % 601 + 200 AS BIGINT) AS n,
+        |        CAST((doc_id % 997) * 7 AS BIGINT) AS base
+        |      FROM documents WHERE doc_id % 3 = 1),
+        |q AS (SELECT doc_id, u.i,
+        |        CASE WHEN abs((i * 31 + base) % 4096 - 2048) < 512
+        |             THEN 1 ELSE 0 END AS quiet
+        |      FROM p, UNNEST(range(0, n)) AS u(i)),
+        |st AS (SELECT doc_id, i, quiet,
+        |        CASE WHEN quiet = 1 AND COALESCE(lag(quiet) OVER (
+        |               PARTITION BY doc_id ORDER BY i), 0) = 0
+        |             THEN 1 ELSE 0 END AS strt
+        |      FROM q),
+        |isl AS (SELECT doc_id, i, quiet,
+        |        SUM(strt) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+        |      FROM st),
+        |runs AS (SELECT doc_id, run_id, CAST(COUNT(*) AS BIGINT) AS len
+        |      FROM isl WHERE quiet = 1 GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |        CAST(MAX(len) AS BIGINT) AS max_run,
+        |        CAST(SUM(len) AS BIGINT) AS n_quiet
+        |      FROM runs GROUP BY 1)
+        |SELECT p.doc_id, p.rate AS sample_rate, p.n AS n_samples,
+        |  COALESCE(a.n_quiet, 0) AS n_quiet,
+        |  COALESCE(a.n_runs, 0) AS n_runs,
+        |  COALESCE(a.max_run, 0) AS max_run
+        |FROM p LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm_ahash" ->
       s"""WITH $ahashCte
          |SELECT h.doc_id, CAST(p.w AS INTEGER) AS width,

@@ -1298,7 +1298,46 @@ object AdvancedAggs {
                |as bigint)""".stripMargin).as("cramers_v_micro"))
   }
 
+  /** 5%-winsorized mean of order value per priority class — the
+    * companion of [[trimmedMean]] that CLAMPS the k = ⌊n·5/100⌋ most
+    * extreme values on each side to the boundary order statistics
+    * instead of dropping them (winsorizing preserves n, so downstream
+    * weighting stays intact — the reason pipelines often prefer it to
+    * trimming). Two passes over the PARTITIONED rank window output:
+    * boundary values (the (k+1)-th and (n−k)-th order statistics) from
+    * one conditional aggregation, then the clamped exact-cents sum via
+    * a broadcast join of the ≤5-row boundary table. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(15, 2)) * 100).cast("long")
+          .as("cents"))
+      .withColumn("rk", row_number().over(
+        byP.orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("k", expr("n * 5 div 100"))
+    val bounds = ranked.groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n"),
+        min(when(col("rk") >= col("k") + 1, col("cents"))).as("lo_cents"),
+        max(when(col("rk") <= col("n") - col("k"), col("cents"))).as("hi_cents"))
+    ranked.join(broadcast(bounds.select("o_orderpriority", "lo_cents", "hi_cents")),
+        "o_orderpriority")
+      .select(col("o_orderpriority"),
+        greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))).as("w"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_cents"))
+      .join(broadcast(bounds.select("o_orderpriority", "lo_cents", "hi_cents")),
+        "o_orderpriority")
+      .select(col("o_orderpriority"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("sum_cents"),
+        expr("1000 * sum_cents div n").as("mean_cents_milli"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized_mean" -> (winsorizedMean _),
     "agg_spearman" -> (spearmanRank _),
     "agg_kendall_tau" -> (kendallTau _),
     "agg_cramers_v" -> (cramersV _),
@@ -1360,6 +1399,31 @@ object AdvancedAggs {
        |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_winsorized_mean" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cents, o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM base),
+        |b AS (SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN rk >= (n * 5) // 100 + 1 THEN cents END) AS BIGINT)
+        |      AS lo_cents,
+        |    CAST(MAX(CASE WHEN rk <= n - (n * 5) // 100 THEN cents END) AS BIGINT)
+        |      AS hi_cents
+        |  FROM r GROUP BY 1),
+        |w AS (SELECT r.o_orderpriority,
+        |    GREATEST(b.lo_cents, LEAST(b.hi_cents, r.cents)) AS wc
+        |  FROM r JOIN b USING (o_orderpriority))
+        |SELECT w.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  b.lo_cents, b.hi_cents,
+        |  CAST(SUM(wc) AS BIGINT) AS sum_cents,
+        |  CAST(1000 * SUM(wc) // COUNT(*) AS BIGINT) AS mean_cents_milli
+        |FROM w JOIN b USING (o_orderpriority)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
     "agg_spearman" ->
       """WITH rx AS (
         |  SELECT l_returnflag, v AS l_quantity,

@@ -788,7 +788,44 @@ object TextAnalysis {
       .orderBy("band")
   }
 
+  /** Pairwise SOURCE vocabulary overlap (Jaccard over distinct token
+    * sets) — the domain-shift diagnostic a mixture pipeline checks
+    * before setting sampling quotas: sources with near-disjoint
+    * vocabularies need separate quality models. Exact integers: one
+    * distinct (source, token) set, a token-keyed self-join counting
+    * co-occurring source pairs, broadcast per-source vocab sizes,
+    * Jaccard in floor micro units.
+    *
+    * Scale shape: the shuffle is on tokens (vocabulary-sized after
+    * distinct); output is O(sources²) — sources are a bounded domain
+    * like nation/region. The self-join fans out per token by its
+    * SOURCE-count, not its corpus frequency (distinct first!), so a
+    * stopword costs sources², not df². */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = tokenized(spark, dir)
+      .select(col("source"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("vocab"))
+    val right = st.select(col("source").as("source_b"), col("t"))
+    val inter = st.join(right, Seq("t"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("vocab").as("vocab_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("vocab").as("vocab_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("n_common"),
+        expr("n_common * 1000000 div (vocab_a + vocab_b - n_common)")
+          .as("jaccard_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_vocab_overlap" -> (vocabOverlap _),
     "ta_freq_spectrum" -> (freqSpectrum _),
     "ta_burstiness" -> (burstiness _),
     "ta_heaps_law" -> (heapsLaw _),
@@ -838,6 +875,24 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, u.tk AS t
+         |  FROM (SELECT source, $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)
+         |  WHERE u.tk <> ''),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+         |          FROM st GROUP BY 1),
+         |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  sa.vocab AS vocab_a, sb.vocab AS vocab_b, n_common,
+         |  CAST(n_common * 1000000 // (sa.vocab + sb.vocab - n_common) AS BIGINT)
+         |    AS jaccard_micro
+         |FROM inter
+         |JOIN sizes sa ON sa.source = source_a
+         |JOIN sizes sb ON sb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     "ta_freq_spectrum" ->
       s"""WITH toks AS (SELECT u.tk AS t
          |  FROM (SELECT $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)
