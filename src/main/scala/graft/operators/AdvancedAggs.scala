@@ -620,6 +620,42 @@ object AdvancedAggs {
       .agg(max(col("rnk")).as("max_rank"))
   }
 
+  /** HLL MERGEABILITY — the property that makes sketches worth shipping
+    * at 100 TB: per-shard register tables (here one shard per event
+    * type, the "per-region sketch" shape) merge by register-wise MAX
+    * into exactly the sketch a direct global pass builds. The query
+    * materializes both sides — merged-from-5-shards vs direct — plus
+    * the equality flag, and the oracle recomputes all three: a merge
+    * bug (wrong max, lost register, shard skew) flips a row and fails
+    * the hash gate. Scale: each shard aggregation is ≤64 rows out of a
+    * partial-aggregated scan; the merge shuffles ≤ shards·64 rows. */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val shard = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("portable_hash60(concat('hll:', cast(user_id as string)))").as("h"))
+      .select(col("event_type"),
+        expr("h div 18014398509481984").as("register"),
+        expr("h % 18014398509481984").as("rem"))
+      .select(col("event_type"), col("register"),
+        when(col("rem") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("rem")))).cast("int").as("rnk"))
+      .groupBy("event_type", "register")
+      .agg(max(col("rnk")).as("mr"))
+    val merged = shard.groupBy("register")
+      .agg(count(lit(1)).as("n_shards"), max(col("mr")).as("merged_max_rank"))
+    spark.range(64).select(col("id").as("register"))
+      .join(merged, Seq("register"), "left")
+      .join(hllRegisterAgg(spark, dir), Seq("register"), "left")
+      .select(col("register"),
+        coalesce(col("n_shards"), lit(0L)).as("n_shards"),
+        coalesce(col("merged_max_rank"), lit(0)).as("merged_max_rank"),
+        coalesce(col("max_rank"), lit(0)).as("direct_max_rank"))
+      .withColumn("is_equal",
+        (col("merged_max_rank") === col("direct_max_rank")).cast("int"))
+      .orderBy("register")
+  }
+
   /** The HLL cardinality estimate from [[hllRegisters]]' register table,
     * computed without a single nondeterministic float: the harmonic
     * denominator Σ 2^-M_j is carried as the exact integer Σ 2^(55-M_j)
@@ -1338,6 +1374,7 @@ object AdvancedAggs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorized_mean" -> (winsorizedMean _),
+    "sketch_hll_merge" -> (hllMerge _),
     "agg_spearman" -> (spearmanRank _),
     "agg_kendall_tau" -> (kendallTau _),
     "agg_cramers_v" -> (cramersV _),
@@ -1424,6 +1461,29 @@ object AdvancedAggs {
         |  CAST(1000 * SUM(wc) // COUNT(*) AS BIGINT) AS mean_cents_milli
         |FROM w JOIN b USING (o_orderpriority)
         |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+    "sketch_hll_merge" ->
+      s"""WITH h AS (SELECT event_type,
+         |    ${h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT event_type, h // 18014398509481984 AS register,
+         |             h % 18014398509481984 AS rem FROM h),
+         |rk AS (SELECT event_type, register,
+         |         CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END AS rnk
+         |       FROM r),
+         |shard AS (SELECT event_type, register, MAX(rnk) AS mr
+         |          FROM rk GROUP BY 1, 2),
+         |merged AS (SELECT register, CAST(COUNT(*) AS BIGINT) AS n_shards,
+         |             MAX(mr) AS merged FROM shard GROUP BY 1),
+         |direct AS (SELECT register, MAX(rnk) AS direct FROM rk GROUP BY 1)
+         |SELECT g.i AS register,
+         |  COALESCE(m.n_shards, 0) AS n_shards,
+         |  CAST(COALESCE(m.merged, 0) AS INTEGER) AS merged_max_rank,
+         |  CAST(COALESCE(d.direct, 0) AS INTEGER) AS direct_max_rank,
+         |  CAST(CASE WHEN COALESCE(m.merged, 0) = COALESCE(d.direct, 0)
+         |       THEN 1 ELSE 0 END AS INTEGER) AS is_equal
+         |FROM (SELECT unnest(range(64)) AS i) g
+         |LEFT JOIN merged m ON g.i = m.register
+         |LEFT JOIN direct d ON g.i = d.register
+         |ORDER BY register""".stripMargin,
     "agg_spearman" ->
       """WITH rx AS (
         |  SELECT l_returnflag, v AS l_quantity,

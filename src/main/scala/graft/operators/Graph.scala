@@ -335,8 +335,52 @@ object Graph {
     "graph_triangle_count" -> (triangleCount _),
     "graph_pagerank_int" -> (pagerankInt _),
     "graph_local_clustering" -> (localClustering _),
-    "graph_cc_sizes" -> (ccSizes _)
+    "graph_cc_sizes" -> (ccSizes _),
+    "graph_modularity" -> (modularity _)
   )
+
+  /** Newman modularity Q of the connected-component partition of the
+    * repeated co-presence graph — the standard partition-quality score
+    * (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²]. For a CC
+    * partition every edge is intra-community (Σe_c = m), so Q reduces
+    * to 1 − Σd_c²/4m², but the query computes the general form (the
+    * lbl₁=lbl₂ intra test) so the operator works for ANY labeling fed
+    * to it. Exact integers end-to-end: per-community contribution =
+    * trunc((4m·e_c − d_c²)·10⁶ / 4m²) in DECIMAL(38,0) with the same
+    * explicit toward-zero CASE both engines share (DuckDB // floors
+    * negatives, Spark div truncates — the CASE removes the divergence),
+    * summed to one BIGINT.
+    *
+    * Scale shape: CC via [[Dedup.connectedComponents]] (O(log d)
+    * rounds), then two broadcast-scalar joins; the community aggregate
+    * is component-count-sized. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
+    val lab = Dedup.connectedComponents(
+      e.select(col("u1").as("doc_a"), col("u2").as("doc_b")))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = degrees(e)
+    val dc = deg.join(lab, Seq("v")).groupBy("lbl")
+      .agg(sum(col("deg")).as("d_c"))
+    val ec = e
+      .join(lab.select(col("v").as("u1"), col("lbl").as("l1")), "u1")
+      .join(lab.select(col("v").as("u2"), col("lbl").as("l2")), "u2")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("lbl")).agg(count(lit(1)).as("e_c"))
+    dc.join(ec, Seq("lbl"), "left")
+      .select(col("lbl"), col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .select(
+        expr("""cast(4 as decimal(38,0)) * m * e_c
+               |  - cast(d_c as decimal(38,0)) * d_c""".stripMargin).as("num"),
+        expr("cast(4 as decimal(38,0)) * m * m").as("den"))
+      .select(when(col("num") >= 0, expr("(num * 1000000) div den"))
+        .otherwise(-expr("((-num) * 1000000) div den")).as("contrib_micro"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("contrib_micro")).cast("long").as("q_micro"))
+      .crossJoin(broadcast(m))
+      .select(col("m").as("n_edges"), col("n_communities"), col("q_micro"))
+  }
 
   /** Shared oracle CTE: the hub-capped co-presence edge list. */
   private def edgeCte(minW: Int): String =
@@ -481,6 +525,36 @@ object Graph {
          |    AS lcc
          |FROM deg d LEFT JOIN pern p ON p.v = d.v
          |WHERE d.deg >= 2 ORDER BY user_id""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH RECURSIVE ${edgeCte(2)},
+         |sym AS (SELECT u1 AS s, u2 AS d FROM edges
+         |        UNION ALL SELECT u2, u1 FROM edges),
+         |reach(v, lbl) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v),
+         |lab AS (SELECT v, MIN(lbl) AS lbl FROM reach GROUP BY v),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |          (SELECT u1 AS v FROM edges UNION ALL SELECT u2 FROM edges)
+         |        GROUP BY v),
+         |dc AS (SELECT lbl, CAST(SUM(deg) AS BIGINT) AS d_c
+         |       FROM deg JOIN lab USING (v) GROUP BY lbl),
+         |ec AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+         |       FROM edges e
+         |       JOIN lab la ON la.v = e.u1 JOIN lab lb ON lb.v = e.u2
+         |       WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |contrib AS (SELECT
+         |    CAST(4 AS HUGEINT) * m.m * COALESCE(ec.e_c, 0)
+         |      - CAST(dc.d_c AS HUGEINT) * dc.d_c AS num,
+         |    CAST(4 AS HUGEINT) * m.m * m.m AS den
+         |  FROM dc LEFT JOIN ec USING (lbl), m)
+         |SELECT (SELECT m FROM m) AS n_edges,
+         |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  CAST(SUM(CASE WHEN num >= 0 THEN (num * 1000000) // den
+         |                ELSE -(((-num) * 1000000) // den) END) AS BIGINT)
+         |    AS q_micro
+         |FROM contrib""".stripMargin,
     "graph_cc_sizes" ->
       s"""WITH RECURSIVE ${edgeCte(2)},
          |sym AS (SELECT u1 AS s, u2 AS d FROM edges

@@ -522,7 +522,31 @@ object TrainingPipeline {
       .orderBy("epoch", "doc_id")
   }
 
+  /** Soft-dedup sampling weights: every document gets training weight
+    * 1/|cluster| from its near-dup cluster (the Jaccard-0.8 connected
+    * components of [[Dedup.ccClusters]]; singletons weigh 1) — the
+    * down-weighting alternative to keep-one-representative dedup, which
+    * preserves corpus coverage while equalizing each near-dup GROUP's
+    * total gradient contribution. Weight ships as exact floor micro
+    * units so the whole assignment is hash-gateable.
+    *
+    * Scale shape: the near-dup CC labeling is the MinHash-banded +
+    * O(log d) propagation path Dedup already pays; this adds one
+    * left join of the label table against documents. */
+  def clusterWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Dedup.ccClusters(spark, dir)
+      .select("doc_id", "cluster_id", "cluster_size")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_cluster_weights" -> (clusterWeights _),
     "pipeline_length_buckets" -> (lengthBuckets _),
     "pipeline_epoch_shuffle" -> (epochShuffle _),
     "pipeline_curriculum" -> (curriculumOrder _),
@@ -547,6 +571,33 @@ object TrainingPipeline {
       |      (a,b) -> a*16+b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_cluster_weights" ->
+      s"""WITH RECURSIVE ${Dedup.shCte},
+         |sh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h FROM shg),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) df FROM sh GROUP BY h) WHERE df <= 100000),
+         |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+         |card AS (SELECT doc_id, COUNT(*) c FROM shr GROUP BY 1),
+         |common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) AS common
+         |           FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM common JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+         |          WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, lbl) AS (
+         |  SELECT DISTINCT s, s FROM sym
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.v),
+         |lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+         |sized AS (SELECT doc_id, cluster_id,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |  FROM lab)
+         |SELECT d.doc_id,
+         |  COALESCE(s.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(s.cluster_size, 1) AS cluster_size,
+         |  CAST(1000000 // COALESCE(s.cluster_size, 1) AS BIGINT) AS weight_micro
+         |FROM documents d LEFT JOIN sized s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "pipeline_length_buckets" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
