@@ -1304,7 +1304,12 @@ object AdvancedAggs {
     * quantity the chi2 query gates cell-by-cell), so the total is an
     * exact BIGINT sum in both engines and the single IEEE sqrt at the
     * end is bit-portable. One scan, 35-cell contingency, broadcast
-    * margins — no scale hazard at any corpus size. */
+    * margins. Exactness bound: dev = o·n − r·c is O(n²), so the
+    * dev²·10⁶ numerator is O(n⁴·10⁶) — inside DECIMAL(38,0) / DuckDB
+    * HUGEINT up to roughly n ≈ 10⁸ events with skewed margins. Beyond
+    * that, rescale the margins (compute dev per 10⁶ events) before
+    * squaring; the shipped form is exact at any gate scale and at the
+    * 10⁸-event corpus scale, not unboundedly. */
   def cramersV(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .groupBy(col("event_type"), ((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"))

@@ -475,7 +475,11 @@ object TrainingPipeline {
     Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), "\\s+"))
         .cast("long").as("n_toks"))
-      .select(col("n_toks"), capCol.as("bucket_cap"))
+      // Docs longer than the top cap land in the clamped 4096 bucket and
+      // are truncated to 4096 tokens for batching — without the clamp,
+      // waste = cap·n − Σtoks goes negative and Spark's `div` (truncate
+      // toward zero) diverges from DuckDB's `//` (floor) on the sign.
+      .select(least(col("n_toks"), lit(4096L)).as("n_toks"), capCol.as("bucket_cap"))
       .groupBy("bucket_cap")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
       .select(col("bucket_cap"), col("n_docs"), col("sum_toks"),
@@ -602,7 +606,7 @@ object TrainingPipeline {
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
         |  FROM documents),
-        |b AS (SELECT n_toks,
+        |b AS (SELECT LEAST(n_toks, 4096) AS n_toks,
         |    CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
         |         WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
         |         WHEN n_toks <= 256 THEN 256 WHEN n_toks <= 512 THEN 512

@@ -373,7 +373,13 @@ object StreamingPipelines {
         }
         last.foreach { l =>
           state.update(DebounceState(l))
-          state.setTimeoutTimestamp(l + ttlMs)
+          // When every event in this batch was in-gap, `l` is the OLD kept
+          // time and (with minGapMs > ttlMs) l + ttlMs can already be at or
+          // below the current watermark — Spark rejects such timeout
+          // timestamps with IllegalArgumentException, killing the query.
+          // Clamp to watermark+1 so the key times out on the next trigger
+          // instead of crashing this one.
+          state.setTimeoutTimestamp(math.max(l + ttlMs, state.getCurrentWatermarkMs() + 1L))
         }
         kept.iterator
       }
