@@ -639,14 +639,70 @@ object Similarity {
     * Scale shape: identical to the bounded-probe baseline family — the
     * probe side broadcasts, one corpus scan, per-query top-k via a
     * query-partitioned window, then two vocabulary-sized aggregations.
-    * Production swaps the exact scan for [[topkIvfTrained]]'s candidate
-    * generation; the vote logic is unchanged. */
+    * This is the exact-scan BASELINE twin; the production path is
+    * [[knnClassifyIvf]], which swaps the full scan for
+    * [[topkIvfTrained]]'s cell-probe candidate generation with the vote
+    * logic unchanged. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val emb = normed(spark, dir)
     val q = emb.filter(col("vec_id") < EmbeddingProbeN)
       .select(col("vec_id").as("query_id"), col("label").as("true_label"),
         col("embedding").as("qv"), col("nrm").as("qnrm"))
     val votes = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
+        pairSim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"), col("label").as("pred_label"),
+        col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  /** PRODUCTION k-NN label classification: [[knnClassify]]'s vote logic
+    * over [[topkIvfTrained]]'s candidate generation instead of the
+    * exhaustive scan. Each probe (vec_id < [[EmbeddingProbeN]]) searches
+    * only its own trained k-means cell (IVF with nprobe = 1 — the
+    * inverted-file side of Jégou/Douze/Schmid TPAMI 2011): top-5
+    * within-cell cosine neighbors excluding self, majority label vote,
+    * smaller-label tie-break, same output contract as the exact twin so
+    * the two are directly comparable row-by-row. KnnIvfAgreementSpec
+    * pins the candidate contract (IVF result ≡ exact top-5 restricted
+    * to the probe's cell, driver-recomputed) and MEASURES prediction
+    * agreement vs the exact scan: the synthetic embeddings are uniform
+    * on the sphere with geometry-independent labels, so nprobe = 1
+    * agreement is bounded (~2.7× chance here); on real label-clustered
+    * corpora recall rises steeply with nprobe (probe the r nearest
+    * cells — the standard recall/cost knob this plan exposes by
+    * swapping the argmin for a top-r cell rank).
+    *
+    * Scale shape — why this is the 100 TB form: candidate pairs are
+    * O(probe · cell_size) = O(probe · n/k) instead of O(probe · n); the
+    * join is a broadcast of the tiny probe side against ONE corpus scan
+    * keyed on the 8-value cid (no shuffle of corpus vectors), and
+    * raising k shrinks per-probe work linearly — the knob an exhaustive
+    * scan doesn't have. Vote aggregation is unchanged:
+    * query-partitioned window over ≤ 5·probe rows, then two
+    * vocabulary-sized aggs. */
+  def knnClassifyIvf(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssigned(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+    val q = asg.filter(col("vec_id") < EmbeddingProbeN)
+      .select(col("cid"), col("vec_id").as("query_id"),
+        col("label").as("true_label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val c = asg.select(col("cid"), col("vec_id"), col("label"),
+      col("embedding"), col("nrm"))
+    val votes = broadcast(q).join(c, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
         pairSim.as("sim"))
       .withColumn("rank", row_number().over(
@@ -699,6 +755,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_range_search" -> (rangeSearch _),
     "sim_knn_classify" -> (knnClassify _),
+    "sim_knn_classify_ivf" -> (knnClassifyIvf _),
     "sim_topk_diverse" -> (topkDiverse _),
     "sim_centroid_confusion" -> (centroidConfusion _),
     "dedup_semantic" -> (semanticDedup _),
@@ -995,6 +1052,28 @@ object Similarity {
          |pairs AS (SELECT query_id, true_label, e.vec_id, e.label,
          |    ${cosSql("qv", "e.embedding")} AS sim
          |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+         |ranked AS (SELECT query_id, true_label, label,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id) AS rank
+         |  FROM pairs),
+         |votes AS (SELECT query_id, true_label, label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+         |best AS (SELECT query_id, true_label, label, n_votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes)
+         |SELECT query_id, true_label, label AS pred_label, n_votes,
+         |  label = true_label AS correct
+         |FROM best WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "sim_knn_classify_ivf" ->
+      s"""WITH $kmeansCte,
+         |q AS (SELECT cid, vec_id AS query_id, label AS true_label,
+         |             embedding AS qv
+         |      FROM asg2 WHERE vec_id < $EmbeddingProbeN),
+         |pairs AS (SELECT q.query_id, q.true_label, e.vec_id, e.label,
+         |    ${cosSql("q.qv", "e.embedding")} AS sim
+         |  FROM q JOIN asg2 e ON q.cid = e.cid AND e.vec_id <> q.query_id),
          |ranked AS (SELECT query_id, true_label, label,
          |    row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, vec_id) AS rank
