@@ -12,14 +12,16 @@ import graft.core.Tables
   * reference implementation.
   *
   * Training operates on the WORD VOCABULARY (word → corpus count), never
-  * the corpus itself: the corpus is scanned once to build the vocab, and
-  * every training ROUND is (1) a distributed weighted pair-count over the
-  * vocab's symbol arrays, (2) one driver round-trip that collects the
-  * top-[[CandidateBatch]] candidate pairs (bounded metadata, like the
-  * k-means/PQ codebooks), and (3) a distributed merge-apply over the
-  * symbol arrays. At 100 TB the vocab is orders of magnitude smaller than
-  * the corpus and the per-round cost is proportional to the vocab, not
-  * the data.
+  * the corpus itself: the corpus is scanned once to build the vocab, the
+  * pair counts are aggregated IN FULL exactly once, and every training
+  * ROUND is (1) one driver round-trip that collects the
+  * top-[[CandidateBatch]] candidate pairs from the standing counts
+  * (bounded metadata, like the k-means/PQ codebooks), (2) a distributed
+  * merge-apply over the symbol arrays, and (3) a DELTA re-aggregation of
+  * pair counts over only the words the batch changed (see
+  * [[trainBatched]]). At 100 TB the vocab is orders of magnitude smaller
+  * than the corpus, and per-round cost tracks the accepted merges'
+  * footprint, not even the vocabulary size.
   *
   * BATCHED GREEDY SELECTION — the round-trip economics: a naive greedy
   * loop runs one full distributed job per merge (a 32k-merge production
@@ -163,24 +165,70 @@ object Bpe {
     accepted.result()
   }
 
-  /** Runs the batched merge loop: returns the merge table rows, the final
-    * vocab (lazily recomputable after the base cache is released), and
-    * the number of distributed selection rounds (the job count the
-    * batching exists to shrink). `maxAccept = 1` degenerates to the
-    * classic one-merge-per-job sequential loop — the differential
-    * baseline BpeBatchSpec compares against. Ties in pair counts break
-    * deterministically by (count desc, l, r) exactly as before. */
+  /** Per-round instrumentation snapshot (test-only, see
+    * [[trainBatchedImpl]]): rows fed to the DELTA aggregation vs the rows
+    * a full recount would aggregate, plus driver-side copies of the
+    * standing counts and the post-merge vocab so a spec can prove the
+    * delta-maintained counts equal an independent full recount. */
+  private[graft] case class RoundProbe(
+      deltaPairRows: Long,
+      fullPairRows: Long,
+      counts: Array[(String, String, Long)],
+      vocab: Array[(String, Long, Vector[String])])
+
+  /** Runs the batched merge loop with DELTA-MAINTAINED pair counts:
+    * returns the merge table rows, the final vocab, and the number of
+    * distributed selection rounds (the job count the batching exists to
+    * shrink). `maxAccept = 1` degenerates to the classic
+    * one-merge-per-job sequential loop — the differential baseline
+    * BpeBatchSpec compares against. Ties in pair counts break
+    * deterministically by (count desc, l, r) exactly as before.
+    *
+    * DELTA MAINTENANCE — the full-scan economics: the standing pair
+    * counts are built ONCE from the initial vocab; every round after
+    * applies the accepted batch, finds the words whose symbol arrays
+    * actually CHANGED (`newSyms <> syms` — only words containing an
+    * accepted pair), and re-aggregates pairs over that changed subset
+    * twice (old arrays negated, new arrays positive). The standing
+    * counts absorb the deltas through one small hash agg and drop
+    * zeroed pairs. Because adjacent-pair counts are a per-word local
+    * quantity, (standing + delta) is EXACTLY the full recount — the
+    * candidate collection sees bit-identical (l, r, c) rows, so the
+    * learned merge table is unchanged (BpeBatchSpec proves per-round
+    * count equality against a driver recompute, and the DuckDB oracle
+    * still re-derives everything sequentially). As the vocab converges,
+    * the changed fraction shrinks toward the accepted pairs' support, so
+    * per-round aggregation cost drops with convergence instead of
+    * re-paying Σ|syms| every round — at a 32k-merge production vocab the
+    * recount work tracks the merges' footprint, not the vocabulary size.
+    *
+    * Iteration hygiene: vocab and counts are `localCheckpoint`ed each
+    * round — both are vocabulary-sized metadata (≪ corpus at any scale),
+    * and truncating lineage keeps round N's plan O(1) instead of O(N)
+    * (the standard cadence for iterative Spark algorithms; a cluster
+    * deployment would use reliable checkpoints at the same points). */
   private[graft] def trainBatched(
       spark: SparkSession, dir: String, maxAccept: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame, Int) = {
-    val base = vocab0(spark, dir).persist()
-    var vocab = base
+    val (merges, vocab, rounds, _) = trainBatchedImpl(spark, dir, maxAccept, instrument = false)
+    (merges, vocab, rounds)
+  }
+
+  /** [[trainBatched]] plus per-round [[RoundProbe]]s (extra count/collect
+    * jobs — test-only). */
+  private[graft] def trainBatchedImpl(
+      spark: SparkSession, dir: String, maxAccept: Int, instrument: Boolean)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, Int, Seq[RoundProbe]) = {
+    var vocab = vocab0(spark, dir).localCheckpoint()
+    // The ONE full pair-count; every later round maintains it by delta.
+    var counts = pairCounts(vocab).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    val probes = Seq.newBuilder[RoundProbe]
     var k = 1
     var rounds = 0
     var done = false
     while (k <= Steps && !done) {
-      val cands = pairCounts(vocab)
+      val cands = counts
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(CandidateBatch).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -193,11 +241,34 @@ object Bpe {
           merges += ((k, l, r, l + r, c))
           k += 1
         }
-        vocab = vocab.withColumn("syms", batchMergeExpr(batch))
+        val merged = vocab.withColumn("newSyms", batchMergeExpr(batch))
+          .localCheckpoint()
+        val changed = merged.filter(col("newSyms") =!= col("syms"))
+        val deltas = pairCounts(
+          changed.select(negate(col("cnt")).as("cnt"), col("syms"))
+            .union(changed.select(col("cnt"), col("newSyms").as("syms"))))
+        counts = counts.union(deltas)
+          .groupBy("l", "r").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        vocab = merged.select(col("word"), col("cnt"), col("newSyms").as("syms"))
+        if (instrument) {
+          val Array(deltaRows) = changed.select(
+            coalesce(sum(greatest(size(col("syms")) - 1, lit(0))
+              + greatest(size(col("newSyms")) - 1, lit(0))), lit(0L)).as("d"))
+            .collect().map(_.getLong(0))
+          val Array(fullRows) = vocab.select(
+            coalesce(sum(greatest(size(col("syms")) - 1, lit(0))), lit(0L)).as("f"))
+            .collect().map(_.getLong(0))
+          probes += RoundProbe(
+            deltaRows, fullRows,
+            counts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+            vocab.collect().map(r =>
+              (r.getString(0), r.getLong(1), r.getSeq[String](2).toVector)))
+        }
       }
     }
-    base.unpersist()
-    (merges.result(), vocab, rounds)
+    (merges.result(), vocab, rounds, probes.result())
   }
 
   private def train(spark: SparkSession, dir: String)

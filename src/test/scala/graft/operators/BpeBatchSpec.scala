@@ -27,6 +27,43 @@ class BpeBatchSpec extends SparkSpec {
       s"expect at least a 25% round reduction on this corpus ($batRounds)")
   }
 
+  test("delta-maintained pair counts equal a full recount every round") {
+    val (_, _, _, probes) =
+      Bpe.trainBatchedImpl(spark, sfDir, Int.MaxValue, instrument = true)
+    assert(probes.nonEmpty)
+    probes.zipWithIndex.foreach { case (p, i) =>
+      // Independent full recount on the driver from the round's vocab
+      // snapshot — pure Scala, never the Spark delta path being tested.
+      val full = scala.collection.mutable.HashMap[(String, String), Long]()
+      p.vocab.foreach { case (_, cnt, syms) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => full((a, b)) = full.getOrElse((a, b), 0L) + cnt
+          case _ =>
+        }
+      }
+      val standing = p.counts.map { case (l, r, c) => (l, r) -> c }.toMap
+      assert(standing == full.toMap,
+        s"round ${i + 1}: delta-maintained counts diverge from full recount")
+    }
+  }
+
+  test("delta maintenance cuts aggregated pair rows at least 4x") {
+    val (_, _, _, probes) =
+      Bpe.trainBatchedImpl(spark, sfDir, Int.MaxValue, instrument = true)
+    val deltaRows = probes.map(_.deltaPairRows).sum
+    val fullRows = probes.map(_.fullPairRows).sum
+    assert(deltaRows > 0)
+    assert(fullRows >= 4 * deltaRows,
+      s"expected >=4x fewer aggregated rows than per-round full recounts " +
+        s"(delta $deltaRows vs full $fullRows)")
+    // per-round cost drops with convergence: the late-training delta is
+    // smaller than the early-training delta
+    val early = probes.take(probes.length / 2).map(_.deltaPairRows).sum
+    val late = probes.drop(probes.length / 2).map(_.deltaPairRows).sum
+    assert(late < early,
+      s"per-round delta cost should shrink as the vocab converges ($early -> $late)")
+  }
+
   test("final vocab identical between batched and sequential application") {
     val (_, seqVocab, _) = Bpe.trainBatched(spark, sfDir, 1)
     val (_, batVocab, _) = Bpe.trainBatched(spark, sfDir, Int.MaxValue)
