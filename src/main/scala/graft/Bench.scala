@@ -68,16 +68,21 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._3).sum
     val totalFirst = results.map(_._2).sum
-    // The compact per-query converged timings print FIRST on their own
+    // The complete per-query converged timings print FIRST on their own
     // line: a consumer that truncates or tails the output still gets every
     // query's number from one parseable line (the round-6 bench artifact
     // lost ~2/3 of per-query timings to tail truncation of the single
-    // giant headline line). First-run timings follow on their own line;
-    // the headline stays last (and smaller) for the drivers that read the
-    // final line.
+    // giant headline line). First-run timings follow on their own line.
+    // The HEADLINE (final line, what a 2000-char tail keeps) stays small
+    // by embedding only the top-20 slowest converged queries — the full
+    // 265-query map made the final line ~7 KB, so a tail window lost most
+    // of it AND the leading brace, leaving nothing parseable.
+    val top20 = results.sortBy(-_._3).take(20)
+      .map { case (k, _, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"per_query_converged","queries":$qs}""")
     println(s"""{"metric":"per_query_first","queries":$qsFirst}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${results.length},"queries":$top20,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -848,7 +848,199 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Exact-integer aspect-fit AREA-AVERAGE resample — the real-pixel
+    * completion of [[resizeMeta]]'s dimension arithmetic. Output pixel
+    * (i, j) averages the floor-division source box
+    * [⌊i·w/w2⌋, ⌊(i+1)·w/8⌋) × [⌊j·h/h2⌋, …) with FLOOR division by the
+    * box area — integer end to end, so the per-image output-pixel
+    * channel sums are oracle-predictable exactly (the same discipline
+    * as [[AHash]]'s cell sums). Deliberate no-upscale contract: when the
+    * longest side already fits maxSide the image passes through at
+    * native size (the thumbnailing rule), which also guarantees w ≥ w2
+    * and h ≥ h2 so every box is non-empty. */
+  object AreaResample {
+    private def bounds(n: Int, k: Int): Array[Int] =
+      (0 to k).map(i => i * n / k).toArray
+
+    /** Fitted dims: identity when the image already fits, else the
+      * integer aspect fit (longest side → maxSide). */
+    def dims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      val longest = math.max(w, h)
+      if (longest <= maxSide) (w, h)
+      else (math.max(w * maxSide / longest, 1), math.max(h * maxSide / longest, 1))
+    }
+
+    /** (r_width, r_height, Σout_r, Σout_g, Σout_b) over the resampled
+      * output grid. */
+    def stats(img: java.awt.image.BufferedImage, maxSide: Int)
+        : (Int, Int, Long, Long, Long) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val (w2, h2) = dims(w, h, maxSide)
+      val bx = bounds(w, w2)
+      val by = bounds(h, h2)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var j = 0
+      while (j < h2) {
+        var i = 0
+        while (i < w2) {
+          var cr = 0L; var cg = 0L; var cb = 0L
+          var y = by(j)
+          while (y < by(j + 1)) {
+            var x = bx(i)
+            while (x < bx(i + 1)) {
+              val p = img.getRGB(x, y)
+              cr += (p >> 16) & 0xff
+              cg += (p >> 8) & 0xff
+              cb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val area = (bx(i + 1) - bx(i)).toLong * (by(j + 1) - by(j))
+          sr += cr / area; sg += cg / area; sb += cb / area
+          i += 1
+        }
+        j += 1
+      }
+      (w2, h2, sr, sg, sb)
+    }
+  }
+
+  case class ResizedRecord(doc_id: Long, r_width: Int, r_height: Int,
+      out_sum_r: Long, out_sum_g: Long, out_sum_b: Long)
+
+  /** REAL pixel resample over the really-decoded PNGs: every image
+    * area-averages into its 32-px aspect fit and the query gates the
+    * exact integer output-pixel channel sums per image — one wrong
+    * decoded or resampled pixel anywhere shifts a floor-divided box
+    * average and fails the hash. The oracle exploits the synth pattern's
+    * column-constance: a y-box sum is rows·colSum, and
+    * ⌊rows·S/(rows·nx)⌋ = ⌊S/nx⌋, so the output sum collapses to
+    * h2 · Σ_i ⌊colSum_i/nx_i⌋ — analytically computable while the
+    * decoder still averages every real 2-D box. [[resizeStats]] stays as
+    * the dims-only cheap twin (its fit formula upscales; this path is
+    * no-upscale — see [[AreaResample]]). */
+  def resizePixels(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    imageMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (w2, h2, sr, sg, sb) = AreaResample.stats(img, 32)
+          ResizedRecord(r.doc_id, w2, h2, sr, sg, sb)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Deterministic REAL JPEG payloads — the pillar's first LOSSY codec.
+    * The synth pattern is chosen so the JDK's libjpeg-derived codec
+    * round-trips it EXACTLY, making the decode hash-gateable despite
+    * lossy compression:
+    *   - single-component grayscale (TYPE_BYTE_GRAY → no chroma
+    *     subsampling, no color-space rounding),
+    *   - dimensions are multiples of 8 (w = (doc_id%7+2)·8 ∈ 16..64,
+    *     h = ((3·doc_id)%5+2)·8 ∈ 16..48 — no partial MCUs),
+    *   - every 8×8 block is CONSTANT: gray(bx, by) = (17·bx + 29·by
+    *     + doc_id%251) % 256, so the FDCT is DC-only (AC float noise
+    *     ≪ 0.5 rounds to zero),
+    *   - encoder quality pinned to 1.0 → luminance quant table is all
+    *     ones, so the DC coefficient quantizes losslessly.
+    * Under those four conditions decode(encode(img)) == img bit-for-bit
+    * (verified for the whole corpus by the mm_jpeg_stats gate itself:
+    * the oracle predicts the DECODED pixel sums from the closed form,
+    * so any drift anywhere in the lossy round trip fails the hash). */
+  object JpegSynth {
+    def params(docId: Long): (Int, Int, Int) =
+      (((docId % 7 + 2) * 8).toInt, ((docId * 3 % 5 + 2) * 8).toInt,
+        (docId % 251).toInt)
+
+    def gray(x: Int, y: Int, dd: Int): Int =
+      ((x / 8) * 17 + (y / 8) * 29 + dd) % 256
+
+    def jpeg(docId: Long): Array[Byte] = {
+      import javax.imageio._
+      val (w, h, dd) = params(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, gray(x, y, dd))
+          x += 1
+        }
+        y += 1
+      }
+      val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new IIOImage(img, null, null), p)
+      ios.close()
+      wr.dispose()
+      bos.toByteArray
+    }
+  }
+
+  case class JpegRecord(doc_id: Long, width: Int, height: Int,
+      n_bytes: Long, sum_gray: Long, distinct_blocks: Long)
+
+  /** Lossy-codec decode gate: synth grayscale JPEGs (see [[JpegSynth]])
+    * are encoded and DECODED in the executors through the JDK's real
+    * libjpeg-lineage codec, and the query reports per-image decoded
+    * dimensions, the exact gray pixel sum, and the number of distinct
+    * 8×8 block values — all analytically mirrored by the oracle from the
+    * closed form, so the gate fails if the lossy round trip perturbs
+    * even one pixel. The encoded byte size is encoder metadata (not
+    * analytically predictable) and is deliberately excluded from the
+    * gated output. */
+  def jpegStats(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .where(expr("doc_id % 3 = 0"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { docId =>
+            val bytes = JpegSynth.jpeg(docId)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val w = img.getWidth
+            val h = img.getHeight
+            var s = 0L
+            val blocks = scala.collection.mutable.HashSet[Int]()
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = img.getRaster.getSample(x, y, 0)
+                s += g
+                if (x % 8 == 0 && y % 8 == 0) blocks += g
+                x += 1
+              }
+              y += 1
+            }
+            JpegRecord(docId, w, h, bytes.length.toLong, s, blocks.size.toLong)
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_gray"), col("distinct_blocks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize_pixels" -> (resizePixels _),
+    "mm_jpeg_stats" -> (jpegStats _),
     "mm_dhash" -> (imageDhash _),
     "mm_audio_silence" -> (audioSilence _),
     "mm_ahash" -> (imageAhash _),
@@ -935,6 +1127,48 @@ object Multimodal {
       |       FROM bits GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_resize_pixels" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 49 + 16 AS BIGINT) AS w,
+        |         CAST((doc_id * 3) % 41 + 12 AS BIGINT) AS h,
+        |         CAST(doc_id % 251 AS BIGINT) AS dd
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT doc_id, w, h, dd,
+        |    CASE WHEN greatest(w, h) <= 32 THEN w
+        |         ELSE greatest((w * 32) // greatest(w, h), 1) END AS w2,
+        |    CASE WHEN greatest(w, h) <= 32 THEN h
+        |         ELSE greatest((h * 32) // greatest(w, h), 1) END AS h2
+        |  FROM p),
+        |boxes AS (SELECT doc_id, w, dd, w2, h2, u.i AS i,
+        |    (u.i * w) // w2 AS x0, ((u.i + 1) * w) // w2 AS x1
+        |  FROM dims, UNNEST(range(0, w2)) AS u(i)),
+        |colsums AS (SELECT b.doc_id, b.w2, b.h2, b.i, b.x1 - b.x0 AS nx,
+        |    CAST(SUM((7 * v.x + dd) % 256) AS BIGINT) AS cr,
+        |    CAST(SUM((11 * v.x + 2 * dd) % 256) AS BIGINT) AS cg,
+        |    CAST(SUM((13 * v.x + 3 * dd) % 256) AS BIGINT) AS cb
+        |  FROM boxes b, UNNEST(range(b.x0, b.x1)) AS v(x)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id,
+        |  CAST(MIN(w2) AS INTEGER) AS r_width,
+        |  CAST(MIN(h2) AS INTEGER) AS r_height,
+        |  CAST(MIN(h2) * SUM(cr // nx) AS BIGINT) AS out_sum_r,
+        |  CAST(MIN(h2) * SUM(cg // nx) AS BIGINT) AS out_sum_g,
+        |  CAST(MIN(h2) * SUM(cb // nx) AS BIGINT) AS out_sum_b
+        |FROM colsums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_jpeg_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST((doc_id % 7 + 2) * 8 AS BIGINT) AS w,
+        |    CAST((doc_id * 3 % 5 + 2) * 8 AS BIGINT) AS h,
+        |    CAST(doc_id % 251 AS BIGINT) AS dd
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |blocks AS (SELECT doc_id, w, h, u.i AS bi, v.j AS bj,
+        |    (u.i * 17 + v.j * 29 + dd) % 256 AS g
+        |  FROM p, UNNEST(range(0, w // 8)) AS u(i),
+        |       UNNEST(range(0, h // 8)) AS v(j))
+        |SELECT doc_id,
+        |  CAST(MIN(w) AS INTEGER) AS width, CAST(MIN(h) AS INTEGER) AS height,
+        |  CAST(SUM(g) * 64 AS BIGINT) AS sum_gray,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_blocks
+        |FROM blocks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_dhash" ->
       s"""WITH $dhashCte
          |SELECT d.doc_id, CAST(p.w AS INTEGER) AS width,
