@@ -391,6 +391,92 @@ object StreamingPipelines {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One sweep-line delta of a closed session: ±1 at epoch-second `es`,
+    * keyed by the calendar day the delta falls in. */
+  case class ConcDelta(day: String, es: Long, t: Timestamp, d: Long)
+  /** Netted per-second delta histogram for one open day — bounded by the
+    * day's distinct active seconds (≤ 86 400), independent of stream
+    * length or user cardinality. */
+  case class DayConcState(hist: Map[Long, Long])
+  /** Finalized day: intraday peak (prefix-max with zero carry-in) and the
+    * day's total net delta. A consumer recovers the absolute peak as
+    * `peak_intraday + Σ day_net of all prior days` — a fold over
+    * one-row-per-day output (365 rows/year; driver- or
+    * dashboard-trivial), exactly the carry decomposition the batch
+    * [[graft.operators.Events.peakConcurrency]] plan uses. */
+  case class DayPeak(day: String, peak_intraday: Long, day_net: Long)
+
+  /** STREAMING peak session concurrency — capacity planning as a
+    * continuous query (the batch sweep-line's stateful twin). Input is
+    * the CLOSED-session stream ([[sessionize]]'s output shape); each
+    * session contributes +1 at its start and −1 one second after its end
+    * (the batch twin's closed-interval rule), deltas route to their
+    * calendar day, and each day key nets them into a per-second
+    * histogram. Sessions close in end-time order while their START
+    * deltas can be arbitrarily older, so in-order prefix summing is
+    * impossible — the histogram absorbs any arrival order and the day
+    * finalizes once (event-time timeout at day end + `slackMs`, clamped
+    * above the watermark), emitting the intraday prefix-max and net.
+    *
+    * Scale shape: state is hash-partitioned by day and bounded by the
+    * day's active seconds (≤ 86 400 longs — calendar-bounded, the same
+    * bound the batch twin's day-partitioned window relies on); no
+    * global ordering, no cross-key coordination — the cross-day carry
+    * is deferred to the tiny per-day output exactly like the batch
+    * plan's aggregated carry join. `slackMs` bounds how long a session
+    * may straddle the day boundary before the day closes (sessions are
+    * gap-bounded activity; 24 h covers any realistic session). */
+  def peakConcurrency(sessions: Dataset[SessionOut],
+      slackMs: Long = 24L * 3600 * 1000): Dataset[DayPeak] = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+
+    // No captured formatter (DateTimeFormatter is not serializable):
+    // the UTC day string comes from pure epoch-day arithmetic.
+    def toDelta(ms: Long, d: Long): ConcDelta = {
+      val es = Math.floorDiv(ms, 1000L)
+      val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(es, 86400L)).toString
+      ConcDelta(day, es, new Timestamp(es * 1000), d)
+    }
+
+    def update(day: String, it: Iterator[ConcDelta],
+        state: GroupState[DayConcState]): Iterator[DayPeak] = {
+      if (state.hasTimedOut) {
+        val hist = state.getOption.map(_.hist).getOrElse(Map.empty)
+        state.remove()
+        if (hist.isEmpty) Iterator.empty
+        else {
+          var run = 0L
+          var peak = Long.MinValue
+          hist.toSeq.sortBy(_._1).foreach { case (_, nd) =>
+            run += nd
+            if (run > peak) peak = run
+          }
+          Iterator.single(DayPeak(day, peak, run))
+        }
+      } else {
+        var hist = state.getOption.map(_.hist).getOrElse(Map.empty[Long, Long])
+        it.foreach { c =>
+          hist = hist.updated(c.es, hist.getOrElse(c.es, 0L) + c.d)
+        }
+        state.update(DayConcState(hist))
+        val dayEndMs = (java.time.LocalDate.parse(day).toEpochDay + 1) * 86400000L
+        state.setTimeoutTimestamp(
+          math.max(dayEndMs + slackMs, state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
+
+    sessions
+      .flatMap { s =>
+        Seq(toDelta(s.session_start.getTime, 1L),
+          toDelta(s.session_end.getTime + 1000L, -1L))
+      }
+      .withWatermark("t", "1 hour")
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Bounded Misra-Gries summary for one token shard. */
   /** Streaming KMV state: the ≤ K smallest DISTINCT portable user hashes
     * seen so far for one event type (ascending). */
