@@ -458,6 +458,52 @@ object TrainingPipeline {
       .orderBy("position")
   }
 
+  /** ORDER-PRESERVING sequence packing in CURRICULUM order —
+    * [[packSequences]] composed with [[curriculumOrder]]: documents pack
+    * greedily into fixed 1024-token training sequences in exactly the
+    * competence order the curriculum presents them (chunk = cumulative
+    * tokens BEFORE the doc, integer-divided by 1024), so early chunks
+    * hold easy (short-band) docs and difficulty rises monotonically
+    * through the pack stream — the data-loader layout curriculum
+    * training actually consumes.
+    *
+    * The global token prefix sum is assembled the same scale-correct way
+    * as the curriculum position: a per-BUCKET partitioned window (each
+    * difficulty band sums independently) plus broadcast cumulative
+    * PER-BUCKET token offsets from a ≤10×10 aggregate self-join — never
+    * a global window. Per packed chunk: doc count, token mass, and the
+    * curriculum-position span [first_pos, last_pos] (which the gate
+    * checks is contiguous across chunks by construction). */
+  def packCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        least(lit(9L), expr("n_toks div 12")).as("bucket"),
+        expr("portable_hash60(concat('cur:', cast(doc_id as string)))").as("h"))
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val r = b
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cumtok", sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sz = b.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("t"))
+    val prior = sz.select(col("bucket").as("b2"), col("n").as("n2"), col("t").as("t2"))
+    val off = sz.join(prior, col("b2") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("off"),
+        coalesce(sum(col("t2")), lit(0L)).as("tok_off"))
+    r.join(broadcast(off), "bucket")
+      .select((col("off") + col("rk")).as("position"), col("n_toks"),
+        (col("tok_off") + col("cumtok")).as("gcum"))
+      .withColumn("chunk", expr("(gcum - n_toks) div 1024"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("position")).as("first_pos"), max(col("position")).as("last_pos"))
+      .orderBy("chunk")
+  }
+
   /** Length-bucketed batching report: documents grouped into
     * power-of-two token-length buckets (cap = next power of two ≥
     * n_toks, clamped to [16, 4096]) — the standard padding-efficiency
@@ -566,6 +612,7 @@ object TrainingPipeline {
     "pipeline_stratified_sample" -> (stratifiedSample _),
     "pipeline_decontamination" -> (decontamination _),
     "pipeline_pack_sequences" -> (packSequences _),
+    "pipeline_pack_curriculum" -> (packCurriculum _),
     "pipeline_kfold" -> (kfold _)
   )
 
@@ -646,6 +693,23 @@ object TrainingPipeline {
          |SELECT r.doc_id, CAST(r.bucket AS BIGINT) AS bucket,
          |  CAST(o.off + r.rk AS BIGINT) AS position
          |FROM r JOIN o USING (bucket) ORDER BY position""".stripMargin,
+    "pipeline_pack_curriculum" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_toks, LEAST(9, n_toks // 12) AS bucket,
+         |    ${Dedup.dh60("'cur:' || CAST(doc_id AS VARCHAR)")} AS h FROM d),
+         |r AS (SELECT doc_id, n_toks,
+         |    ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) AS position,
+         |    SUM(n_toks) OVER (ORDER BY bucket, h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+         |  FROM b)
+         |SELECT CAST((gcum - n_toks) // 1024 AS BIGINT) AS chunk,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(position) AS BIGINT) AS first_pos,
+         |  CAST(MAX(position) AS BIGINT) AS last_pos
+         |FROM r GROUP BY 1 ORDER BY chunk""".stripMargin,
     "pipeline_dsir_ratios" ->
       s"""WITH toks AS (SELECT lang = 'en' AS is_target,
          |    ${Dedup.dh60("t")} % 16 AS dim
