@@ -329,7 +329,13 @@ object Similarity {
       .withColumn("dist", array_min(col("dists")))
       .withColumn("cid",
         element_at(cidArr, array_position(col("dists"), col("dist")).cast("int")))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid"), col("dist"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"), col("dist"),
+        // (dist, cid)-sorted cell ranking — struct array_sort orders by
+        // field position, exactly the oracle's ORDER BY dist, cid. Kept
+        // on every row so nprobe > 1 consumers ([[ivfRecall]]) can slice
+        // their top-r cells without re-deriving the codebook.
+        array_sort(zip_with(col("dists"), cidArr,
+          (d, c) => struct(d.as("dist"), c.as("cid")))).as("cells"))
   }
 
   /** Final k-means cell assignment per vector (2 trained iterations). */
@@ -721,6 +727,64 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** IVF recall CURVE: recall@3 of the trained-IVF search at nprobe = 1
+    * AND nprobe = 2 against the exact brute-force top-3, over the same
+    * bounded sample [[annRecall]] uses (vec_id % 5 = 0, < 1000). This is
+    * the tuning table every IVF deployment reads: nprobe multiplies the
+    * candidate cost (probe·r·n/k) and buys recall, and the query gates
+    * BOTH points of the curve so the trade-off itself is verified, not
+    * just one operating point. Corpus vectors live in their argmin cell;
+    * a probe at nprobe = r searches its r nearest cells by the exact
+    * (dist, cid)-sorted cell ranking the quantizer emits.
+    *
+    * Exactness: cell ranking, cosines and tiebreaks are the same
+    * bit-deterministic folds as the parent queries; only the final
+    * recall division is a double. Exact side is paid once on the bounded
+    * sample (O(s·n)), the IVF side twice at r·n/k each. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asg = kmeansAssigned(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+    val q = asg.filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cells"))
+    val corpus = asg.select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+    def top3(cands: DataFrame, part: Seq[String]): DataFrame = cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(part.map(col): _*)
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+    val exact3 = top3(
+      asg.join(broadcast(q.drop("cells")), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), pairSim.as("sim")),
+      Seq("query_id")).select("query_id", "vec_id")
+    val np = Seq(1, 2).toDF("nprobe")
+    val qCells = broadcast(q).crossJoin(broadcast(np))
+      .select(col("nprobe"), col("query_id"), col("qv"), col("qnrm"),
+        explode(expr("slice(cells, 1, nprobe)")).as("cell"))
+      .select(col("nprobe"), col("query_id"), col("qv"), col("qnrm"),
+        col("cell.cid").as("cid"))
+    val ivf3 = top3(
+      broadcast(qCells).join(corpus, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("nprobe"), col("query_id"), col("vec_id"), pairSim.as("sim")),
+      Seq("nprobe", "query_id")).select("nprobe", "query_id", "vec_id")
+    val ov = exact3.join(ivf3, Seq("query_id", "vec_id"))
+      .groupBy("nprobe", "query_id").agg(count(lit(1)).as("hits"))
+    q.select("query_id").crossJoin(np)
+      .join(ov, Seq("nprobe", "query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .groupBy("nprobe")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("n_hits"),
+        sum(when(col("hits") === 3L, 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("hits") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("recall_at_3",
+        col("n_hits").cast("double") / (col("n_queries") * 3))
+      .orderBy("nprobe")
+  }
+
   /** Cosine RANGE search (threshold query) for a bounded probe batch:
     * every corpus vector within cosine ≥ 0.2 of each probe (vec_id <
     * 500), reported as per-probe neighbor count + the single best
@@ -761,6 +825,7 @@ object Similarity {
     "dedup_semantic" -> (semanticDedup _),
     "sim_topk_pq_adc" -> (topkPqAdc _),
     "sim_ann_recall" -> (annRecall _),
+    "sim_ivf_recall" -> (ivfRecall _),
     "sim_pq" -> (productQuantize _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
@@ -1066,6 +1131,47 @@ object Similarity {
          |SELECT query_id, true_label, label AS pred_label, n_votes,
          |  label = true_label AS correct
          |FROM best WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "sim_ivf_recall" ->
+      s"""WITH $kmeansCte,
+         |np AS (SELECT unnest([1, 2]) AS nprobe),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 5 = 0 AND vec_id < 1000),
+         |qc AS (SELECT a.vec_id AS query_id, a.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |                       ORDER BY a.dist, a.cid) AS crk
+         |  FROM a2 a JOIN q ON q.query_id = a.vec_id),
+         |epairs AS (SELECT q.query_id, e.vec_id,
+         |    ${cosSql("q.qv", "e.embedding")} AS sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |exact3 AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM epairs) WHERE rk <= 3),
+         |ipairs AS (SELECT n.nprobe, qc.query_id, e.vec_id,
+         |    ${cosSql("q.qv", "e.embedding")} AS sim
+         |  FROM np n
+         |  JOIN qc ON qc.crk <= n.nprobe
+         |  JOIN asg2 e ON e.cid = qc.cid AND e.vec_id <> qc.query_id
+         |  JOIN q ON q.query_id = qc.query_id),
+         |ivf3 AS (SELECT nprobe, query_id, vec_id FROM (
+         |  SELECT nprobe, query_id, vec_id,
+         |    row_number() OVER (PARTITION BY nprobe, query_id
+         |                       ORDER BY sim DESC, vec_id) AS rk
+         |  FROM ipairs) WHERE rk <= 3),
+         |ov AS (SELECT i.nprobe, e.query_id, COUNT(*) AS hits
+         |  FROM exact3 e JOIN ivf3 i
+         |    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+         |  GROUP BY 1, 2),
+         |perq AS (SELECT n.nprobe, q.query_id, COALESCE(ov.hits, 0) AS hits
+         |  FROM np n CROSS JOIN q
+         |  LEFT JOIN ov ON ov.nprobe = n.nprobe AND ov.query_id = q.query_id)
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+         |  COUNT(*) AS n_queries,
+         |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 3) AS recall_at_3
+         |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin,
     "sim_knn_classify_ivf" ->
       s"""WITH $kmeansCte,
          |q AS (SELECT cid, vec_id AS query_id, label AS true_label,

@@ -140,6 +140,49 @@ object TrainingPipeline {
       .orderBy("shard", "chunk")
   }
 
+  /** Token-budget apportionment across source languages — Hamilton's
+    * largest-remainder method (the apportionment scheme with no
+    * population paradox inside a single allocation): a fixed training
+    * budget B = 10⁶ tokens splits across langs proportionally to token
+    * mass, each lang gets ⌊B·t_l/T⌋ outright, and the B − Σ⌊·⌋ leftover
+    * tokens go one each to the langs with the largest remainders
+    * (remainder desc, lang asc — fully deterministic). This is the exact
+    * integer form of the mixture-weights step every multi-source
+    * training run performs; Σquota = B by construction, which the gate
+    * verifies lang-by-lang.
+    *
+    * Scale shape: one corpus scan into a per-lang aggregate (≤ a few
+    * dozen rows at any corpus size), then an ≤L×L aggregate self-join
+    * for the remainder rank — never an unpartitioned window. Products
+    * ride DECIMAL(38,0): B·t_l at 100 TB token masses (~10¹⁴) times 10⁶
+    * overflows a BIGINT but not a 38-digit decimal. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val t = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("lang").agg(sum(col("n_toks")).as("toks"))
+    val tot = t.agg(sum(col("toks")).as("ttot"))
+    val base = t.crossJoin(broadcast(tot))
+      .select(col("lang"), col("toks"),
+        expr(s"cast((cast(toks as decimal(38,0)) * $budget) div ttot as bigint)")
+          .as("quota_base"),
+        expr(s"cast((cast(toks as decimal(38,0)) * $budget) % ttot as bigint)")
+          .as("rem"))
+    val leftover = base.agg((lit(budget) - sum(col("quota_base"))).as("leftover"))
+    val other = base.select(col("lang").as("l2"), col("rem").as("rem2"))
+    base
+      .join(other, col("rem2") > col("rem") ||
+        (col("rem2") === col("rem") && col("l2") < col("lang")), "left")
+      .groupBy(col("lang"), col("toks"), col("quota_base"), col("rem"))
+      .agg((count(col("l2")) + 1L).as("rk"))
+      .crossJoin(broadcast(leftover))
+      .select(col("lang"), col("toks").as("n_tokens"), col("quota_base"),
+        col("rem"), col("rk"),
+        (col("quota_base") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      .orderBy("lang")
+  }
+
   /** Deterministic k-fold cross-validation assignment: fold =
     * portable_hash60("fold:" ++ doc_id) mod 5, reported as fold × lang
     * doc/char counts. Hashing a SALTED doc_id (rather than reusing the
@@ -613,7 +656,8 @@ object TrainingPipeline {
     "pipeline_decontamination" -> (decontamination _),
     "pipeline_pack_sequences" -> (packSequences _),
     "pipeline_pack_curriculum" -> (packCurriculum _),
-    "pipeline_kfold" -> (kfold _)
+    "pipeline_kfold" -> (kfold _),
+    "pipeline_token_budget" -> (tokenBudget _)
   )
 
   private val dh60s: String =
@@ -693,6 +737,27 @@ object TrainingPipeline {
          |SELECT r.doc_id, CAST(r.bucket AS BIGINT) AS bucket,
          |  CAST(o.off + r.rk AS BIGINT) AS position
          |FROM r JOIN o USING (bucket) ORDER BY position""".stripMargin,
+    "pipeline_token_budget" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS ttot FROM t),
+        |base AS (SELECT lang, toks,
+        |    CAST((CAST(toks AS HUGEINT) * 1000000) // ttot AS BIGINT) AS quota_base,
+        |    CAST((CAST(toks AS HUGEINT) * 1000000) % ttot AS BIGINT) AS rem
+        |  FROM t, tot),
+        |lo AS (SELECT 1000000 - CAST(SUM(quota_base) AS BIGINT) AS leftover
+        |       FROM base),
+        |rk AS (SELECT b.lang, b.toks, b.quota_base, b.rem,
+        |    CAST(COUNT(o.l2) + 1 AS BIGINT) AS rk
+        |  FROM base b LEFT JOIN
+        |    (SELECT lang AS l2, rem AS rem2 FROM base) o
+        |    ON o.rem2 > b.rem OR (o.rem2 = b.rem AND o.l2 < b.lang)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, toks AS n_tokens, quota_base, rem, rk,
+        |  CAST(quota_base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM rk, lo ORDER BY lang""".stripMargin,
     "pipeline_pack_curriculum" ->
       s"""WITH d AS (SELECT doc_id,
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_toks
