@@ -337,7 +337,8 @@ object Graph {
     "graph_local_clustering" -> (localClustering _),
     "graph_cc_sizes" -> (ccSizes _),
     "graph_modularity" -> (modularity _),
-    "graph_louvain_onelevel" -> (louvainOneLevel _)
+    "graph_louvain_onelevel" -> (louvainOneLevel _),
+    "graph_louvain_twolevel" -> (louvainTwoLevel _)
   )
 
   /** Newman modularity Q of the connected-component partition of the
@@ -412,13 +413,12 @@ object Graph {
     * degree table, a src-partitioned argmax window, then the
     * community-count-sized scoring aggregates — no iteration, no
     * unpartitioned window, hub-capped edges like every graph query. */
-  def louvainOneLevel(spark: SparkSession, dir: String): DataFrame = {
+  /** Level-1 downward-sweep labeling (v → lbl) — shared by
+    * [[louvainOneLevel]] and [[louvainTwoLevel]]. */
+  private def louvainLabel1(e: DataFrame, deg: DataFrame, m: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
-    val m = e.agg(count(lit(1)).as("m"))
     val sym = e.select(col("u1").as("src"), col("u2").as("dst"))
       .union(e.select(col("u2").as("src"), col("u1").as("dst")))
-    val deg = degrees(e)
     val cand = sym
       .filter(col("dst") < col("src")) // downward moves only (anti-swap)
       .join(deg.select(col("v").as("src"), col("deg").as("d_src")), "src")
@@ -431,8 +431,14 @@ object Graph {
         Window.partitionBy("src").orderBy(col("gain").desc, col("dst"))))
       .filter(col("rn") === 1)
       .select(col("src").as("v"), col("dst").as("blbl"))
-    val lab = deg.select("v").join(best, Seq("v"), "left")
+    deg.select("v").join(best, Seq("v"), "left")
       .select(col("v"), coalesce(col("blbl"), col("v")).as("lbl"))
+  }
+
+  /** General-form Q scorer of ANY labeling: (n_communities, q_micro) —
+    * the same exact-integer contribution [[modularity]] gates. */
+  private def scoreQ(e: DataFrame, lab: DataFrame, deg: DataFrame,
+      m: DataFrame): DataFrame = {
     val dc = deg.join(lab, Seq("v")).groupBy("lbl")
       .agg(sum(col("deg")).as("d_c"))
     val ec = e
@@ -440,7 +446,7 @@ object Graph {
       .join(lab.select(col("v").as("u2"), col("lbl").as("l2")), "u2")
       .filter(col("l1") === col("l2"))
       .groupBy(col("l1").as("lbl")).agg(count(lit(1)).as("e_c"))
-    val q = dc.join(ec, Seq("lbl"), "left")
+    dc.join(ec, Seq("lbl"), "left")
       .select(col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
       .crossJoin(broadcast(m))
       .select(
@@ -451,6 +457,14 @@ object Graph {
         .otherwise(-expr("((-num) * 1000000) div den")).as("contrib_micro"))
       .agg(count(lit(1)).as("n_communities"),
         sum(col("contrib_micro")).cast("long").as("q_micro"))
+  }
+
+  def louvainOneLevel(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = degrees(e)
+    val lab = louvainLabel1(e, deg, m)
+    val q = scoreQ(e, lab, deg, m)
     val q0 = deg.crossJoin(broadcast(m))
       .select(expr(
         """-((cast(deg as decimal(38,0)) * deg * 1000000)
@@ -459,6 +473,62 @@ object Graph {
     q.crossJoin(broadcast(m)).crossJoin(broadcast(q0))
       .select(col("m").as("n_edges"), col("n_communities"),
         col("q_micro"), col("q0_micro"))
+  }
+
+  /** TWO-LEVEL Louvain: [[louvainOneLevel]]'s sweep, then the defining
+    * second ingredient of Blondel et al. 2008 — COLLAPSE the level-1
+    * communities into supernodes (inter-community edge weights summed,
+    * supernode degree D_A = Σ member degrees, total m unchanged) and run
+    * the same deterministic downward sweep on the community graph with
+    * the weighted gain ΔQ·2m² = 2m·w_AB − D_A·D_B. Nodes map through
+    * both levels (v → lbl₁ → lbl₂) and the final partition is scored
+    * with the shared exact-integer Q scorer, reported next to the
+    * level-1 Q so the hierarchy's effect is GATED, not asserted —
+    * synchronous sweeps carry no per-round monotonicity proof (chained
+    * downward moves and mover-mover interaction terms can cut either
+    * way; published distributed Louvain variants accept the same), so
+    * the Q₁ → Q₂ comparison is part of the hash.
+    *
+    * Scale shape: the collapse is one labeled-edge aggregation whose
+    * output is community-count-sized — each further level runs on a
+    * graph orders of magnitude smaller than the last, which is exactly
+    * why Louvain scales; everything else reuses the level-1 shapes. */
+  def louvainTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = degrees(e)
+    val lab1 = louvainLabel1(e, deg, m)
+    val el = e
+      .join(lab1.select(col("v").as("u1"), col("lbl").as("la")), "u1")
+      .join(lab1.select(col("v").as("u2"), col("lbl").as("lb")), "u2")
+      .filter(col("la") =!= col("lb"))
+    val superSym = el.select(col("la").as("src"), col("lb").as("dst"))
+      .union(el.select(col("lb").as("src"), col("la").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val dc = deg.join(lab1, Seq("v")).groupBy("lbl")
+      .agg(sum(col("deg")).as("d"))
+    val cand2 = superSym
+      .filter(col("dst") < col("src"))
+      .join(dc.select(col("lbl").as("src"), col("d").as("d_src")), "src")
+      .join(dc.select(col("lbl").as("dst"), col("d").as("d_dst")), "dst")
+      .crossJoin(broadcast(m))
+      .select(col("src"), col("dst"),
+        (lit(2L) * col("m") * col("w") - col("d_src") * col("d_dst")).as("gain"))
+    val best2 = cand2.filter(col("gain") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("gain").desc, col("dst"))))
+      .filter(col("rn") === 1)
+      .select(col("src").as("lbl"), col("dst").as("blbl2"))
+    val lab2map = dc.select("lbl").join(best2, Seq("lbl"), "left")
+      .select(col("lbl"), coalesce(col("blbl2"), col("lbl")).as("lbl2"))
+    val labFinal = lab1.join(lab2map, "lbl")
+      .select(col("v"), col("lbl2").as("lbl"))
+    val q2 = scoreQ(e, labFinal, deg, m)
+    val q1 = scoreQ(e, lab1, deg, m).select(col("q_micro").as("q1_micro"))
+    q2.crossJoin(broadcast(m)).crossJoin(broadcast(q1))
+      .select(col("m").as("n_edges"), col("n_communities"),
+        col("q_micro"), col("q1_micro"))
   }
 
   /** Shared oracle CTE: the hub-capped co-presence edge list. */
@@ -484,6 +554,28 @@ object Graph {
        |k$r AS (SELECT v FROM d$r WHERE deg >= $KCoreK),
        |e$r AS MATERIALIZED (SELECT e.u1, e.u2 FROM e${r - 1} e
        |        JOIN k$r a ON a.v = e.u1 JOIN k$r b ON b.v = e.u2)""".stripMargin
+
+  /** Shared oracle CTE chain for the Louvain level-1 labeling
+    * (m/sym/deg/cand/best/lab) over the minWeight=2 edge list. */
+  private val louvainLab1Cte: String =
+    """m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+      |sym AS (SELECT u1 AS src, u2 AS dst FROM edges
+      |        UNION ALL SELECT u2, u1 FROM edges),
+      |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM sym GROUP BY 1),
+      |cand AS (SELECT s.src, s.dst,
+      |    2 * m.m - da.deg * db.deg AS gain
+      |  FROM sym s
+      |  JOIN deg da ON da.v = s.src
+      |  JOIN deg db ON db.v = s.dst, m
+      |  WHERE s.dst < s.src),
+      |best AS (SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src
+      |                         ORDER BY gain DESC, dst) AS rn
+      |    FROM cand WHERE gain > 0) WHERE rn = 1),
+      |lab AS (SELECT d.v, COALESCE(b.dst, d.v) AS lbl
+      |        FROM deg d LEFT JOIN best b ON b.src = d.v)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "graph_link_prediction" ->
@@ -634,26 +726,72 @@ object Graph {
          |                ELSE -(((-num) * 1000000) // den) END) AS BIGINT)
          |    AS q_micro
          |FROM contrib""".stripMargin,
-    "graph_louvain_onelevel" ->
+    "graph_louvain_twolevel" ->
       s"""WITH ${edgeCte(2)},
-         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
-         |sym AS (SELECT u1 AS src, u2 AS dst FROM edges
-         |        UNION ALL SELECT u2, u1 FROM edges),
-         |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
-         |        FROM sym GROUP BY 1),
-         |cand AS (SELECT s.src, s.dst,
-         |    2 * m.m - da.deg * db.deg AS gain
-         |  FROM sym s
-         |  JOIN deg da ON da.v = s.src
-         |  JOIN deg db ON db.v = s.dst, m
+         |$louvainLab1Cte,
+         |dc1 AS (SELECT lbl, CAST(SUM(deg) AS BIGINT) AS d
+         |        FROM deg JOIN lab USING (v) GROUP BY lbl),
+         |ssym0 AS (SELECT la.lbl AS src, lb.lbl AS dst FROM edges e
+         |    JOIN lab la ON la.v = e.u1 JOIN lab lb ON lb.v = e.u2
+         |    WHERE la.lbl <> lb.lbl
+         |  UNION ALL SELECT lb.lbl, la.lbl FROM edges e
+         |    JOIN lab la ON la.v = e.u1 JOIN lab lb ON lb.v = e.u2
+         |    WHERE la.lbl <> lb.lbl),
+         |ssym AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+         |         FROM ssym0 GROUP BY 1, 2),
+         |cand2 AS (SELECT s.src, s.dst,
+         |    2 * m.m * s.w - da.d * db.d AS gain
+         |  FROM ssym s
+         |  JOIN dc1 da ON da.lbl = s.src
+         |  JOIN dc1 db ON db.lbl = s.dst, m
          |  WHERE s.dst < s.src),
-         |best AS (SELECT src, dst FROM (
+         |best2 AS (SELECT src, dst FROM (
          |    SELECT src, dst,
          |      ROW_NUMBER() OVER (PARTITION BY src
          |                         ORDER BY gain DESC, dst) AS rn
-         |    FROM cand WHERE gain > 0) WHERE rn = 1),
-         |lab AS (SELECT d.v, COALESCE(b.dst, d.v) AS lbl
-         |        FROM deg d LEFT JOIN best b ON b.src = d.v),
+         |    FROM cand2 WHERE gain > 0) WHERE rn = 1),
+         |lab2m AS (SELECT d.lbl, COALESCE(b.dst, d.lbl) AS lbl2
+         |          FROM dc1 d LEFT JOIN best2 b ON b.src = d.lbl),
+         |labf AS (SELECT lab.v, lab2m.lbl2 AS lbl
+         |         FROM lab JOIN lab2m ON lab2m.lbl = lab.lbl),
+         |dcf AS (SELECT lbl, CAST(SUM(deg) AS BIGINT) AS d_c
+         |        FROM deg JOIN labf USING (v) GROUP BY lbl),
+         |ecf AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+         |        FROM edges e
+         |        JOIN labf la ON la.v = e.u1 JOIN labf lb ON lb.v = e.u2
+         |        WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |contribf AS (SELECT
+         |    CAST(4 AS HUGEINT) * m.m * COALESCE(ecf.e_c, 0)
+         |      - CAST(dcf.d_c AS HUGEINT) * dcf.d_c AS num,
+         |    CAST(4 AS HUGEINT) * m.m * m.m AS den
+         |  FROM dcf LEFT JOIN ecf USING (lbl), m),
+         |q2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    CAST(SUM(CASE WHEN num >= 0 THEN (num * 1000000) // den
+         |                  ELSE -(((-num) * 1000000) // den) END) AS BIGINT)
+         |      AS q_micro
+         |  FROM contribf),
+         |dcq AS (SELECT lbl, CAST(SUM(deg) AS BIGINT) AS d_c
+         |        FROM deg JOIN lab USING (v) GROUP BY lbl),
+         |ecq AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+         |        FROM edges e
+         |        JOIN lab la ON la.v = e.u1 JOIN lab lb ON lb.v = e.u2
+         |        WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |contribq AS (SELECT
+         |    CAST(4 AS HUGEINT) * m.m * COALESCE(ecq.e_c, 0)
+         |      - CAST(dcq.d_c AS HUGEINT) * dcq.d_c AS num,
+         |    CAST(4 AS HUGEINT) * m.m * m.m AS den
+         |  FROM dcq LEFT JOIN ecq USING (lbl), m),
+         |q1 AS (SELECT
+         |    CAST(SUM(CASE WHEN num >= 0 THEN (num * 1000000) // den
+         |                  ELSE -(((-num) * 1000000) // den) END) AS BIGINT)
+         |      AS q1_micro
+         |  FROM contribq)
+         |SELECT (SELECT m FROM m) AS n_edges, q2.n_communities,
+         |  q2.q_micro, q1.q1_micro
+         |FROM q2, q1""".stripMargin,
+    "graph_louvain_onelevel" ->
+      s"""WITH ${edgeCte(2)},
+         |$louvainLab1Cte,
          |dc AS (SELECT lbl, CAST(SUM(deg) AS BIGINT) AS d_c
          |       FROM deg JOIN lab USING (v) GROUP BY lbl),
          |ec AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c

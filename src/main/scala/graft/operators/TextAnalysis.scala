@@ -105,6 +105,47 @@ object TextAnalysis {
         col("n_chars_measured").cast("double") / greatest(col("n_bpe_tokens"), lit(1)))
       .orderBy("doc_id")
 
+  /** CCNet-style SEGMENT-level keep-first dedup (Wenzek et al., "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data",
+    * LREC 2020 — their paragraph/line dedup, the single highest-impact
+    * cleaning step for web corpora): every document splits into
+    * consecutive 3-token segments (the corpus has no sentence
+    * punctuation, so fixed-width segments stand in for lines), each
+    * segment hashes, and only the CORPUS-FIRST occurrence of each
+    * distinct segment survives — first = minimum (doc_id, seg_idx) in
+    * lexicographic order, the deterministic tie-break CCNet's
+    * shard-order pass approximates. Reports per document how much of it
+    * survives (n_segments / n_kept / n_dropped / drop_ratio), i.e. the
+    * boilerplate mass later stages should not re-process.
+    *
+    * Scale shape: one scan exploding ~n_toks/3 segment hashes, one
+    * h-keyed MIN aggregation (the keep-first rule is an associative min
+    * — no ordering pass, no window), one join back on the 8-byte hash,
+    * one per-doc aggregation. The occurrence order key rides
+    * DECIMAL(38,0) (doc_id·10⁶ + seg_idx) so 100 TB doc-id ranges
+    * cannot overflow the packing. */
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(t) - 1) div 3),
+          |  i -> concat_ws(' ', slice(t, i*3 + 1, 3)))""".stripMargin)))
+      .toDF("doc_id", "seg_idx", "seg")
+      .withColumn("h", expr("portable_hash60(concat('seg:', seg))"))
+      .withColumn("ord", expr(
+        "cast(doc_id as decimal(38,0)) * 1000000 + seg_idx"))
+    val first = segs.groupBy("h").agg(min(col("ord")).as("ford"))
+    segs.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("ord") === col("ford"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_segments") - col("n_kept"))
+      .withColumn("drop_ratio",
+        col("n_dropped").cast("double") / col("n_segments").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document trigram coverage against the corpus: the fraction of a
     * doc's distinct word-trigrams that are CORPUS-COMMON (document
     * frequency ≥ 5) — a log-free n-gram language-model surprise proxy: a
@@ -848,7 +889,8 @@ object TextAnalysis {
     "ta_fingerprint" -> (fingerprint _),
     "ta_tfidf" -> (tfidf _),
     "ta_heavy_hitters" -> (heavyHitters _),
-    "ta_trigram_coverage" -> (trigramCoverage _)
+    "ta_trigram_coverage" -> (trigramCoverage _),
+    "ta_sentence_dedup" -> (sentenceDedup _)
   )
 
   private val dToks = """string_split_regex(text, '\s+')"""
@@ -1210,6 +1252,26 @@ object TextAnalysis {
          |SELECT token, cnt, n_total FROM cnts, n
          |WHERE CAST(cnt AS DOUBLE) > CAST(n_total AS DOUBLE) / 200.0
          |ORDER BY cnt DESC, token""".stripMargin,
+    "ta_sentence_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |segs AS (SELECT doc_id, u.i AS seg_idx,
+         |    array_to_string(t[u.i*3 + 1 : u.i*3 + 3], ' ') AS seg
+         |  FROM toks, UNNEST(range(0, (len(t) - 1) // 3 + 1)) AS u(i)),
+         |hs AS (SELECT doc_id, seg_idx,
+         |    ${Dedup.dh60("'seg:' || seg")} AS h,
+         |    CAST(doc_id AS HUGEINT) * 1000000 + seg_idx AS ord
+         |  FROM segs),
+         |first AS (SELECT h, MIN(ord) AS ford FROM hs GROUP BY h)
+         |SELECT hs.doc_id,
+         |  COUNT(*) AS n_segments,
+         |  CAST(SUM(CASE WHEN hs.ord = first.ford THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(COUNT(*) - SUM(CASE WHEN hs.ord = first.ford THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(COUNT(*) - SUM(CASE WHEN hs.ord = first.ford THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS drop_ratio
+         |FROM hs JOIN first USING (h)
+         |GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin,
     "ta_trigram_coverage" ->
       s"""WITH ${Dedup.shCte},
          |sh AS (SELECT doc_id, ${Dedup.dh60("s")} AS h FROM shg),
