@@ -460,10 +460,15 @@ object Graph {
   }
 
   def louvainOneLevel(spark: SparkSession, dir: String): DataFrame = {
-    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
+    // The edge list and labeling feed 4+ downstream subtrees each
+    // (degrees, candidates, intra-edge scoring); without lineage
+    // truncation every reference re-runs the co-presence projection.
+    // Both are aggregated metadata tables (edges ≪ events at any scale)
+    // — the same persist cadence Dedup.connectedComponents uses.
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2").localCheckpoint()
     val m = e.agg(count(lit(1)).as("m"))
     val deg = degrees(e)
-    val lab = louvainLabel1(e, deg, m)
+    val lab = louvainLabel1(e, deg, m).localCheckpoint()
     val q = scoreQ(e, lab, deg, m)
     val q0 = deg.crossJoin(broadcast(m))
       .select(expr(
@@ -495,10 +500,14 @@ object Graph {
     * why Louvain scales; everything else reuses the level-1 shapes. */
   def louvainTwoLevel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
+    // Same lineage hygiene as [[louvainOneLevel]], more load-bearing
+    // here: lab1 feeds the collapse, the degree rollup, the final
+    // mapping AND two scoring passes — uncheckpointed, the 10x probe
+    // measured the recomputation at 28 s vs ~4 s checkpointed at sf0.1.
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2").localCheckpoint()
     val m = e.agg(count(lit(1)).as("m"))
-    val deg = degrees(e)
-    val lab1 = louvainLabel1(e, deg, m)
+    val deg = degrees(e).localCheckpoint()
+    val lab1 = louvainLabel1(e, deg, m).localCheckpoint()
     val el = e
       .join(lab1.select(col("v").as("u1"), col("lbl").as("la")), "u1")
       .join(lab1.select(col("v").as("u2"), col("lbl").as("lb")), "u2")
