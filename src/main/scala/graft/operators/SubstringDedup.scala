@@ -46,10 +46,18 @@ object SubstringDedup {
     * array), matching the oracles' `length(text) >= L` prefilter. */
   private def windowHashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
+    // Consumers fan this relation into 2-3 subtrees each (df counts +
+    // probe side + corpus side); uncheckpointed, every reference re-ran
+    // the explode + distinct over all corpus windows — the 10x probe
+    // measured dedup_substring_pairs at 24.6x (81 s at sf1) from exactly
+    // that recomputation. Materializing the distinct window relation
+    // once IS the inverted-index build a production corpus runs anyway
+    // (~16 bytes/window; disk-backed at cluster scale).
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(s"char_window_hashes(text, $L)")).as("h"))
       .distinct()
+      .localCheckpoint()
   }
 
   /** Per-document duplication profile: how much of each document's window

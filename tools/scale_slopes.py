@@ -61,9 +61,15 @@ RERUNS = {
         (1.36, "isolated min-of-3; the 12.4s bench rep was a steal burst "
                "(reps: 5.00/1.36/1.53)"),
     "dedup_substring_profile":
-        (25.81, "isolated min-of-3 after the round-8 semi-join rewrite "
-                "(df>=2 build side instead of the full df table); "
-                "machine was steal-noisy (reps: 38/72/26)"),
+        (19.03, "isolated min-of-3 after the round-8 semi-join rewrite + "
+                "windowHashes checkpoint (reps: 36/22/19)"),
+    "dedup_substring_pairs":
+        (42.81, "isolated min-of-3 after the round-8 windowHashes "
+                "checkpoint (the 81s bench rep re-ran the window "
+                "explode+distinct 3x; reps: 43/50/61 under steal) — "
+                "slope 13x on the fixed 5000-doc probe, dominated by the "
+                "one-time inverted-index materialization that grows "
+                "linearly with the corpus"),
 }
 
 
