@@ -656,6 +656,59 @@ object AdvancedAggs {
       .orderBy("register")
   }
 
+  /** HLL audience-OVERLAP estimation via inclusion-exclusion — the
+    * second half of the mergeability story [[hllMerge]] proves: sketches
+    * support union natively (register-wise MAX), so the intersection of
+    * two audiences estimates as |A| + |B| − |A∪B| without ever touching
+    * raw membership — the cross-product/audience-overlap query every
+    * marketing and dedup-planning stack runs on sketches precisely
+    * because exact intersection over 100 TB requires a full co-group.
+    * Audiences here are campaign touchers (props.k = 1 vs k = 2, which
+    * genuinely partially overlap in the corpus). All three harmonic
+    * denominators are exact BIGINTs (Σ 2^(55−M_j) + zeros·2^55), every
+    * estimate is ONE double division of exact operands, and the
+    * inclusion-exclusion combination keeps identical operand order in
+    * both engines, so even the float columns hash-gate; exact distinct
+    * counts ride along so the estimator's accuracy is itself checked. */
+  def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("user_id"))
+      .filter(col("k").isin(1, 2))
+    val base = ev
+      .select(col("k"),
+        expr("portable_hash60(concat('hll:', cast(user_id as string)))").as("h"))
+      .select(col("k"),
+        expr("h div 18014398509481984").as("register"),
+        expr("h % 18014398509481984").as("rem"))
+      .select(col("k"), col("register"),
+        when(col("rem") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("rem")))).cast("int").as("rnk"))
+    val perK = base.groupBy("k", "register").agg(max(col("rnk")).as("mr"))
+    val unionRegs = perK.groupBy("register").agg(max(col("mr")).as("mr"))
+    def harm(df: DataFrame, name: String): DataFrame =
+      df.agg((sum(expr("shiftleft(cast(1 as bigint), cast(55 - mr as int))"))
+        + (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as(name))
+    val ha = harm(perK.filter(col("k") === 1), "ha")
+    val hb = harm(perK.filter(col("k") === 2), "hb")
+    val hu = harm(unionRegs, "hu")
+    val exact = ev.groupBy("user_id")
+      .agg(countDistinct(col("k")).as("nk"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nk") === 2, 1L).otherwise(0L)).as("exact_intersection"))
+    val c = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16)
+    ha.crossJoin(hb).crossJoin(hu).crossJoin(broadcast(exact))
+      .withColumn("est_a", c / col("ha").cast("double"))
+      .withColumn("est_b", c / col("hb").cast("double"))
+      .withColumn("est_union", c / col("hu").cast("double"))
+      .withColumn("est_intersection",
+        (col("est_a") + col("est_b")) - col("est_union"))
+      .select(col("ha"), col("hb"), col("hu"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_intersection"),
+        col("exact_union"), col("exact_intersection"))
+  }
+
   /** The HLL cardinality estimate from [[hllRegisters]]' register table,
     * computed without a single nondeterministic float: the harmonic
     * denominator Σ 2^-M_j is carried as the exact integer Σ 2^(55-M_j)
@@ -1380,6 +1433,7 @@ object AdvancedAggs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorized_mean" -> (winsorizedMean _),
     "sketch_hll_merge" -> (hllMerge _),
+    "sketch_hll_intersection" -> (hllIntersection _),
     "agg_spearman" -> (spearmanRank _),
     "agg_kendall_tau" -> (kendallTau _),
     "agg_cramers_v" -> (cramersV _),
@@ -1441,6 +1495,40 @@ object AdvancedAggs {
        |  ${h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sketch_hll_intersection" ->
+      s"""WITH e AS (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         |    user_id FROM events
+         |  WHERE CAST(json_extract_string(props, '$$.k') AS INTEGER) IN (1, 2)),
+         |h AS (SELECT k, ${h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h FROM e),
+         |r AS (SELECT k, h // 18014398509481984 AS register,
+         |    h % 18014398509481984 AS rem FROM h),
+         |rk AS (SELECT k, register,
+         |    CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END AS rnk FROM r),
+         |perk AS (SELECT k, register, MAX(rnk) AS mr FROM rk GROUP BY 1, 2),
+         |un AS (SELECT register, MAX(mr) AS mr FROM perk GROUP BY 1),
+         |ha AS (SELECT CAST(SUM(1::BIGINT << (55 - mr))
+         |    + (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS ha
+         |  FROM perk WHERE k = 1),
+         |hb AS (SELECT CAST(SUM(1::BIGINT << (55 - mr))
+         |    + (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS hb
+         |  FROM perk WHERE k = 2),
+         |hu AS (SELECT CAST(SUM(1::BIGINT << (55 - mr))
+         |    + (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS hu
+         |  FROM un),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         |    CAST(SUM(CASE WHEN nk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS exact_intersection
+         |  FROM (SELECT user_id, COUNT(DISTINCT k) AS nk FROM e GROUP BY 1))
+         |SELECT ha, hb, hu,
+         |  7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(ha AS DOUBLE) AS est_a,
+         |  7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(hb AS DOUBLE) AS est_b,
+         |  7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(hu AS DOUBLE) AS est_union,
+         |  (7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(ha AS DOUBLE)
+         |   + 7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(hb AS DOUBLE))
+         |  - 7.09e-1 * 4.096e3 * 3.6028797018963968e16 / CAST(hu AS DOUBLE)
+         |    AS est_intersection,
+         |  exact_union, exact_intersection
+         |FROM ha, hb, hu, ex""".stripMargin,
     "agg_winsorized_mean" ->
       """WITH base AS (
         |  SELECT o_orderpriority, o_orderkey,
