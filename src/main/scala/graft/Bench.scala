@@ -11,6 +11,33 @@ import org.apache.spark.sql.SparkSession
   * consumer of the result would observe.
   */
 object Bench {
+  @volatile private var calibSink: Long = 0L
+
+  /** Fixed single-thread calibration spin: 2^28 sequentially-dependent
+    * xorshift64 steps (each step reads the last one's output, so the JIT
+    * can neither fold the loop to a closed form nor vectorize it; the
+    * volatile sink keeps it live). On an unloaded core this takes a stable
+    * ~0.3-0.8 s; under host CPU-steal it inflates proportionally. Timed at
+    * checkpoints through the run and emitted as `calib_s` in the bench
+    * JSON, it makes a steal-polluted artifact machine-detectable: rounds
+    * 4-8 all produced driver bench numbers 30%+ above a converged rerun on
+    * identical code (r8: 288 s vs 217 s) with nothing in the artifact to
+    * tell a consumer. Compare the series' max to its min — a clean run is
+    * flat; a ratio well above ~1.3 marks the window where timings are
+    * untrustworthy.
+    */
+  private def calibSpin(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 28)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    calibSink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,7 +70,13 @@ object Bench {
     // stays visible, but the headline total is quoted on converged reps.
     // Default 3 reps (1 warmup + min-of-2); override via SPARK_GRAFT_BENCH_REPS.
     val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt, 1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Steal-calibration checkpoints: one spin before the first query, one
+    // after every ~10% of the list, one after the last — an 11-point
+    // time-series over the whole run (~5 s total overhead at 0.5 s/spin).
+    val calibEvery = math.max(1, qseq.length / 10)
+    val calibs = scala.collection.mutable.ArrayBuffer[Double](calibSpin())
+    val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -54,6 +87,7 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      if ((qi + 1) % calibEvery == 0 || qi == qseq.length - 1) calibs += calibSpin()
       val first = times.head._1
       val converged = if (reps > 1) times.tail.map(_._1).min else first
       (name, first, converged, times.forall(_._2))
@@ -76,13 +110,18 @@ object Bench {
     // The HEADLINE (final line, what a 2000-char tail keeps) stays small
     // by embedding only the top-20 slowest converged queries — the full
     // 265-query map made the final line ~7 KB, so a tail window lost most
-    // of it AND the leading brace, leaving nothing parseable.
+    // of it AND the leading brace, leaving nothing parseable. The key is
+    // "top20_queries", NOT "queries": a truncated map under the full-map
+    // key would let a stale parser silently read 20 entries as the
+    // complete set (the full map is the per_query_converged line).
     val top20 = results.sortBy(-_._3).take(20)
       .map { case (k, _, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calibRatio = if (calibs.nonEmpty && calibs.min > 0) calibs.max / calibs.min else 1.0
     println(s"""{"metric":"per_query_converged","queries":$qs}""")
     println(s"""{"metric":"per_query_first","queries":$qsFirst}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${results.length},"queries":$top20,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${results.length},"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

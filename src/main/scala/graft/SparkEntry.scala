@@ -44,7 +44,8 @@ object SparkEntry {
       (graft.plans.NativeTopK.queries, graft.plans.NativeTopK.oracle),
       (TrainingPipeline.queries, TrainingPipeline.oracle),
       (Profile.queries, Profile.oracle),
-      (Diagnostics.queries, Diagnostics.oracle)
+      (Diagnostics.queries, Diagnostics.oracle),
+      (Warc.queries, Warc.oracle)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -848,10 +848,82 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** One resampled clip: header-decoded input rate, the 4:3-downsampled
+    * output rate, and exact integer stats over the RESAMPLED samples —
+    * the gate is on the transform's output, not the decode's input. */
+  case class ResampleRecord(doc_id: Long, rate_in: Long, rate_out: Long,
+      n_in: Long, n_out: Long, out_sum: Long, out_sq_sum: Long,
+      out_min: Long, out_max: Long)
+
+  /** Audio SAMPLE-RATE CONVERSION over really-decoded PCM — the audio
+    * twin of [[AreaResample]] (the r8 verdict's remaining stubbed-shape
+    * in the multimodal transform column). Each clip is downsampled by the
+    * fixed rational ratio 3/4 (all four synth rates are divisible by 4,
+    * so every output rate — 6/9/12/15 kHz — is integral): output sample
+    * j averages the floor-division source box [⌊j·n/n2⌋, ⌊(j+1)·n/n2⌋)
+    * with n2 = 3n/4 and Math.floorDiv by the box length — a 1-D
+    * area-average (box-filter) resampler, integer end to end, so the
+    * oracle recomputes every output sample analytically from the synth
+    * closed form and one mis-parsed frame OR one wrong box boundary
+    * anywhere in the corpus fails the hash. The decoder path is the real
+    * one: RIFF header parse via `javax.sound.sampled`, little-endian
+    * int16 frame extraction, THEN the resample.
+    *
+    * Scale shape: clips are independent — batched partition-local
+    * decode+resample ([[audioExtract]]'s bounded-memory shape), no
+    * shuffle until the final per-doc row lands; at 100 TB this is a
+    * pure map stage over the media column. */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    audioMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          import javax.sound.sampled._
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getChannels == 1,
+            s"unexpected WAV encoding $fmt")
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          val s = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            s(i) = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          val n2 = (n * 3) / 4
+          var j = 0
+          var sum = 0L; var sq = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          while (j < n2) {
+            val lo = ((j.toLong * n) / n2).toInt
+            val hi = (((j + 1).toLong * n) / n2).toInt
+            var bs = 0L
+            var k = lo
+            while (k < hi) { bs += s(k); k += 1 }
+            val y = Math.floorDiv(bs, (hi - lo).toLong)
+            sum += y; sq += y * y
+            if (y < mn) mn = y
+            if (y > mx) mx = y
+            j += 1
+          }
+          val rate = fmt.getSampleRate.toLong
+          ResampleRecord(r.doc_id, rate, rate * 3 / 4, n.toLong, n2.toLong,
+            sum, sq, mn, mx)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Exact-integer aspect-fit AREA-AVERAGE resample — the real-pixel
     * completion of [[resizeMeta]]'s dimension arithmetic. Output pixel
     * (i, j) averages the floor-division source box
-    * [⌊i·w/w2⌋, ⌊(i+1)·w/8⌋) × [⌊j·h/h2⌋, …) with FLOOR division by the
+    * [⌊i·w/w2⌋, ⌊(i+1)·w/w2⌋) × [⌊j·h/h2⌋, …) with FLOOR division by the
     * box area — integer end to end, so the per-image output-pixel
     * channel sums are oracle-predictable exactly (the same discipline
     * as [[AHash]]'s cell sums). Deliberate no-upscale contract: when the
@@ -1043,6 +1115,7 @@ object Multimodal {
     "mm_jpeg_stats" -> (jpegStats _),
     "mm_dhash" -> (imageDhash _),
     "mm_audio_silence" -> (audioSilence _),
+    "mm_audio_resample" -> (audioResample _),
     "mm_ahash" -> (imageAhash _),
     "mm_ahash_dedup" -> (ahashDedup _),
     "mm_scene_change" -> (sceneChange _),
@@ -1241,6 +1314,29 @@ object Multimodal {
     // closed-form pattern). The oracle never runs a codec — it predicts the
     // decoder's output, which is the strongest cross-engine check a binary
     // format admits.
+    "mm_audio_resample" ->
+      """WITH p AS (SELECT doc_id,
+        |        8000 + (doc_id % 4) * 4000 AS rate,
+        |        doc_id % 601 + 200 AS n,
+        |        (doc_id % 997) * 7 AS base
+        |      FROM documents WHERE doc_id % 3 = 1),
+        |p2 AS (SELECT doc_id, rate, n, base, (n * 3) // 4 AS n2 FROM p),
+        |box AS (SELECT doc_id, rate, n, base, n2, u.jj,
+        |        (u.jj * n) // n2 AS lo, ((u.jj + 1) * n) // n2 AS hi
+        |      FROM p2, UNNEST(range(p2.n2)) AS u(jj)),
+        |ys AS (SELECT doc_id, rate, n, n2, jj,
+        |        CAST(floor(CAST(SUM((i * 31 + base) % 4096 - 2048) AS DOUBLE)
+        |                   / (hi - lo)) AS BIGINT) AS y
+        |      FROM box, UNNEST(range(box.lo, box.hi)) AS v(i)
+        |      GROUP BY doc_id, rate, n, n2, jj, lo, hi)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS rate_in,
+        |  CAST((rate * 3) // 4 AS BIGINT) AS rate_out,
+        |  CAST(n AS BIGINT) AS n_in, CAST(n2 AS BIGINT) AS n_out,
+        |  CAST(SUM(y) AS BIGINT) AS out_sum,
+        |  CAST(SUM(y * y) AS BIGINT) AS out_sq_sum,
+        |  CAST(MIN(y) AS BIGINT) AS out_min,
+        |  CAST(MAX(y) AS BIGINT) AS out_max
+        |FROM ys GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
     "mm_audio_stats" ->
       """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
         |p AS (SELECT doc_id,

@@ -392,7 +392,15 @@ object StreamingPipelines {
   }
 
   /** One sweep-line delta of a closed session: ±1 at epoch-second `es`,
-    * keyed by the calendar day the delta falls in. */
+    * keyed by the calendar day the delta falls in. `t` is the WATERMARK
+    * column and is deliberately NOT `es`: both of a session's deltas are
+    * stamped with the session's CLOSE time (end + 1 s). Sessions close in
+    * end-time order, so `t` is nondecreasing across the stream and no
+    * delta is ever behind the watermark — whereas stamping the +1 delta
+    * with `session_start` would silently drop the start of any session
+    * longer than the watermark delay (flatMapGroupsWithState filters
+    * input rows older than the watermark), corrupting that day's net and
+    * every later day's carried absolute peak. */
   case class ConcDelta(day: String, es: Long, t: Timestamp, d: Long)
   /** Netted per-second delta histogram for one open day — bounded by the
     * day's distinct active seconds (≤ 86 400), independent of stream
@@ -423,9 +431,13 @@ object StreamingPipelines {
     * bound the batch twin's day-partitioned window relies on); no
     * global ordering, no cross-key coordination — the cross-day carry
     * is deferred to the tiny per-day output exactly like the batch
-    * plan's aggregated carry join. `slackMs` bounds how long a session
-    * may straddle the day boundary before the day closes (sessions are
-    * gap-bounded activity; 24 h covers any realistic session). */
+    * plan's aggregated carry join. Both deltas carry the session CLOSE
+    * time as their watermark stamp (see [[ConcDelta]]), so arbitrarily
+    * long sessions never lose their start delta to the watermark filter;
+    * the binding bound is `slackMs`: a session's start day must still be
+    * OPEN when the session closes, i.e. sessions longer than `slackMs`
+    * past their start day's end would find the day already finalized
+    * (24 h default covers any gap-bounded session). */
   def peakConcurrency(sessions: Dataset[SessionOut],
       slackMs: Long = 24L * 3600 * 1000): Dataset[DayPeak] = {
     val spark = sessions.sparkSession
@@ -433,10 +445,10 @@ object StreamingPipelines {
 
     // No captured formatter (DateTimeFormatter is not serializable):
     // the UTC day string comes from pure epoch-day arithmetic.
-    def toDelta(ms: Long, d: Long): ConcDelta = {
+    def toDelta(ms: Long, wmMs: Long, d: Long): ConcDelta = {
       val es = Math.floorDiv(ms, 1000L)
       val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(es, 86400L)).toString
-      ConcDelta(day, es, new Timestamp(es * 1000), d)
+      ConcDelta(day, es, new Timestamp(wmMs), d)
     }
 
     def update(day: String, it: Iterator[ConcDelta],
@@ -469,8 +481,9 @@ object StreamingPipelines {
 
     sessions
       .flatMap { s =>
-        Seq(toDelta(s.session_start.getTime, 1L),
-          toDelta(s.session_end.getTime + 1000L, -1L))
+        val closeMs = s.session_end.getTime + 1000L
+        Seq(toDelta(s.session_start.getTime, closeMs, 1L),
+          toDelta(closeMs, closeMs, -1L))
       }
       .withWatermark("t", "1 hour")
       .groupByKey(_.day)

@@ -47,7 +47,7 @@ class KnnIvfAgreementSpec extends SparkSpec {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val expected = emb.filter(_._1 < Similarity.EmbeddingProbeN).map {
+    val expected = emb.filter(_._1 < Similarity.KnnProbeN).map {
       case (qid, qlabel, qv) =>
         val top5 = emb
           .filter(e => e._1 != qid && cid(e._1) == cid(qid))

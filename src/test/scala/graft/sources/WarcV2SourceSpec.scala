@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.v2.{WarcContainer, WarcV2Source}
+
+/** The WARC-shaped container loop: pack `documents` into multi-record
+  * container files, read them back through the `graft-warc` V2 connector,
+  * and the result must equal the parquet table field-for-field; column
+  * pruning must drop `payload` from the scan schema, and record_id range
+  * predicates must prune container FILES at planning time. */
+class WarcV2SourceSpec extends SparkSpec {
+
+  private lazy val containerDir = WarcContainer.ensureWritten(spark, sfDir)
+
+  private def warc = spark.read.format("graft-warc").load(containerDir)
+
+  test("round-trip: container records equal the documents table exactly") {
+    val got = warc
+      .select("record_id", "target_uri", "lang", "content_length", "payload")
+      .orderBy("record_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    val want = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(lit("http://example.invalid/"), col("source"), lit("/"),
+          col("doc_id")).as("uri"),
+        col("lang"), octet_length(col("text")).cast("long"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    assert(got.length == want.length && got.length > 0)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("column pruning: header-only projections drop payload from the scan") {
+    val df = warc.select("record_id", "content_length")
+    val scans = df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
+    assert(scans.nonEmpty, s"no BatchScanExec in:\n${df.queryExecution.executedPlan}")
+    val schema = scans.head.scan.readSchema()
+    assert(schema.fieldNames.toSeq == Seq("record_id", "content_length"),
+      s"payload not pruned: ${schema.simpleString}")
+    val total = df.agg(sum("content_length")).head.getLong(0)
+    val want = graft.core.Tables.documents(spark, sfDir)
+      .agg(sum(octet_length(col("text")).cast("long"))).head.getLong(0)
+    assert(total == want)
+  }
+
+  test("record_id range predicates prune container files at planning time") {
+    val nAll = warc.queryExecution.executedPlan
+      .collect { case s: BatchScanExec => s }.head.inputRDD.getNumPartitions
+    assert(nAll > 1, s"expected multiple container files, got $nAll")
+
+    // ids strictly inside the FIRST container's range
+    val df = warc.filter(col("record_id") < 5)
+    val scans = df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
+    assert(scans.head.scan.description().contains("record_id"),
+      s"filter not pushed: ${scans.head.scan.description()}")
+    assert(scans.head.inputRDD.getNumPartitions == 1,
+      s"expected 1 surviving container, got ${scans.head.inputRDD.getNumPartitions}")
+    assert(df.select("record_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 4L))
+  }
+
+  test("container layout: file names carry exact disjoint id ranges") {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
+      .iterator()
+    val ranges = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .flatMap(p => p.getFileName.toString match {
+        case WarcV2Source.FileName(c, lo, hi) => Some((c.toInt, lo.toLong, hi.toLong))
+        case _ => None
+      }).toSeq.sortBy(_._1)
+    assert(ranges.nonEmpty)
+    // ranges tile [0, maxId] without overlap
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi1), (_, lo2, _)) => assert(hi1 == lo2)
+      case _ =>
+    }
+    val maxId = graft.core.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).head.getLong(0)
+    assert(ranges.last._3 == maxId + 1)
+  }
+}

@@ -85,4 +85,39 @@ class StreamingPeakConcurrencySpec extends SparkSpec {
           s"only-batch=${batch.toSet -- streamed.toSet}")
     } finally q.stop()
   }
+
+  test("sessions longer than the watermark delay keep their start delta") {
+    implicit val sqlCtx = spark.sqlContext
+    // Day D (2024-03-01 UTC). One 4h50m session (far over the 1 h
+    // watermark) overlapping one 10-min session: correct peak is 2.
+    // Fed in CLOSURE order (short ends first), the long session's +1 at
+    // 00:10 sits ~4 h behind the short session's end — a start-time
+    // watermark stamp would drop it and report peak 1 / day_net +1.
+    val d0 = java.time.LocalDate.parse("2024-03-01").toEpochDay * 86400000L
+    def s(stMin: Long, enMin: Long, uid: Long) =
+      SessionOut(uid, new Timestamp(d0 + stMin * 60000),
+        new Timestamp(d0 + enMin * 60000), 1L, 0.0)
+    val longS = s(10, 290, 1L)   // 00:10 – 04:50
+    val shortS = s(240, 250, 2L) // 04:00 – 04:10
+
+    val in = MemoryStream[SessionOut]
+    val q = StreamingPipelines.peakConcurrency(in.toDS())
+      .writeStream.format("memory").queryName("conc_long_session")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(shortS); q.processAllAvailable()
+      in.addData(longS); q.processAllAvailable()
+      val far = d0 + 40L * 24 * 3600 * 1000
+      in.addData(s(far / 60000 - d0 / 60000, far / 60000 - d0 / 60000, -1L))
+      q.processAllAvailable()
+      in.addData(s(far / 60000 - d0 / 60000 + 1, far / 60000 - d0 / 60000 + 1, -1L))
+      q.processAllAvailable()
+      val rows = spark.table("conc_long_session").as[DayPeak].collect()
+        .filter(_.day == "2024-03-01")
+      assert(rows.length === 1)
+      assert(rows.head.peak_intraday === 2L,
+        "the long session's start delta must survive the watermark")
+      assert(rows.head.day_net === 0L)
+    } finally q.stop()
+  }
 }

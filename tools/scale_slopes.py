@@ -56,20 +56,30 @@ DENSIFIED_WORK_RATIO = 61.0
 # and the round-7 judge adjudicated the same way). A flagged query whose
 # isolated minimum brings the slope back under the threshold moves to
 # the Adjudicated section with both numbers printed.
+#
+# Each entry is (isolated_min_s, flagged_t1_s, note): flagged_t1_s is the
+# sf1 bench time the rerun adjudicated. An adjudication only applies while
+# the CURRENT bench rep is within RERUN_T1_TOL of that recorded time — a
+# future genuine regression (current t1 well above the adjudicated flag)
+# re-flags instead of being permanently masked by a stale rerun.
+RERUN_T1_TOL = 1.5
 RERUNS = {
     "agg_ols_trend":
-        (1.36, "isolated min-of-3; the 12.4s bench rep was a steal burst "
-               "(reps: 5.00/1.36/1.53)"),
+        (1.36, 12.4,
+         "isolated min-of-3; the 12.4s bench rep was a steal burst "
+         "(reps: 5.00/1.36/1.53)"),
     "dedup_substring_profile":
-        (19.03, "isolated min-of-3 after the round-8 semi-join rewrite + "
-                "windowHashes checkpoint (reps: 36/22/19)"),
+        (19.03, 36.0,
+         "isolated min-of-3 after the round-8 semi-join rewrite + "
+         "windowHashes checkpoint (reps: 36/22/19)"),
     "dedup_substring_pairs":
-        (42.81, "isolated min-of-3 after the round-8 windowHashes "
-                "checkpoint (the 81s bench rep re-ran the window "
-                "explode+distinct 3x; reps: 43/50/61 under steal) — "
-                "slope 13x on the fixed 5000-doc probe, dominated by the "
-                "one-time inverted-index materialization that grows "
-                "linearly with the corpus"),
+        (42.81, 81.0,
+         "isolated min-of-3 after the round-8 windowHashes "
+         "checkpoint (the 81s bench rep re-ran the window "
+         "explode+distinct 3x; reps: 43/50/61 under steal) — "
+         "slope 13x on the fixed 5000-doc probe, dominated by the "
+         "one-time inverted-index materialization that grows "
+         "linearly with the corpus"),
 }
 
 
@@ -92,9 +102,10 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
     flagged_all = [(n, t0, t1, r) for n, t0, t1, r in rows
                    if r > SUPERLINEAR and t1 >= MIN_SF1_SEC
                    and n not in BASELINES and n not in DENSIFIED]
-    adjudicated = [(n, t0, t1, r, RERUNS[n][0], RERUNS[n][1])
+    adjudicated = [(n, t0, t1, r, RERUNS[n][0], RERUNS[n][2])
                    for n, t0, t1, r in flagged_all
-                   if n in RERUNS and RERUNS[n][0] / t0 <= SUPERLINEAR]
+                   if n in RERUNS and RERUNS[n][0] / t0 <= SUPERLINEAR
+                   and t1 <= RERUNS[n][1] * RERUN_T1_TOL]
     adj_names = {a[0] for a in adjudicated}
     flagged = [x for x in flagged_all if x[0] not in adj_names]
     baselined = [(n, t0, t1, r) for n, t0, t1, r in rows if n in BASELINES]
