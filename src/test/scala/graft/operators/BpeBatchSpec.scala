@@ -7,18 +7,24 @@ import graft.SparkSpec
   * [[Bpe.trainBatched]] with maxAccept = 1 IS the classic
   * one-merge-per-job loop (each round collects the argmax and applies a
   * single rule), so merge-table equality against the default batched run
-  * pins the selection invariant on the real corpus vocab — and the round
-  * counts demonstrate the job-count win the batching exists for. */
+  * pins the selection invariant — including the round-9 count-gap +
+  * tie-aware hazard — on the real corpus vocab. All distributed-path
+  * tests pass `driverLimit = 0` to force the batched loop (the default
+  * routes this tiny vocab to the driver-finishing path, which the last
+  * test proves equal). */
 class BpeBatchSpec extends SparkSpec {
 
   test("batched merge selection = sequential greedy, with fewer rounds") {
-    val (seqMerges, _, seqRounds) = Bpe.trainBatched(spark, sfDir, 1)
-    val (batMerges, _, batRounds) = Bpe.trainBatched(spark, sfDir, Int.MaxValue)
+    val (seqMerges, _, seqRounds) = Bpe.trainBatched(spark, sfDir, 1, driverLimit = 0)
+    val (batMerges, _, batRounds) =
+      Bpe.trainBatched(spark, sfDir, Int.MaxValue, driverLimit = 0)
     assert(batMerges == seqMerges,
       "batched selection must produce the identical merge sequence " +
         "(step, l, r, merged, pair_count) as one-merge-per-round greedy")
-    assert(seqRounds == seqMerges.length,
-      "sequential mode pays one distributed round per merge")
+    // one round per merge, plus one final empty-candidate round that
+    // discovers exhaustion (Steps=128 exceeds this corpus's 89 merges)
+    assert(seqRounds == seqMerges.length + 1,
+      "sequential mode pays one distributed round per merge + exhaustion probe")
     assert(batRounds < seqRounds,
       s"batching must cut rounds (got $batRounds vs sequential $seqRounds)")
     // the tiny sf0.001 vocab is tie/conflict-dense, so batches are small;
@@ -29,7 +35,8 @@ class BpeBatchSpec extends SparkSpec {
 
   test("delta-maintained pair counts equal a full recount every round") {
     val (_, _, _, probes) =
-      Bpe.trainBatchedImpl(spark, sfDir, Int.MaxValue, instrument = true)
+      Bpe.trainBatchedImpl(spark, sfDir, Int.MaxValue, instrument = true,
+        driverLimit = 0)
     assert(probes.nonEmpty)
     probes.zipWithIndex.foreach { case (p, i) =>
       // Independent full recount on the driver from the round's vocab
@@ -49,7 +56,8 @@ class BpeBatchSpec extends SparkSpec {
 
   test("delta maintenance cuts aggregated pair rows at least 4x") {
     val (_, _, _, probes) =
-      Bpe.trainBatchedImpl(spark, sfDir, Int.MaxValue, instrument = true)
+      Bpe.trainBatchedImpl(spark, sfDir, Int.MaxValue, instrument = true,
+        driverLimit = 0)
     val deltaRows = probes.map(_.deltaPairRows).sum
     val fullRows = probes.map(_.fullPairRows).sum
     assert(deltaRows > 0)
@@ -65,12 +73,30 @@ class BpeBatchSpec extends SparkSpec {
   }
 
   test("final vocab identical between batched and sequential application") {
-    val (_, seqVocab, _) = Bpe.trainBatched(spark, sfDir, 1)
-    val (_, batVocab, _) = Bpe.trainBatched(spark, sfDir, Int.MaxValue)
+    val (_, seqVocab, _) = Bpe.trainBatched(spark, sfDir, 1, driverLimit = 0)
+    val (_, batVocab, _) =
+      Bpe.trainBatched(spark, sfDir, Int.MaxValue, driverLimit = 0)
     val a = seqVocab.select("word", "syms").collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     val b = batVocab.select("word", "syms").collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     assert(a == b, "per-word symbol arrays must match exactly")
+  }
+
+  test("driver-finishing path equals the distributed loop exactly") {
+    // The production route for any vocab under DriverVocabLimit: one
+    // collect, exact in-memory greedy. Must reproduce the distributed
+    // batched loop's merge table AND final per-word symbol arrays.
+    val (distMerges, distVocab, _) =
+      Bpe.trainBatched(spark, sfDir, Int.MaxValue, driverLimit = 0)
+    val (drvMerges, drvVocab, drvRounds) =
+      Bpe.trainBatched(spark, sfDir, Int.MaxValue, driverLimit = Bpe.DriverVocabLimit)
+    assert(drvRounds == 1, "driver path pays a single distributed round (the collect)")
+    assert(drvMerges == distMerges, "merge tables must be identical")
+    val a = distVocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    val b = drvVocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(a == b, "final vocabs must be identical")
   }
 }

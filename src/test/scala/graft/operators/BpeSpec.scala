@@ -62,10 +62,17 @@ class BpeSpec extends SparkSpec {
     val words = graft.core.Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0).as[String].collect().toSeq
-    val (refMerges, refVocab) = refTrain(words, 64)
+    // Steps=128 exceeds the corpus's exhaustion point (31 distinct words,
+    // 89 merges realized) — the reference trains to the same budget and
+    // both stop when pair counts empty, so the FULL trajectory compares.
+    val (refMerges, refVocab) = refTrain(words, 128)
     val got = Bpe.bpeMerges(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-    assert(got.map(_._1).toSeq == (1 to 64), "sixty-four steps")
+    assert(got.length == refMerges.length,
+      s"merge trajectories must exhaust together (${got.length} vs ${refMerges.length})")
+    assert(got.length > 64 && got.length < 128,
+      "corpus must exhaust strictly inside the budget")
+    assert(got.map(_._1).toSeq == (1 to got.length), "contiguous steps")
     got.zip(refMerges).foreach { case ((k, l, r, m, c), (rl, rr, rc)) =>
       assert((l, r, c) == (rl, rr, rc), s"step $k")
       assert(m == l + r, s"step $k merged symbol")
