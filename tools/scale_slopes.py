@@ -63,23 +63,23 @@ DENSIFIED_WORK_RATIO = 61.0
 # future genuine regression (current t1 well above the adjudicated flag)
 # re-flags instead of being permanently masked by a stale rerun.
 RERUN_T1_TOL = 1.5
+# Round-9 note: the two round-8 substring adjudications were REMOVED —
+# the bucketed inverted-index rewrite changed that code materially
+# (dedup_substring_pairs 42.8 -> 9.7 s at sf1, slope 13x -> 7.1x;
+# profile 19.0 -> 2.3 s), so those reruns no longer describe the
+# shipped plans and keeping them could only mask a new regression.
 RERUNS = {
     "agg_ols_trend":
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
          "(reps: 5.00/1.36/1.53)"),
-    "dedup_substring_profile":
-        (19.03, 36.0,
-         "isolated min-of-3 after the round-8 semi-join rewrite + "
-         "windowHashes checkpoint (reps: 36/22/19)"),
-    "dedup_substring_pairs":
-        (42.81, 81.0,
-         "isolated min-of-3 after the round-8 windowHashes "
-         "checkpoint (the 81s bench rep re-ran the window "
-         "explode+distinct 3x; reps: 43/50/61 under steal) — "
-         "slope 13x on the fixed 5000-doc probe, dominated by the "
-         "one-time inverted-index materialization that grows "
-         "linearly with the corpus"),
+    "mm_audio_silence":
+        (3.33, 20.23,
+         "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
+         "slope 6.7x; the 20.2s bench rep sat exactly in the steal "
+         "window the round-9 calib_s series flagged "
+         "(calib checkpoint 1.61s vs 0.59s baseline, ratio 2.79) — "
+         "a per-clip independent map stage cannot be super-linear"),
 }
 
 
