@@ -490,10 +490,22 @@ object Similarity {
     val queriesDf0 = Tables.embeddings(spark, dir)
       .filter(col("vec_id") <= 9)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    // Per query: distance table dt_s[j] to every codeword, then a
-    // CASE-chain lookup by the database row's code (cid values may be
-    // sparse if a cell emptied, so lookup goes through the cid list).
-    val withDt = (0 until 4).foldLeft(queriesDf0) { case (df, s) =>
+    broadcast(adcDistTables(queriesDf0, cb).drop("embedding")).crossJoin(codes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adcLookup(cb, 0) + adcLookup(cb, 1) + adcLookup(cb, 2)
+          + adcLookup(cb, 3)).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per query: distance table dt_s[j] to every codeword of subspace s —
+    * the asymmetric-distance precompute both ADC queries share. */
+  private def adcDistTables(
+      queriesDf: DataFrame, cb: Map[Int, Array[(Int, Array[Double])]]): DataFrame =
+    (0 until 4).foldLeft(queriesDf) { case (df, s) =>
       val cells = cb(s)
       val m = array(cells.toSeq.map { case (_, c) =>
         array(c.toSeq.map(lit): _*)
@@ -510,18 +522,53 @@ object Similarity {
           }))
       df.withColumn(s"dt$s", dt)
     }
-    def lookup(s: Int): Column = {
-      val cells = cb(s)
-      cells.zipWithIndex.tail.foldLeft(
-        when(col(s"code$s") === cells.head._1,
-          element_at(col(s"dt$s"), 1))) { case (acc, ((cid, _), idx)) =>
-        acc.when(col(s"code$s") === cid, element_at(col(s"dt$s"), idx + 1))
-      }
+
+  /** CASE-chain lookup of dt_s by the database row's code (cid values may
+    * be sparse if a cell emptied, so lookup goes through the cid list). */
+  private def adcLookup(
+      cb: Map[Int, Array[(Int, Array[Double])]], s: Int): Column = {
+    val cells = cb(s)
+    cells.zipWithIndex.tail.foldLeft(
+      when(col(s"code$s") === cells.head._1,
+        element_at(col(s"dt$s"), 1))) { case (acc, ((cid, _), idx)) =>
+      acc.when(col(s"code$s") === cid, element_at(col(s"dt$s"), idx + 1))
     }
-    broadcast(withDt.drop("embedding")).crossJoin(codes)
+  }
+
+  /** IVF-ADC: the two trained index structures COMPOSED — the coarse
+    * k-means quantizer ([[kmeansAssigned]]) prunes candidates to the
+    * probe's cell, and PQ asymmetric distance ([[topkPqAdc]]'s lookup
+    * tables over [[pqAssigned]]'s codes) ranks them without touching a
+    * single database vector — the two-level shape of Jégou, Douze &
+    * Schmid's IVFADC system (TPAMI 2011). (This variant quantizes raw
+    * vectors rather than cell residuals — the codes are shared with
+    * `sim_pq`/`sim_topk_pq_adc`, keeping one codebook per corpus; the
+    * residual refinement changes which codebook trains, not the plan
+    * shape.)
+    *
+    * Scale shape — why this is THE billion-vector search plan: the
+    * candidate join is cell-keyed (n/k per probe, no corpus shuffle),
+    * per-candidate cost is 4 table lookups + 3 adds over an 8-byte code
+    * (the 64-float vector never leaves storage), and both the codebook
+    * (256 doubles) and the query distance tables broadcast. Recall vs
+    * the exhaustive ADC scan is the `sim_ivf_recall` knob (nprobe); this
+    * query gates the nprobe = 1 operating point end to end. */
+  def topkIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val (withDists, cb) = pqAssigned(spark, dir)
+    val codes = withDists.select(col("vec_id"),
+      col("code0"), col("code1"), col("code2"), col("code3"))
+    val coarse = kmeansAssigned(spark, dir).select(col("vec_id"), col("cid"))
+    val corpus = codes.join(coarse, "vec_id")
+    val queriesDf0 = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") <= 9)
+      .join(coarse, "vec_id")
+      .select(col("vec_id").as("query_id"), col("cid"), col("embedding"))
+    broadcast(adcDistTables(queriesDf0, cb).drop("embedding"))
+      .join(corpus, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (lookup(0) + lookup(1) + lookup(2) + lookup(3)).as("adc"))
+      .select(col("query_id"), col("cid"), col("vec_id"),
+        (adcLookup(cb, 0) + adcLookup(cb, 1) + adcLookup(cb, 2)
+          + adcLookup(cb, 3)).as("adc"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("rank") <= 3)
@@ -911,6 +958,7 @@ object Similarity {
     "sim_centroid_confusion" -> (centroidConfusion _),
     "dedup_semantic" -> (semanticDedup _),
     "sim_topk_pq_adc" -> (topkPqAdc _),
+    "sim_topk_ivf_adc" -> (topkIvfAdc _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_pq" -> (productQuantize _),
@@ -1079,7 +1127,42 @@ object Similarity {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
       |    FROM a2) WHERE rn = 1)""".stripMargin
 
+  /** [[kmeansCte]] with its CTE names prefixed `k` so it can coexist with
+    * [[pqCte]] (both chains end at `asg2`) in one oracle statement. */
+  private lazy val kmeansCteK: String =
+    kmeansCte.replaceAll("\\b(init|a1|asg1|upd|cent2|a2|asg2)\\b", "k$1")
+
   val oracle: Map[String, String] = Map(
+    "sim_topk_ivf_adc" ->
+      s"""WITH $kmeansCteK,
+         |$pqCte,
+         |q AS (SELECT e.vec_id AS query_id, ka.cid AS ccell, e.embedding
+         |      FROM embeddings e JOIN kasg2 ka ON ka.vec_id = e.vec_id
+         |      WHERE e.vec_id <= 9),
+         |dt AS (SELECT q.query_id, c.s, c.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (CAST(q.embedding[c.s*16 + k + 1] AS DOUBLE) - c.c[k + 1])
+         |          * (CAST(q.embedding[c.s*16 + k + 1] AS DOUBLE) - c.c[k + 1]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM q CROSS JOIN cent2 c),
+         |adc AS (SELECT q.query_id, q.ccell, a.vec_id,
+         |    (MAX(CASE WHEN a.s = 0 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 1 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 2 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 3 THEN dd.d END)) AS adc
+         |  FROM q
+         |  JOIN kasg2 kc ON kc.cid = q.ccell AND kc.vec_id <> q.query_id
+         |  JOIN asg2 a ON a.vec_id = kc.vec_id
+         |  JOIN dt dd ON dd.query_id = q.query_id AND dd.s = a.s
+         |    AND dd.cid = a.cid
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (SELECT query_id, ccell, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, ccell AS cid, vec_id, adc, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 500),

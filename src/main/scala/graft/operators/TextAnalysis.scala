@@ -865,7 +865,61 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Keep threshold for [[lmScore]], in half-bits of quantized surprisal
+    * (≈ 4.9 bits/bigram): sits inside the corpus's observed spread so the
+    * gate exercises both outcomes. */
+  private val LmKeepHalfBits = 9.8
+
+  /** LM-perplexity quality scoring — the CCNet discipline (Wenzek et
+    * al., "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data", LREC 2020): score every document by a language model's
+    * per-token surprisal and keep the low-perplexity (fluent) ones. The
+    * model here is a corpus-trained add-one-smoothed bigram LM
+    * (p(r|l) = (c(l,r)+1)/(c(l)+V)), and the per-bigram surprisal is
+    * QUANTIZED to half-bits: s = ⌊2·log2(c(l)+V)⌋ − ⌊2·log2(c(l,r)+1)⌋
+    * computed as `length(bin(x·x))` differences — pure integer
+    * arithmetic, because libm log/exp are not bit-reproducible across
+    * engines (the [[tfidf]] precedent); the only float op is the final
+    * per-doc division, one correctly-rounded IEEE divide. The quantized
+    * score is within 1 half-bit per term of true 2·log2 surprisal —
+    * monotone enough for the filtering decision, which is gated
+    * alongside the exact integer components.
+    *
+    * Scale shape: one corpus scan explodes bigrams; the model tables
+    * (c(l,r), c(l)) are vocabulary-bounded aggregations that AQE
+    * broadcasts back onto the per-doc bigram counts; V is a one-row
+    * broadcast. No windows, no driver loops — at 100 TB this is the
+    * standard "train n-gram counts, score corpus" two-aggregation
+    * pipeline. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> named_struct('l', a, 'r', b))")).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val db = bg.groupBy("doc_id", "l", "r").agg(count(lit(1)).as("k"))
+    val lm2 = bg.groupBy("l", "r").agg(count(lit(1)).as("c12"))
+    val lm1 = bg.groupBy("l").agg(count(lit(1)).as("c1"))
+    val vDf = Tables.documents(spark, dir)
+      .select(explode(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    db.join(lm2, Seq("l", "r")).join(lm1, Seq("l"))
+      .crossJoin(broadcast(vDf))
+      .withColumn("s", expr(
+        "(length(bin((c1 + v) * (c1 + v))) - " +
+          "length(bin((c12 + 1) * (c12 + 1)))) * k"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("s")).as("surprise_hb"))
+      .withColumn("avg_hbits",
+        col("surprise_hb").cast("double") / col("n_bigrams"))
+      .withColumn("kept", col("avg_hbits") < lit(LmKeepHalfBits))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_score" -> (lmScore _),
     "ta_vocab_overlap" -> (vocabOverlap _),
     "ta_freq_spectrum" -> (freqSpectrum _),
     "ta_burstiness" -> (burstiness _),
@@ -917,6 +971,25 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_lm_score" ->
+      s"""WITH ws AS (SELECT doc_id,
+         |    list_filter($dToks, x -> x <> '') AS w FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS l, w[i+1] AS r
+         |  FROM ws, UNNEST(range(1, len(w))) AS u(i)),
+         |db AS (SELECT doc_id, l, r, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+         |lm2 AS (SELECT l, r, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         |lm1 AS (SELECT l, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT x.t) AS v
+         |  FROM (SELECT UNNEST(w) AS t FROM ws) x),
+         |j AS (SELECT db.doc_id, db.k,
+         |    (length(bin((c1 + v) * (c1 + v)))
+         |      - length(bin((c12 + 1) * (c12 + 1)))) * k AS s
+         |  FROM db JOIN lm2 USING (l, r) JOIN lm1 USING (l) CROSS JOIN vv)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(s) AS BIGINT) AS surprise_hb,
+         |  CAST(SUM(s) AS DOUBLE) / SUM(k) AS avg_hbits,
+         |  CAST(SUM(s) AS DOUBLE) / SUM(k) < 9.8 AS kept
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_vocab_overlap" ->
       s"""WITH st AS (SELECT DISTINCT source, u.tk AS t
          |  FROM (SELECT source, $dToks AS tk FROM documents), UNNEST(tk) AS u(tk)
