@@ -1430,7 +1430,45 @@ object AdvancedAggs {
       .orderBy("o_orderpriority")
   }
 
+  /** AMS "tug-of-war" second-moment sketch (Alon, Matias & Szegedy,
+    * "The space complexity of approximating the frequency moments",
+    * STOC 1996): F₂ = Σ f_u² of the user-activity frequency vector,
+    * estimated from 16 counters — each Z_j = Σ_u s_j(u)·f_u with a
+    * 4-wise-ish sign hash s_j(u) ∈ {−1, +1}, E[Z_j²] = F₂. F₂ is the
+    * self-join size / skew functional every shuffle planner wants before
+    * committing to a join strategy, and the sketch needs 16 longs where
+    * the exact answer needs a full per-key aggregation — the point at
+    * 100 TB. Signs come from the engine's portable hash (parity bit of
+    * `portable_hash60('ams' || j || ':' || user)`), so every Z_j is an
+    * exact BIGINT in both engines; the estimate is the mean of the 16
+    * squares (floor div — exact), and the exact F₂ rides along so the
+    * estimator's error is itself gated. One partial-aggregated frequency
+    * scan + a 16×-explode of the ≤|users| frequency table; the sketch
+    * state that crosses the wire is 16 rows. */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val freq = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("f"))
+    val z = freq
+      .select(col("f"), explode(expr(
+        """transform(sequence(0, 15), j -> named_struct(
+          |  'j', j,
+          |  's', portable_hash60(concat('ams', j, ':', cast(user_id as string))) % 2 * 2 - 1))"""
+          .stripMargin)).as("x"))
+      .groupBy(col("x.j").cast("long").as("estimator"))
+      .agg(sum(col("x.s") * col("f")).as("z"))
+    val exact = freq.agg(sum(col("f") * col("f")).as("f2_exact"))
+    val meanEst = z.agg(expr("sum(z * z) div 16").as("f2_est_mean"))
+    z.crossJoin(broadcast(exact)).crossJoin(broadcast(meanEst))
+      .select(col("estimator"), col("z"), (col("z") * col("z")).as("z_sq"),
+        col("f2_exact"), col("f2_est_mean"),
+        ((col("f2_est_mean") - col("f2_exact")).cast("double") / col("f2_exact"))
+          .as("mean_rel_err"))
+      .orderBy("estimator")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams_f2" -> (amsF2 _),
     "agg_winsorized_mean" -> (winsorizedMean _),
     "sketch_hll_merge" -> (hllMerge _),
     "sketch_hll_intersection" -> (hllIntersection _),
@@ -1554,6 +1592,19 @@ object AdvancedAggs {
         |  CAST(1000 * SUM(wc) // COUNT(*) AS BIGINT) AS mean_cents_milli
         |FROM w JOIN b USING (o_orderpriority)
         |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+    "sketch_ams_f2" ->
+      s"""WITH freq AS (SELECT user_id, COUNT(*) AS f FROM events GROUP BY 1),
+         |sgn AS (SELECT f, j,
+         |    (${h60Sql("'ams' || j || ':' || CAST(user_id AS VARCHAR)")} % 2) * 2 - 1 AS s
+         |  FROM freq, (SELECT unnest(range(16)) AS j) js),
+         |z AS (SELECT j AS estimator, CAST(SUM(s * f) AS BIGINT) AS z
+         |      FROM sgn GROUP BY 1),
+         |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM freq),
+         |me AS (SELECT CAST(SUM(z * z) // 16 AS BIGINT) AS f2_est_mean FROM z)
+         |SELECT estimator, z, CAST(z * z AS BIGINT) AS z_sq, f2_exact,
+         |  f2_est_mean,
+         |  CAST(f2_est_mean - f2_exact AS DOUBLE) / f2_exact AS mean_rel_err
+         |FROM z, ex, me ORDER BY estimator""".stripMargin,
     "sketch_hll_merge" ->
       s"""WITH h AS (SELECT event_type,
          |    ${h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h FROM events),

@@ -637,7 +637,49 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Zipf power-law fit of the user-activity rank-frequency curve — the
+    * standard heavy-tail diagnostic (Zipf 1949; Newman, "Power laws,
+    * Pareto distributions and Zipf's law", Contemporary Physics 2005)
+    * a pipeline runs before choosing skew mitigations: a slope near −1
+    * on log rank vs log frequency says a handful of users dominate the
+    * event volume (salting/hot-key handling needed); a flat slope says
+    * traffic is uniform. One point per DISTINCT activity level — the
+    * tie-collapsed Zipf plot, where a tier's rank is 1 + the number of
+    * strictly-more-active users — which kills the global ROW_NUMBER a
+    * naive rank needs: the tier table is ≤ |distinct frequencies| rows
+    * (hundreds at any corpus size), so the rank self-join is a broadcast
+    * of aggregated metadata, never a single-task sort of |users| rows.
+    * Logs are the engine's half-bit integer quantization
+    * (`length(bin(x·x))` = ⌊2·log₂x⌋+1 — libm-free, the ta_lm_score
+    * discipline), so every OLS moment is an exact BIGINT; slope and
+    * intercept are two fixed-shape double divisions at the end. */
+  def zipfActivity(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("f"))
+    val grp = freq.groupBy("f").agg(count(lit(1)).as("nf"))
+    val ranked = grp.as("a")
+      .join(broadcast(grp.select(col("f").as("f2"), col("nf").as("nf2"))),
+        col("f2") > col("f"), "left")
+      .groupBy(col("f"), col("nf"))
+      .agg((lit(1L) + coalesce(sum(col("nf2")), lit(0L))).as("rnk"))
+    ranked
+      .select(
+        length(bin(col("rnk") * col("rnk"))).cast("long").as("x"),
+        length(bin(col("f") * col("f"))).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_points"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx")) / col("n_points"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_zipf_activity" -> (zipfActivity _),
     "evt_changepoint_cusum" -> (changepointCusum _),
     "evt_decay_popularity" -> (decayPopularity _),
     "evt_drift_ks" -> (driftKs _),
@@ -662,6 +704,24 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_zipf_activity" ->
+      """WITH freq AS (SELECT user_id, COUNT(*) AS f FROM events GROUP BY 1),
+        |grp AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS nf FROM freq GROUP BY 1),
+        |ranked AS (SELECT a.f, a.nf,
+        |    CAST(1 + COALESCE(SUM(b.nf), 0) AS BIGINT) AS rnk
+        |  FROM grp a LEFT JOIN grp b ON b.f > a.f GROUP BY 1, 2),
+        |pts AS (SELECT CAST(length(bin(rnk * rnk)) AS BIGINT) AS x,
+        |               CAST(length(bin(f * f)) AS BIGINT) AS y FROM ranked),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy FROM pts)
+        |SELECT n_points, sx, sy, sxx, sxy,
+        |  CAST(n_points * sxy - sx * sy AS DOUBLE) /
+        |    (n_points * sxx - sx * sx) AS slope,
+        |  (CAST(sy AS DOUBLE) - (CAST(n_points * sxy - sx * sy AS DOUBLE) /
+        |    (n_points * sxx - sx * sx)) * sx) / n_points AS intercept
+        |FROM mom""".stripMargin,
     "evt_changepoint_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS c

@@ -333,7 +333,61 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Synchronous label-propagation rounds for [[labelPropagation]]. */
+  val LpaRounds = 4
+
+  /** The synchronous LPA label loop over an already-symmetric edge list
+    * (u1, u2): every node starts labeled with itself; each round
+    * re-labels v with its neighbors' most frequent label, ties to the
+    * smallest. Factored out so the spec can drive it with a synthetic
+    * graph and pin the tie-break semantics. */
+  private[operators] def lpaLabels(sym: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var lab = sym.select(col("u1").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym
+        .join(lab.select(col("v").as("u1"), col("lbl")), "u1")
+        .groupBy(col("u2").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))
+      lab = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("v", "lbl")
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** Label-propagation community detection (Raghavan, Albert & Kumara,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", PRE 2007) — the cheap companion to Louvain:
+    * no modularity arithmetic, just neighbor-majority voting, which is
+    * why it's the default first-pass community pass on billion-edge
+    * behavioral graphs. This is the SYNCHRONOUS variant with a fully
+    * deterministic tie-break (most frequent neighbor label, ties to the
+    * SMALLEST label), run for a fixed [[LpaRounds]] rounds — async LPA's
+    * visit-order dependence can never hash-gate across engines.
+    *
+    * Scale shape: each round is one co-partitioned join of the symmetric
+    * edge list against the ≤|V|-row label table plus one (v, lbl) count
+    * and a per-v argmax window (PARTITIONED by v — never global). The
+    * label table is localCheckpoint'd per round, the same iterative
+    * lineage hygiene as [[Dedup.connectedComponents]]; the edge list is
+    * checkpointed once and reused by all rounds. Output is the
+    * community-size histogram (size, n_communities). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    val sym = e.union(e.select(col("u2").as("u1"), col("u1").as("u2")))
+      .localCheckpoint()
+    lpaLabels(sym, LpaRounds).groupBy("lbl").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_propagation" -> (labelPropagation _),
     "graph_assortativity" -> (assortativity _),
     "graph_bfs_layers" -> (bfsLayers _),
     "graph_link_prediction" -> (linkPrediction _),
@@ -589,7 +643,26 @@ object Graph {
       |lab AS (SELECT d.v, COALESCE(b.dst, d.v) AS lbl
       |        FROM deg d LEFT JOIN best b ON b.src = d.v)""".stripMargin
 
+  /** One oracle LPA round: neighbor-label counts over lab{r−1}, then the
+    * per-node argmax (count desc, label asc). MATERIALIZED keeps the
+    * 4-round chain linear under DuckDB's CTE inlining. */
+  private def lpaRoundSql(r: Int): String =
+    s"""cnt$r AS (SELECT s.u2 AS v, l.lbl, COUNT(*) AS c
+       |        FROM sym s JOIN lab${r - 1} l ON l.v = s.u1 GROUP BY 1, 2),
+       |lab$r AS MATERIALIZED (SELECT v, lbl FROM (
+       |        SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+       |          ORDER BY c DESC, lbl) AS rn FROM cnt$r) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_label_propagation" ->
+      s"""WITH ${edgeCte(1)},
+         |sym AS MATERIALIZED (SELECT u1, u2 FROM edges
+         |        UNION ALL SELECT u2, u1 FROM edges),
+         |lab0 AS (SELECT DISTINCT u1 AS v, u1 AS lbl FROM sym),
+         |${(1 to LpaRounds).map(lpaRoundSql).mkString(",\n")},
+         |sz AS (SELECT lbl, COUNT(*) AS sz FROM lab$LpaRounds GROUP BY 1)
+         |SELECT sz AS community_size, COUNT(*) AS n_communities
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_link_prediction" ->
       s"""WITH ${edgeCte(1)},
          |sym AS (SELECT u1, u2 FROM edges UNION ALL SELECT u2, u1 FROM edges),

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariant / differential tests for the round-9 third-wave operators:
+  * unigram Viterbi segmentation, synchronous label propagation, the AMS
+  * F₂ sketch, and the Zipf activity fit. */
+class Round9cSpec extends SparkSpec {
+
+  /** Driver-side replica of portable_hash60 (first 15 md5 hex digits). */
+  private def h60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+  }
+
+  // ---- Unigram Viterbi (pure DP semantics) ----
+
+  test("viterbi picks the max-total-score segmentation") {
+    val sc = Map("a" -> 1L, "b" -> 1L, "ab" -> 10L)
+    val r = Unigram.viterbi("abab", sc)
+    assert(r.seg == "ab ab" && r.n_pieces == 2 && r.total_score == 20L)
+  }
+
+  test("viterbi tie on total score prefers the longer final piece") {
+    // "ab" as one piece scores 5; "a"+"b" also scores 5 — longer k wins
+    val sc = Map("a" -> 2L, "b" -> 3L, "ab" -> 5L)
+    val r = Unigram.viterbi("ab", sc)
+    assert(r.seg == "ab" && r.n_pieces == 1 && r.total_score == 5L)
+  }
+
+  test("viterbi falls back to single chars when no multi-piece applies") {
+    val sc = Map("x" -> 2L, "y" -> 2L, "z" -> 2L)
+    val r = Unigram.viterbi("xyz", sc)
+    assert(r.seg == "x y z" && r.n_pieces == 3 && r.total_score == 6L)
+  }
+
+  test("viterbi crosses a high-score piece boundary when it pays") {
+    // "bc" dominates, so "abcd" should split a | bc | d, not ab | cd
+    val sc = Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
+      "ab" -> 3L, "cd" -> 3L, "bc" -> 9L)
+    val r = Unigram.viterbi("abcd", sc)
+    assert(r.seg == "a bc d" && r.total_score == 11L)
+  }
+
+  // ---- Label propagation (synthetic two-community graph) ----
+
+  test("LPA resolves two triangles joined by a bridge into two communities") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u1", "u2")
+    val sym = und.union(und.select(col("u2").as("u1"), col("u1").as("u2")))
+    val got = Graph.lpaLabels(sym, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  // ---- AMS F2 sketch vs a driver-side recompute at sf0.001 ----
+
+  test("AMS estimator counters match a driver-side recompute") {
+    val freqs = graft.core.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val wantZ = (0 until 16).map { j =>
+      j.toLong -> freqs.map { case (u, f) =>
+        ((h60(s"ams$j:$u") % 2) * 2 - 1) * f
+      }.sum
+    }.toMap
+    val wantF2 = freqs.map { case (_, f) => f * f }.sum
+    val rows = AdvancedAggs.amsF2(spark, sfDir).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(r.getLong(1) == wantZ(r.getLong(0)), s"z mismatch at ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(1) * r.getLong(1))
+      assert(r.getLong(3) == wantF2)
+    }
+    val meanEst = wantZ.values.map(z => z * z).sum / 16
+    assert(rows.head.getLong(4) == meanEst)
+  }
+
+  // ---- Zipf activity fit vs a driver-side recompute at sf0.001 ----
+
+  test("Zipf activity moments and slope match a driver-side recompute") {
+    def qlog(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x * x)
+    val freqs = graft.core.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("f")).collect()
+      .map(_.getLong(1))
+    val tiers = freqs.groupBy(identity).map { case (f, g) => (f, g.length.toLong) }
+    // .toSeq BEFORE mapping: quantized (x, y) points collide, and mapping
+    // a Map would silently merge them (the Map.map trap)
+    val pts = tiers.toSeq.map { case (f, _) =>
+      val rank = 1L + tiers.collect { case (f2, n2) if f2 > f => n2 }.sum
+      (qlog(rank), qlog(f))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val r = Events.zipfActivity(spark, sfDir).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == sx && r.getLong(2) == sy)
+    assert(r.getLong(3) == sxx && r.getLong(4) == sxy)
+    assert(r.getDouble(5) == slope)
+    assert(slope < 0.0, "activity rank-frequency should be decreasing")
+  }
+}
