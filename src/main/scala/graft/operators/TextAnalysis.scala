@@ -918,7 +918,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney, ICASSP 1995;
+    * the smoothing KenLM ships as default and CCNet's quality LM rides
+    * on) — the principled upgrade over [[lmScore]]'s add-one baseline:
+    * absolute discount d = 3/4 off every seen bigram, with the freed
+    * mass re-spent through the CONTINUATION distribution (how many
+    * distinct contexts a word follows — which is why "francisco" scores
+    * low outside "san" even though it is frequent). With d = 3/4 the
+    * probability is an exact rational:
+    *
+    *   P = [(4·c12 − 3)·N + 3·T1·cont2] / (4·c1·N)
+    *
+    * (c1 = Σ_r c12 predecessor mass, T1 = distinct followers of l,
+    * cont2 = distinct predecessors of r, N = distinct bigram types), so
+    * both engines score it in BIGINT arithmetic: the per-bigram
+    * surprisal is the half-bit log of the INTEGER ratio den div num
+    * (num ≤ den always — the ratio is the rounded-down perplexity
+    * contribution), and the per-doc average ships as exact millis via
+    * floor division. Same two-level model shape as lmScore: one corpus
+    * bigram scan, vocab-bounded model aggregates broadcast back onto the
+    * per-doc bigram table. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x != '')").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> named_struct('l', a, 'r', b))")).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val db = bg.groupBy("doc_id", "l", "r").agg(count(lit(1)).as("k"))
+    val lm2 = bg.groupBy("l", "r").agg(count(lit(1)).as("c12"))
+    val lm1 = lm2.groupBy("l")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+    val cont = lm2.groupBy("r").agg(count(lit(1)).as("cont2"))
+    val nbt = lm2.agg(count(lit(1)).as("nbt"))
+    db.join(lm2, Seq("l", "r")).join(lm1, Seq("l")).join(cont, Seq("r"))
+      .crossJoin(broadcast(nbt))
+      .withColumn("num", expr("(4 * c12 - 3) * nbt + 3 * t1 * cont2"))
+      .withColumn("den", expr("4 * c1 * nbt"))
+      .withColumn("s", expr("length(bin((den div num) * (den div num))) * k"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("s")).as("kn_hbits"))
+      .withColumn("avg_millihb", expr("1000 * kn_hbits div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_kneser_ney" -> (kneserNey _),
     "ta_lm_score" -> (lmScore _),
     "ta_vocab_overlap" -> (vocabOverlap _),
     "ta_freq_spectrum" -> (freqSpectrum _),
@@ -971,6 +1017,28 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace(text, '$piiEmail', '<PII>', 'g'), '$piiUrl', '<PII>', 'g'), '$piiNum', '<PII>', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "ta_kneser_ney" ->
+      s"""WITH ws AS (SELECT doc_id,
+         |    list_filter($dToks, x -> x <> '') AS w FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS l, w[i+1] AS r
+         |  FROM ws, UNNEST(range(1, len(w))) AS u(i)),
+         |db AS (SELECT doc_id, l, r, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+         |lm2 AS MATERIALIZED (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY 1, 2),
+         |lm1 AS (SELECT l, CAST(SUM(c12) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS t1 FROM lm2 GROUP BY 1),
+         |cont AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cont2
+         |  FROM lm2 GROUP BY 1),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM lm2),
+         |j AS (SELECT db.doc_id, db.k,
+         |    length(bin(((4 * c1 * nbt) // ((4 * c12 - 3) * nbt + 3 * t1 * cont2))
+         |      * ((4 * c1 * nbt) // ((4 * c12 - 3) * nbt + 3 * t1 * cont2)))) * k AS s
+         |  FROM db JOIN lm2 USING (l, r) JOIN lm1 USING (l)
+         |  JOIN cont USING (r) CROSS JOIN nb)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(s) AS BIGINT) AS kn_hbits,
+         |  CAST(1000 * SUM(s) // SUM(k) AS BIGINT) AS avg_millihb
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_lm_score" ->
       s"""WITH ws AS (SELECT doc_id,
          |    list_filter($dToks, x -> x <> '') AS w FROM documents),

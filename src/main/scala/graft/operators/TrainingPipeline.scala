@@ -183,6 +183,56 @@ object TrainingPipeline {
       .orderBy("lang")
   }
 
+  /** Epoch cap for [[unimax]]: no language may be repeated for more than
+    * this many passes over its own corpus. */
+  val UnimaxEpochCap = 1L
+
+  /** UniMax language sampling (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023) — the budget allocator that replaced
+    * temperature sampling for multilingual pretraining: hand the
+    * training budget out as uniformly as possible, but never ask a
+    * language for more than [[UnimaxEpochCap]] epochs of its own corpus.
+    * The published algorithm is sequential water-filling over languages
+    * in ascending corpus size: each turn offers the language
+    * ⌊remaining/(languages left)⌋ and it takes min(cap, offer); whatever
+    * a small language cannot absorb raises everyone else's share. The
+    * budget here is 9/10 of the corpus token mass, which lands the gate
+    * corpus in BOTH regimes (the four small languages cap out at one
+    * epoch; the largest is budget-limited) — so the gate exercises the
+    * cap branch, the share branch and the floor-division remainders.
+    *
+    * Scale shape: the distributed part is the corpus scan into per-lang
+    * token masses; the fold itself runs over one row per LANGUAGE —
+    * bounded metadata (a few hundred rows for any real corpus, the same
+    * collect-the-model discipline as [[graft.operators.Bpe]]'s driver
+    * finishing), and the sequential dependence between turns is
+    * inherent to the published algorithm. Exact integers throughout. */
+  def unimax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("lang").agg(sum(col("n_toks")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = perLang.map(_._2).sum
+    val budget = 9L * total / 10
+    val order = perLang.sortBy { case (l, t) => (t, l) }
+    var remaining = budget
+    var m = order.length.toLong
+    val rows = order.zipWithIndex.map { case ((l, t), i) =>
+      val cap = UnimaxEpochCap * t
+      val share = remaining / m
+      val alloc = math.min(cap, share)
+      remaining -= alloc
+      m -= 1
+      (l, t, cap, share, alloc, if (alloc == cap) 1L else 0L, i + 1L)
+    }
+    rows.toSeq
+      .toDF("lang", "n_tokens", "cap", "share_at_turn", "alloc", "capped", "turn")
+      .orderBy("lang")
+  }
+
   /** Deterministic k-fold cross-validation assignment: fold =
     * portable_hash60("fold:" ++ doc_id) mod 5, reported as fold × lang
     * doc/char counts. Hashing a SALTED doc_id (rather than reusing the
@@ -657,7 +707,8 @@ object TrainingPipeline {
     "pipeline_pack_sequences" -> (packSequences _),
     "pipeline_pack_curriculum" -> (packCurriculum _),
     "pipeline_kfold" -> (kfold _),
-    "pipeline_token_budget" -> (tokenBudget _)
+    "pipeline_token_budget" -> (tokenBudget _),
+    "pipeline_unimax" -> (unimax _)
   )
 
   private val dh60s: String =
@@ -737,6 +788,33 @@ object TrainingPipeline {
          |SELECT r.doc_id, CAST(r.bucket AS BIGINT) AS bucket,
          |  CAST(o.off + r.rk AS BIGINT) AS position
          |FROM r JOIN o USING (bucket) ORDER BY position""".stripMargin,
+    "pipeline_unimax" ->
+      s"""WITH RECURSIVE t AS (SELECT lang,
+         |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS toks
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS BIGINT) AS m FROM t),
+         |rk AS (SELECT lang, toks,
+         |    ROW_NUMBER() OVER (ORDER BY toks, lang) AS i FROM t),
+         |wf(i, remaining, alloc) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(9 * total // 10 AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM tot
+         |  UNION ALL
+         |  SELECT r.i,
+         |    wf.remaining - LEAST($UnimaxEpochCap * r.toks,
+         |      wf.remaining // (tot.m - wf.i)),
+         |    LEAST($UnimaxEpochCap * r.toks, wf.remaining // (tot.m - wf.i))
+         |  FROM wf, tot, rk r WHERE r.i = wf.i + 1)
+         |SELECT r.lang, r.toks AS n_tokens,
+         |  CAST($UnimaxEpochCap * r.toks AS BIGINT) AS cap,
+         |  CAST(prev.remaining // (tot.m - r.i + 1) AS BIGINT) AS share_at_turn,
+         |  CAST(cur.alloc AS BIGINT) AS alloc,
+         |  CAST(CASE WHEN cur.alloc = $UnimaxEpochCap * r.toks
+         |    THEN 1 ELSE 0 END AS BIGINT) AS capped,
+         |  CAST(r.i AS BIGINT) AS turn
+         |FROM rk r JOIN wf cur ON cur.i = r.i
+         |JOIN wf prev ON prev.i = r.i - 1, tot
+         |ORDER BY r.lang""".stripMargin,
     "pipeline_token_budget" ->
       """WITH t AS (SELECT lang,
         |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS toks

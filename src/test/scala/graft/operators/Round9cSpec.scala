@@ -82,6 +82,68 @@ class Round9cSpec extends SparkSpec {
     assert(rows.head.getLong(4) == meanEst)
   }
 
+  // ---- UniMax water-filling invariants at sf0.001 ----
+
+  test("UniMax allocations respect cap, share and budget") {
+    val rows = TrainingPipeline.unimax(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val total = rows.map(_._1).sum
+    val budget = 9L * total / 10
+    rows.foreach { case (_, cap, share, alloc, capped) =>
+      assert(alloc == math.min(cap, share))
+      assert(capped == (if (alloc == cap) 1L else 0L))
+    }
+    assert(rows.map(_._4).sum <= budget)
+    // the gate corpus must exercise BOTH regimes
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L))
+  }
+
+  // ---- Kneser-Ney vs a driver-side recompute at sf0.001 ----
+
+  test("Kneser-Ney doc scores match a driver-side recompute") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val bigrams = docs.flatMap { case (id, ws) =>
+      ws.sliding(2).collect { case Array(a, b) => (id, a, b) }
+    }
+    val c12 = bigrams.groupBy(t => (t._2, t._3)).map { case (k, g) => k -> g.length.toLong }
+    val c1 = c12.toSeq.groupBy(_._1._1).map { case (l, g) => l -> g.map(_._2).sum }
+    val t1 = c12.toSeq.groupBy(_._1._1).map { case (l, g) => l -> g.length.toLong }
+    val cont2 = c12.toSeq.groupBy(_._1._2).map { case (r, g) => r -> g.length.toLong }
+    val nbt = c12.size.toLong
+    def bits(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x * x)
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, l, r) =>
+        val num = (4 * c12((l, r)) - 3) * nbt + 3 * t1(l) * cont2(r)
+        val den = 4 * c1(l) * nbt
+        bits(den / num)
+      }.sum
+      id -> (bs.length.toLong, s, 1000 * s / bs.length)
+    }
+    val got = TextAnalysis.kneserNey(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, s, avg) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == avg,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  // ---- Personalized PageRank invariants at sf0.001 ----
+
+  test("PPR output is positive, descending, and seeded mass stays local") {
+    val rows = Graph.pprInt(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_._2 > 0L))
+    assert(rows.map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+  }
+
   // ---- Zipf activity fit vs a driver-side recompute at sf0.001 ----
 
   test("Zipf activity moments and slope match a driver-side recompute") {
