@@ -961,6 +961,7 @@ object Similarity {
     "sim_topk_ivf_adc" -> (topkIvfAdc _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
+    "sim_matryoshka_recall" -> (matryoshkaRecall _),
     "sim_pq" -> (productQuantize _),
     "sim_ivf_kmeans" -> (ivfKmeans _),
     "sim_topk_ivf_trained" -> (topkIvfTrained _),
@@ -985,6 +986,75 @@ object Similarity {
     * Exactness: both top-3 sets use the same sequential-fold cosines and
     * vec_id tiebreaks as their parent queries, so the overlap counts are
     * engine-exact; the only double is the final recall division. */
+  /** Prefix dimensionality for [[matryoshkaRecall]] (16 of 64 dims =
+    * 4× cheaper ranking FLOPs/bandwidth). */
+  val MatryoshkaDims = 16
+
+  /** Shortlist size the prefix ranking hands to the full-dim re-rank. */
+  val MatryoshkaShortlist = 10
+
+  /** Matryoshka adaptive retrieval (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): embeddings trained so any
+    * PREFIX of the vector is itself a usable embedding let retrieval
+    * rank with the first [[MatryoshkaDims]] of 64 dims — 4× less compute
+    * and memory bandwidth per candidate — then re-rank only a
+    * [[MatryoshkaShortlist]]-deep shortlist at full precision. The query
+    * gates BOTH knobs against the exact full-dim top-3: recall of the
+    * prefix ranking alone (what truncation costs) and recall after the
+    * funnel's re-rank (what the shortlist recovers) — the measured
+    * cost/accuracy curve a 100 TB vector store runs before committing to
+    * truncated storage. Same bounded probe discipline as [[annRecall]]
+    * (fixed ≤200-query sample, exact side O(n) not O(n²)); prefix sims
+    * and full sims are the same in-order IEEE folds the other sim
+    * oracles pin, so even the double recalls hash-gate. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    Registry.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_product(embedding, embedding))"))
+      .withColumn("pre", expr(s"slice(embedding, 1, $MatryoshkaDims)"))
+      .withColumn("pnrm", expr("sqrt(dot_product(pre, pre))"))
+    val q = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("pre").as("qpre"), col("pnrm").as("qpnrm"))
+    val cands = emb.select("vec_id", "embedding", "nrm", "pre", "pnrm")
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val exact3 = cands
+      .select(col("query_id"), col("vec_id"), pairSim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+      .localCheckpoint() // joined against both recall variants
+    val shortlist = cands
+      .select(col("query_id"), col("vec_id"),
+        (expr("dot_product(qpre, pre)") / (col("qpnrm") * col("pnrm")))
+          .as("psim"))
+      .withColumn("rankp", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("psim").desc, col("vec_id"))))
+      .filter(col("rankp") <= MatryoshkaShortlist)
+      .localCheckpoint() // fanned into the prefix-only and re-rank paths
+    val prefix3 = shortlist.filter(col("rankp") <= 3)
+      .select("query_id", "vec_id")
+    val rerank3 = shortlist.select("query_id", "vec_id")
+      .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(q.select("query_id", "qv", "qnrm")), "query_id")
+      .select(col("query_id"), col("vec_id"), pairSim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+    def hits(sel: DataFrame, name: String): DataFrame =
+      exact3.join(sel, Seq("query_id", "vec_id")).agg(count(lit(1)).as(name))
+    q.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits(prefix3, "hits_prefix"))
+      .crossJoin(hits(rerank3, "hits_rerank"))
+      .select(col("n_queries"), col("hits_prefix"), col("hits_rerank"),
+        (col("hits_prefix").cast("double") / (col("n_queries") * 3))
+          .as("recall_prefix"),
+        (col("hits_rerank").cast("double") / (col("n_queries") * 3))
+          .as("recall_rerank"))
+  }
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     Registry.register(spark)
     val emb = lshBucketed(spark, dir)
@@ -1301,6 +1371,40 @@ object Similarity {
          |SELECT query_id, true_label, label AS pred_label, n_votes,
          |  label = true_label AS correct
          |FROM best WHERE vr = 1 ORDER BY query_id""".stripMargin,
+    "sim_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 5 = 0 AND vec_id < 1000),
+         |ex AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("q.qv", "e.embedding")} DESC, e.vec_id) AS rnk
+         |  FROM e, q WHERE e.vec_id <> q.query_id) x WHERE rnk <= 3),
+         |pr AS MATERIALIZED (SELECT query_id, vec_id, rnk FROM (
+         |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${cosSql(s"q.qv[1:$MatryoshkaDims]",
+                                  s"e.embedding[1:$MatryoshkaDims]")} DESC,
+         |        e.vec_id) AS rnk
+         |  FROM e, q WHERE e.vec_id <> q.query_id) x
+         |  WHERE rnk <= $MatryoshkaShortlist),
+         |rr AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT p.query_id, p.vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY p.query_id
+         |      ORDER BY ${cosSql("q.qv", "e.embedding")} DESC, p.vec_id) AS rnk
+         |  FROM pr p JOIN e ON e.vec_id = p.vec_id
+         |  JOIN q ON q.query_id = p.query_id) x WHERE rnk <= 3),
+         |hp AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_prefix
+         |  FROM ex JOIN pr ON pr.query_id = ex.query_id
+         |    AND pr.vec_id = ex.vec_id AND pr.rnk <= 3),
+         |hr AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_rerank
+         |  FROM ex JOIN rr ON rr.query_id = ex.query_id
+         |    AND rr.vec_id = ex.vec_id),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+         |SELECT n_queries, hits_prefix, hits_rerank,
+         |  CAST(hits_prefix AS DOUBLE) / (n_queries * 3) AS recall_prefix,
+         |  CAST(hits_rerank AS DOUBLE) / (n_queries * 3) AS recall_rerank
+         |FROM nq, hp, hr""".stripMargin,
     "sim_ivf_recall" ->
       s"""WITH $kmeansCte,
          |np AS (SELECT unnest([1, 2]) AS nprobe),

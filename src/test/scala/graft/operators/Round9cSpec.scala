@@ -144,6 +144,20 @@ class Round9cSpec extends SparkSpec {
     })
   }
 
+  // ---- Matryoshka funnel invariants at sf0.001 ----
+
+  test("Matryoshka re-rank recall dominates prefix-only recall") {
+    val r = Similarity.matryoshkaRecall(spark, sfDir).collect().head
+    val (n, hp, hr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0)
+    // the re-rank can only swap shortlist members toward exact order:
+    // anything the prefix top-3 got right stays available to the re-rank
+    assert(hr >= hp, s"rerank hits $hr < prefix hits $hp")
+    assert(hp <= 3 * n && hr <= 3 * n)
+    assert(r.getDouble(3) == hp.toDouble / (n * 3))
+    assert(r.getDouble(4) == hr.toDouble / (n * 3))
+  }
+
   // ---- Zipf activity fit vs a driver-side recompute at sf0.001 ----
 
   test("Zipf activity moments and slope match a driver-side recompute") {
