@@ -9,33 +9,142 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (not just
   * counted) so sorts, projections and sinks are paid, matching what a real
   * consumer of the result would observe.
+  *
+  * The artifact is SELF-ADJUDICATING against host CPU-steal (the recurring
+  * failure mode of driver bench runs on this host: rounds 4-9 all produced
+  * episodic 3-10x inflations on identical code). Three layers:
+  *
+  *  1. `per_query_reps` emits EVERY rep's wall time, so a consumer can see
+  *     when the post-warmup reps of one query disagree wildly — intra-query
+  *     rep spread is itself a burst detector (round 9's artifact kept only
+  *     first + converged min, hiding exactly this signal).
+  *  2. The calibration spin runs on ALL worker threads and reports the
+  *     WORST per-thread time ([[calibSpin]]): the round-9 single-thread
+  *     probe read max/min = 1.05 ("clean") while six queries inflated
+  *     3.6-9.6x, because a burst can steal the 32-way parallel pool while
+  *     leaving one core mostly free.
+  *  3. The headline carries two machine-computed suspect lists
+  *     ([[repSpreadSuspects]], [[calibSuspectQueries]]) so a polluted
+  *     artifact flags ITSELF — the consumer no longer needs a converged
+  *     rerun to discover that a top-20 entry is steal noise.
   */
 object Bench {
   @volatile private var calibSink: Long = 0L
 
-  /** Fixed single-thread calibration spin: 2^28 sequentially-dependent
-    * xorshift64 steps (each step reads the last one's output, so the JIT
-    * can neither fold the loop to a closed form nor vectorize it; the
-    * volatile sink keeps it live). On an unloaded core this takes a stable
-    * ~0.3-0.8 s; under host CPU-steal it inflates proportionally. Timed at
-    * checkpoints through the run and emitted as `calib_s` in the bench
-    * JSON, it makes a steal-polluted artifact machine-detectable: rounds
-    * 4-8 all produced driver bench numbers 30%+ above a converged rerun on
-    * identical code (r8: 288 s vs 217 s) with nothing in the artifact to
-    * tell a consumer. Compare the series' max to its min — a clean run is
-    * flat; a ratio well above ~1.3 marks the window where timings are
-    * untrustworthy.
-    */
-  private def calibSpin(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < (1 << 28)) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-      i += 1
+  /** One query's measured reps (rep 1 = cold/JIT warmup). */
+  private[graft] final case class QRes(name: String, reps: Vector[Double], ok: Boolean) {
+    def first: Double = reps.head
+    /** Min over post-warmup reps — the headline number. */
+    def converged: Double = if (reps.length > 1) reps.tail.min else reps.head
+  }
+
+  /** Multi-thread steal calibration: `threads` concurrent xorshift spins
+    * (2^27 sequentially-dependent steps each — the data dependence defeats
+    * closed-form folding and vectorization; the volatile sink keeps it
+    * live), reporting the WORST per-thread wall time. Saturating every
+    * slot for ~0.2-0.4 s makes pool-level steal visible in the slowest
+    * thread, which is the view a 32-way Spark stage actually has: a stage
+    * is as slow as its most-stolen task. On an unloaded host the worst
+    * thread matches the best within ~20%; under steal it inflates
+    * proportionally to the stolen fraction of the pool. */
+  private[graft] def calibSpin(threads: Int): Double = {
+    val worst = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until math.max(threads, 1)).map { _ =>
+      val t = new Thread(() => {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < (1 << 27)) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        calibSink = x
+        val dt = System.nanoTime() - t0
+        var cur = worst.get()
+        while (dt > cur && !worst.compareAndSet(cur, dt)) cur = worst.get()
+      })
+      t.setDaemon(true)
+      t.start()
+      t
     }
-    calibSink = x
-    (System.nanoTime() - t0) / 1e9
+    ts.foreach(_.join())
+    worst.get() / 1e9
+  }
+
+  /** Queries whose post-warmup reps disagree >= 3x (with the slow rep at
+    * least 0.5 s, so sub-100ms jitter never flags): the converged min of
+    * such a query is NOT corroborated by a second clean measurement, which
+    * is exactly the shape of round 9's six phantom regressions. */
+  private[graft] def repSpreadSuspects(rs: Seq[QRes]): Seq[String] =
+    rs.collect {
+      case r if {
+        val post = r.reps.drop(1)
+        post.length >= 2 && post.min > 0 &&
+          post.max / post.min >= 3.0 && post.max >= 0.5
+      } => r.name
+    }
+
+  /** Queries bracketed by a polluted calibration window: query index qi
+    * runs between checkpoint qi/calibEvery and the next one (checkpoint 0
+    * precedes the first query; one is emitted after every `calibEvery`
+    * queries and after the last). If EITHER bracketing checkpoint read
+    * >= 1.5x the run's cleanest checkpoint, every timing in that window is
+    * untrustworthy — including the case the rep-spread detector cannot
+    * see, a burst long enough to inflate ALL reps of a query equally. */
+  private[graft] def calibSuspectQueries(
+      names: Seq[String], calibEvery: Int, calibs: IndexedSeq[Double]): Seq[String] = {
+    if (calibs.isEmpty || calibs.min <= 0) return Seq.empty
+    val floor = calibs.min
+    def polluted(ci: Int): Boolean =
+      calibs(math.min(ci, calibs.length - 1)) >= 1.5 * floor
+    names.zipWithIndex.collect {
+      case (n, qi) if polluted(qi / calibEvery) || polluted(qi / calibEvery + 1) => n
+    }
+  }
+
+  /** Render the three output lines from measured results — pure, so the
+    * JSON shape and both suspect detectors are spec-pinnable without a
+    * bench run (BenchJsonSpec replays round 9's pollution pattern). */
+  private[graft] def renderLines(
+      rs: Seq[QRes], calibs: IndexedSeq[Double], calibEvery: Int,
+      sfDir: String): Seq[String] = {
+    val qs = rs.map { r => "\"" + r.name + f"""\":${r.converged}%.3f""" }
+      .mkString("{", ",", "}")
+    val qsFirst = rs.map { r => "\"" + r.name + f"""\":${r.first}%.3f""" }
+      .mkString("{", ",", "}")
+    val qsReps = rs.map { r =>
+      "\"" + r.name + "\":" + r.reps.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // A failing query's near-zero "timing" must not masquerade as a healthy
+    // fast run: list failures explicitly so the JSON is self-reporting.
+    val failed = rs.collect { case r if !r.ok => "\"" + r.name + "\"" }
+      .mkString("[", ",", "]")
+    val total = rs.map(_.converged).sum
+    val totalFirst = rs.map(_.first).sum
+    // The complete per-query converged timings print FIRST on their own
+    // line: a consumer that truncates or tails the output still gets every
+    // query's number from one parseable line (the round-6 bench artifact
+    // lost ~2/3 of per-query timings to tail truncation of the single
+    // giant headline line). Rep arrays and first-run timings follow on
+    // their own lines. The HEADLINE (final line, what a 2000-char tail
+    // keeps) stays small by embedding only the top-20 slowest converged
+    // queries — under the key "top20_queries", NOT "queries", so a stale
+    // full-map parser can never silently read 20 entries as the set.
+    val top20 = rs.sortBy(-_.converged).take(20)
+      .map { r => "\"" + r.name + f"""\":${r.converged}%.3f""" }
+      .mkString("{", ",", "}")
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calibRatio =
+      if (calibs.nonEmpty && calibs.min > 0) calibs.max / calibs.min else 1.0
+    val spreadSusp = repSpreadSuspects(rs).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val calibSusp = calibSuspectQueries(rs.map(_.name), calibEvery, calibs)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    Seq(
+      s"""{"metric":"per_query_converged","queries":$qs}""",
+      s"""{"metric":"per_query_reps","reps":$qsReps}""",
+      s"""{"metric":"per_query_first","queries":$qsFirst}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,18 +175,20 @@ object Bench {
     // episodic CPU-steal bursts (observed 3-10x swings on identical code
     // between consecutive runs; round 5's three "regressions" were all
     // first-rep artifacts that converged re-runs dismissed). The first-run
-    // time is still reported alongside ("queries_first") so cold-path cost
-    // stays visible, but the headline total is quoted on converged reps.
+    // time is still reported alongside ("per_query_first") so cold-path
+    // cost stays visible; the headline total is quoted on converged reps.
     // Default 3 reps (1 warmup + min-of-2); override via SPARK_GRAFT_BENCH_REPS.
     val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt, 1)
+    val nCalibThreads = cpus.toInt
     val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
     // Steal-calibration checkpoints: one spin before the first query, one
     // after every ~10% of the list, one after the last — an 11-point
-    // time-series over the whole run (~5 s total overhead at 0.5 s/spin).
+    // time-series over the whole run (~5 s total overhead).
     val calibEvery = math.max(1, qseq.length / 10)
-    val calibs = scala.collection.mutable.ArrayBuffer[Double](calibSpin())
+    val calibs =
+      scala.collection.mutable.ArrayBuffer[Double](calibSpin(nCalibThreads))
     val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).toVector.map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -87,41 +198,12 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      if ((qi + 1) % calibEvery == 0 || qi == qseq.length - 1) calibs += calibSpin()
-      val first = times.head._1
-      val converged = if (reps > 1) times.tail.map(_._1).min else first
-      (name, first, converged, times.forall(_._2))
+      if ((qi + 1) % calibEvery == 0 || qi == qseq.length - 1)
+        calibs += calibSpin(nCalibThreads)
+      QRes(name, times.map(_._1), times.forall(_._2))
     }
-    val qs = results.map { case (k, _, v, _) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    // A failing query's near-zero "timing" must not masquerade as a healthy
-    // fast run: list failures explicitly so the JSON is self-reporting.
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._3).sum
-    val totalFirst = results.map(_._2).sum
-    // The complete per-query converged timings print FIRST on their own
-    // line: a consumer that truncates or tails the output still gets every
-    // query's number from one parseable line (the round-6 bench artifact
-    // lost ~2/3 of per-query timings to tail truncation of the single
-    // giant headline line). First-run timings follow on their own line.
-    // The HEADLINE (final line, what a 2000-char tail keeps) stays small
-    // by embedding only the top-20 slowest converged queries — the full
-    // 265-query map made the final line ~7 KB, so a tail window lost most
-    // of it AND the leading brace, leaving nothing parseable. The key is
-    // "top20_queries", NOT "queries": a truncated map under the full-map
-    // key would let a stale parser silently read 20 entries as the
-    // complete set (the full map is the per_query_converged line).
-    val top20 = results.sortBy(-_._3).take(20)
-      .map { case (k, _, v, _) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val calibRatio = if (calibs.nonEmpty && calibs.min > 0) calibs.max / calibs.min else 1.0
-    println(s"""{"metric":"per_query_converged","queries":$qs}""")
-    println(s"""{"metric":"per_query_first","queries":$qsFirst}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${results.length},"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"sf":"$sfDir"}""")
+    renderLines(results, calibs.toIndexedSeq, calibEvery, sfDir)
+      .foreach(println)
     spark.stop()
   }
 }

@@ -1444,7 +1444,19 @@ object AdvancedAggs {
     * squares (floor div — exact), and the exact F₂ rides along so the
     * estimator's error is itself gated. One partial-aggregated frequency
     * scan + a 16×-explode of the ≤|users| frequency table; the sketch
-    * state that crosses the wire is 16 rows. */
+    * state that crosses the wire is 16 rows.
+    *
+    * EXACTNESS DOMAIN: |Z_j| ≤ F₁ (total event count), so `z_sq` and the
+    * 16-term `f2_est_mean` sum stay inside BIGINT while F₁ ≤ ~3.0e9
+    * (√(2⁶³/16)); likewise `f2_exact` needs Σf² < 2⁶³. Beyond that the
+    * squares need 128-bit arithmetic — but BOTH engines' wide types decay
+    * to float64 at this gate's pandas boundary (DuckDB HUGEINT and
+    * DECIMAL(38,0) alike), so a wider output column cannot be
+    * exact-compared here, and at such magnitudes the sketch's own ~1/√16
+    * relative error dwarfs 64-bit rounding anyway: a 100 TB deployment
+    * would carry z_sq as DECIMAL(38,0) (or double) and gate only z. The
+    * BIGINT formulation is the exact-while-exact-is-possible choice, not
+    * an unstated assumption. */
   def amsF2(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
     val freq = Tables.events(spark, dir)

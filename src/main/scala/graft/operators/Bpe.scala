@@ -142,7 +142,7 @@ object Bpe {
     * maintained driver-side with zero extra jobs) — it detects merge
     * outputs that COLLIDE with an existing symbol, where standing counts
     * can rise and the hazard must add them. */
-  private def selectBatch(
+  private[operators] def selectBatch(
       cands: Array[(String, String, Long)],
       truncated: Boolean,
       maxAccept: Int,
@@ -186,11 +186,19 @@ object Bpe {
         var j = 0
         while (j < cands.length) {
           val (l2, r2, c2) = cands(j)
-          var contrib = -1L
-          var key: (String, String) = null
-          if (r2 == l) { contrib = c2; key = (l2, m) }      // (x, l) → (x, m)
-          else if (l2 == r) { contrib = c2; key = (m, r2) } // (r, y) → (m, y)
-          if (contrib >= 0) {
+          // A generator pair can play BOTH adjacency roles at once — the
+          // reversed candidate (r, l) creates (x,m) occurrences when only
+          // its right symbol merges, (m,y) occurrences when only its left
+          // symbol merges, and (m,m) when both do — so ALL matching keys
+          // must be registered, not the first branch that hits (each
+          // occurrence maps injectively to ONE old adjacency, so c2
+          // independently bounds every key it can generate).
+          var keys: List[(String, String)] = Nil
+          if (r2 == l) keys ::= ((l2, m))           // (x, l) → (x, m)
+          if (l2 == r) keys ::= ((m, r2))           // (r, y) → (m, y)
+          if (r2 == l && l2 == r) keys ::= ((m, m)) // (r, l) → (m, m)
+          keys.foreach { key =>
+            var contrib = c2
             if (collision)
               contrib += pcMap.getOrElse(key, if (truncated) sentinel else 0L)
             if (contrib > hazard) { hazard = contrib; tieKeys = List(key); tieUnknown = false }

@@ -93,7 +93,17 @@ object WarcV2Source {
   * [[KvV2Sink]]). The synthesized corpus is cached per (path, corpus
   * fingerprint) under java.io.tmpdir — the fingerprint (count, max id,
   * Σ n_chars) is one cheap columnar aggregate and guards against the
-  * driver regenerating testdata between sessions. */
+  * driver regenerating testdata between sessions.
+  *
+  * DEPLOYMENT ASSUMPTION: the pack job writes through java.io/java.nio
+  * against a path that executors and driver must SHARE — true in local
+  * mode (this environment) and on any shared mount, NOT on a 1000-executor
+  * cluster with node-local tmpdirs. The READ connector has no such
+  * assumption (it opens whatever path its InputPartition names). Porting
+  * the pack job to a cluster means routing these writes through the Hadoop
+  * FileSystem API at a shared store, keeping the identical staged-directory
+  * + atomic-publish protocol; the container FORMAT and the planner's
+  * pruning contract are unchanged by that swap. */
 object WarcContainer {
   val NumContainers = 8
 
@@ -250,11 +260,18 @@ private[v2] class WarcScan(dir: String, required: StructType,
     val d = Paths.get(dir)
     require(Files.exists(d.resolve("_SUCCESS")),
       s"graft-warc: $dir has no _SUCCESS marker (half-written corpus?)")
-    Files.list(d).iterator().asScala
+    // Files.list holds an open directory handle until closed — planning
+    // happens once per scan (and Bench replans every rep), so an unclosed
+    // stream leaks a descriptor per query execution.
+    val listing = Files.list(d)
+    val files =
+      try listing.iterator().asScala.map(_.toAbsolutePath.toString).toArray
+      finally listing.close()
+    files.iterator
       .flatMap { p =>
-        p.getFileName.toString match {
+        Paths.get(p).getFileName.toString match {
           case WarcV2Source.FileName(_, lo, hi) =>
-            Some((p.toString, lo.toLong, hi.toLong))
+            Some((p, lo.toLong, hi.toLong))
           case _ => None
         }
       }

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pins the bench artifact's JSON shape and its self-adjudication layer
+  * WITHOUT a bench run, by replaying the exact conditions that polluted
+  * BENCH_r09: six top-20 entries inflated 3.6-9.6x by episodic host steal
+  * while the (then single-thread) calibration series read "clean". The
+  * contract proven here: an artifact produced under those conditions now
+  * flags the affected queries ITSELF, via either the rep-spread detector
+  * (post-warmup reps disagree >= 3x) or the calibration-window detector
+  * (a bracketing checkpoint >= 1.5x the run's floor). */
+class BenchJsonSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  // Round-9 replay: four queries, calibEvery = 2 -> checkpoint 0 precedes
+  // the run, checkpoint 1 lands after query index 1, checkpoint 2 after
+  // index 3. The steal burst spans the second window (indices 2-3),
+  // inflating ALL reps of "w_allreps" (the case rep-spread cannot see) and
+  // spiking checkpoint 2 to 2.0s vs the 0.5s floor.
+  private val rs = Seq(
+    Bench.QRes("a_clean", Vector(1.0, 0.5, 0.5), ok = true),
+    Bench.QRes("b_spread", Vector(1.0, 3.0, 0.6), ok = true), // min survives, but 3.0/0.6=5x
+    Bench.QRes("w_allreps", Vector(9.0, 9.5, 9.3), ok = true), // converged 9.3 is PURE steal
+    Bench.QRes("z_jitter", Vector(0.02, 0.04, 0.01), ok = true)) // 4x ratio but sub-floor
+  private val calibs = IndexedSeq(0.5, 0.52, 2.0)
+  private val lines = Bench.renderLines(rs, calibs, calibEvery = 2, sfDir = "/sf")
+
+  test("every emitted line is valid standalone JSON with its metric key") {
+    assert(lines.length == 4)
+    val metrics = lines.map { l =>
+      val node = mapper.readTree(l) // throws on malformed JSON
+      node.get("metric").asText()
+    }
+    assert(metrics == Seq(
+      "per_query_converged", "per_query_reps", "per_query_first", "total"))
+  }
+
+  test("per_query_reps preserves every rep of every query") {
+    val reps = mapper.readTree(lines(1)).get("reps")
+    assert(reps.size() == 4)
+    val b = reps.get("b_spread")
+    assert(b.size() == 3)
+    assert(math.abs(b.get(1).asDouble() - 3.0) < 1e-9,
+      "the inflated middle rep must survive into the artifact verbatim")
+  }
+
+  test("rep-spread detector flags the query whose post-warmup reps disagree 3x") {
+    val head = mapper.readTree(lines(3))
+    val flagged = (0 until head.get("rep_spread_suspects").size())
+      .map(head.get("rep_spread_suspects").get(_).asText())
+    assert(flagged == Seq("b_spread"),
+      "exactly the wide-spread query; NOT the sub-0.5s jitter query")
+  }
+
+  test("calibration-window detector flags all-rep inflation invisible to spread") {
+    val head = mapper.readTree(lines(3))
+    val flagged = (0 until head.get("calib_suspect_queries").size())
+      .map(head.get("calib_suspect_queries").get(_).asText())
+    // window 2 (indices 2-3) is bracketed by the 2.0s checkpoint
+    assert(flagged == Seq("w_allreps", "z_jitter"),
+      "every query in the polluted window is untrustworthy, spread or not")
+    assert(head.get("calib_max_over_min").asDouble() >= 3.0)
+  }
+
+  test("headline keeps converged totals, top20 map and failure list") {
+    val head = mapper.readTree(lines(3))
+    assert(head.get("n_queries").asInt() == 4)
+    assert(head.has("top20_queries") && !head.has("queries"),
+      "full map must NOT ride the headline (tail-truncation hazard)")
+    assert(math.abs(head.get("value").asDouble() - (0.5 + 0.6 + 9.3 + 0.01)) < 1e-6)
+    assert(head.get("failed").size() == 0)
+  }
+
+  test("a clean flat run flags nothing") {
+    val clean = Seq(
+      Bench.QRes("q1", Vector(1.0, 0.5, 0.5), ok = true),
+      Bench.QRes("q2", Vector(2.0, 1.1, 1.0), ok = true))
+    val head = mapper.readTree(
+      Bench.renderLines(clean, IndexedSeq(0.5, 0.55, 0.52), 1, "/sf")(3))
+    assert(head.get("rep_spread_suspects").size() == 0)
+    assert(head.get("calib_suspect_queries").size() == 0)
+    assert(head.get("calib_max_over_min").asDouble() < 1.3)
+  }
+
+  test("multi-thread calibration spin returns a plausible worst-thread time") {
+    // Not a steal assertion (CI noise) — just that the parallel spin runs,
+    // returns positive seconds, and the worst thread >= a single-thread run
+    // of the same kernel (it cannot be faster than the best case).
+    val t = Bench.calibSpin(4)
+    assert(t > 0.0 && t < 30.0)
+  }
+}

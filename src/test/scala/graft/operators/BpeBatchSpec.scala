@@ -83,6 +83,32 @@ class BpeBatchSpec extends SparkSpec {
     assert(a == b, "per-word symbol arrays must match exactly")
   }
 
+  test("(r,l)-tie corner: reversed candidate registers ALL its new-pair keys") {
+    // Accepting (x,z) -> m="xz" makes the REVERSED candidate (z,x) a
+    // generator of THREE possible new-pair keys: (z,xz) when only its
+    // right x merges, (xz,x) when only its left z merges, (xz,xz) when
+    // both do. A tie-break enumeration that keeps only the first-branch
+    // key (z,xz) would accept the count-tied candidate (y,w) — because
+    // (z,xz) sorts after (y,w) — even though the unregistered key (xz,x)
+    // sorts BEFORE it and could win sequential greedy's (count,l,r)
+    // tie-break. The safe answer is to stop the batch after (x,z).
+    val cands = Array(("x", "z", 10L), ("y", "w", 5L), ("z", "x", 5L))
+    val known = scala.collection.mutable.Set("x", "z", "y", "w")
+    val acc = Bpe.selectBatch(cands, truncated = false,
+      maxAccept = Int.MaxValue, joiner = "", knownSymbols = known)
+    assert(acc == Seq(("x", "z", 10L)),
+      s"tie against an unregistered (m,*) key must stop the batch, got $acc")
+    // Control: with the tied candidate sorting after EVERY generated key
+    // ((z,xz) < (zz,*) keys... use l_i > all of m,l2), acceptance is safe
+    // and must still happen — the fix must not over-reject clean ties.
+    val cands2 = Array(("a", "b", 10L), ("c", "d", 5L))
+    val known2 = scala.collection.mutable.Set("a", "b", "c", "d")
+    val acc2 = Bpe.selectBatch(cands2, truncated = false,
+      maxAccept = Int.MaxValue, joiner = "", knownSymbols = known2)
+    assert(acc2 == Seq(("a", "b", 10L), ("c", "d", 5L)),
+      s"disjoint non-generator candidates above the hazard must batch, got $acc2")
+  }
+
   test("driver-finishing path equals the distributed loop exactly") {
     // The production route for any vocab under DriverVocabLimit: one
     // collect, exact in-memory greedy. Must reproduce the distributed
