@@ -63,74 +63,19 @@ object SubstringDedup {
     * ingest, exactly how a 100 TB corpus would maintain its window index.
     * The pre-write `repartition` on `h` aligns writer tasks with bucket
     * ids so each bucket is one file, not one-per-task fragments. */
-  /** Per-JVM table-name suffix. Managed bucketed tables share ONE
-    * warehouse directory across JVMs, and the round-9 scheme
-    * (fingerprint-keyed NAME + delete-stale-location-then-rebuild) let a
-    * second concurrent JVM — bench running alongside verify — race its
-    * Files.walk delete against the other's in-flight saveAsTable. Unique
-    * names make the two builds fully independent, which loses nothing:
-    * the in-memory catalog is per-JVM, so cross-JVM sharing never
-    * happened anyway. The shutdown hook (below) removes this JVM's index
-    * dirs on exit, and [[sweepStale]] garbage-collects dirs orphaned by
-    * killed JVMs — the settle-by-isolation discipline of WarcContainer's
-    * staged ATOMIC_MOVE publish, adapted to managed tables. */
-  private val JvmTag = java.util.UUID.randomUUID().toString.take(8)
-
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
-
-  /** Remove window-index dirs left by long-dead JVMs (kill -9 skips the
-    * shutdown hook). 24h is far beyond any session's lifetime here, so a
-    * concurrently-live JVM's index is never at risk. */
-  private def sweepStale(warehouse: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.isDirectory(warehouse)) return
-    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-    val listing = java.nio.file.Files.list(warehouse)
-    try listing.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("graft_winidx_") && !n.endsWith(JvmTag) &&
-          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-        try deleteRec(p) catch { case _: java.io.IOException => () }
-      }
-    } finally listing.close()
-  }
-
-  private def warehousePath(spark: SparkSession): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
-
   private def windowHashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
     val fp = Tables.documents(spark, dir)
       .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars"))).head()
-    val key = java.lang.Long.toHexString(
-      java.util.Objects.hash(dir, fp.getLong(0), fp.getLong(1),
-        fp.getLong(2)).toLong & 0xffffffffL)
-    val tbl = s"graft_winidx_${key}_$JvmTag"
-    // Synchronized build: Verify runs queries from a thread pool, and two
-    // substring queries racing the tableExists check would double-create.
-    this.synchronized {
-      if (!spark.catalog.tableExists(tbl)) {
-        val wh = warehousePath(spark)
-        sweepStale(wh)
-        Tables.documents(spark, dir)
-          .select(col("doc_id"),
-            explode(expr(s"char_window_hashes(text, $L)")).as("h"))
-          .distinct()
-          .repartition(WinIdxBuckets, col("h"))
-          .write.bucketBy(WinIdxBuckets, "h").sortBy("h")
-          .format("parquet").mode("overwrite").saveAsTable(tbl)
-        val loc = wh.resolve(tbl)
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try deleteRec(loc) catch { case _: Throwable => () }))
-      }
+    val key = graft.core.BucketedCache.fingerprint(
+      dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    graft.core.BucketedCache.getOrBuild(
+      spark, "graft_winidx", key, WinIdxBuckets, "h", "h") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(expr(s"char_window_hashes(text, $L)")).as("h"))
+        .distinct()
     }
-    spark.table(tbl)
   }
 
   /** Per-document duplication profile: how much of each document's window

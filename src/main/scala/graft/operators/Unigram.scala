@@ -9,8 +9,9 @@ import graft.core.Tables
   * Improving Neural Network Translation Models with Multiple Subword
   * Candidates", ACL 2018) — the SentencePiece-family tokenizer that
   * complements [[Bpe]]: instead of learning merges bottom-up, it scores a
-  * seed piece inventory and segments each word by VITERBI — the maximal
-  * total-piece-score decomposition. This is the third tokenizer family in
+  * piece inventory and segments each word by VITERBI — the maximal
+  * total-likelihood decomposition — then refines the inventory by one
+  * hard-EM round ([[unigramEm]]). This is the third tokenizer family in
   * the pillar (char BPE, phrase BPE, unigram), and it exercises the one
   * shape BPE never does: per-word dynamic programming under a broadcast
   * model.
@@ -30,19 +31,27 @@ import graft.core.Tables
   * stream — the standard train-on-vocab / apply-to-corpus split of every
   * production tokenizer.
   *
-  * DETERMINISM: piece scores are the engine's half-bit integer log
-  * quantization (`length(bin(cnt²))` = ⌊2·log₂ cnt⌋ + 1 — libm-free, the
-  * ta_lm_score discipline), so the DP objective is exact BIGINT
-  * arithmetic; ties on total score break to the LONGER final piece,
-  * which makes the argmax unique (same score + same length ⇒ same
-  * piece). Every single-character piece is kept unconditionally
+  * OBJECTIVE & DETERMINISM: Kudo's model maximizes Σ log p(piece), and
+  * log-probabilities are NEGATIVE — so the integer formulation MINIMIZES
+  * a per-piece COST, the half-bit quantized negative log-likelihood:
+  * cost(piece) = c2l(T) − c2l(cnt), where c2l(c) = length(bin(c²)) =
+  * ⌊2·log₂ c⌋ + 1 (libm-free, the ta_lm_score discipline) and T is the
+  * kept inventory's total count mass, so cost ≈ 2·log₂(T/cnt) ≥ 0 in
+  * half-bit units. Minimization is what makes the tokenizer non-trivial:
+  * every extra piece pays its own normalization term, so frequent long
+  * pieces beat char-spray — a maximized positive score would
+  * degenerately prefer single characters on every word. The DP objective
+  * is exact BIGINT arithmetic; ties on total cost break to the LONGER
+  * final piece, which makes the argmin unique (same cost + same length ⇒
+  * same piece). Every single-character piece is kept unconditionally
   * (segmentability guarantee — exactly SentencePiece's required-char
-  * rule); multi-char pieces need corpus support ≥ [[Unigram.MinPieceCount]].
+  * rule); multi-char pieces need corpus support ≥
+  * [[Unigram.MinPieceCount]].
   *
   * The DuckDB oracle re-derives the identical model and runs the same DP
   * as a [[Unigram.OracleMaxLen]]-stage chained-CTE forward pass (stage i
   * joins stages i−1…i−MaxPieceLen against the piece table and takes the
-  * per-word (score, piece-length) argmax) — a deliberately different
+  * per-word (cost, piece-length) argmin) — a deliberately different
   * formulation from the Scala array-walk, so the gate cross-checks the
   * recurrence itself, not one implementation.
   */
@@ -62,27 +71,33 @@ object Unigram {
     * longest word are empty and cost nothing. */
   val OracleMaxLen = 16
 
+  /** Half-bit log quantization: ⌊2·log₂ c⌋ + 1 for c ≥ 1, and 1 for
+    * c = 0 (length of "0") — identical to `length(bin(c*c))` in both
+    * engines. */
+  private[operators] def c2l(c: Long): Long =
+    java.lang.Long.toBinaryString(c * c).length.toLong
+
   /** UDF result row; public because the generated encoder code must be
     * able to reference the class and its accessors. */
-  case class SegResult(seg: String, n_pieces: Long, total_score: Long)
+  case class SegResult(seg: String, n_pieces: Long, total_cost: Long)
 
-  /** Viterbi over one word under the broadcast score map: best(i) =
-    * max over k ≤ min(i, MaxPieceLen), piece = w[i−k, i) ∈ V of
-    * best(i−k) + score(piece); ties prefer larger k. */
-  private[operators] def viterbi(w: String, score: collection.Map[String, Long]): SegResult = {
+  /** Viterbi over one word under the broadcast cost map: best(i) =
+    * min over k ≤ min(i, MaxPieceLen), piece = w[i−k, i) ∈ V of
+    * best(i−k) + cost(piece); ties prefer larger k. */
+  private[operators] def viterbi(w: String, cost: collection.Map[String, Long]): SegResult = {
     val L = w.length
-    val best = Array.fill(L + 1)(Long.MinValue)
+    val best = Array.fill(L + 1)(Long.MaxValue)
     val backK = new Array[Int](L + 1)
     best(0) = 0L
     var i = 1
     while (i <= L) {
       var k = 1
       while (k <= MaxPieceLen && k <= i) {
-        if (best(i - k) != Long.MinValue) {
-          score.get(w.substring(i - k, i)) match {
+        if (best(i - k) != Long.MaxValue) {
+          cost.get(w.substring(i - k, i)) match {
             case Some(s) =>
               val cand = best(i - k) + s
-              if (cand > best(i) || (cand == best(i) && k > backK(i))) {
+              if (cand < best(i) || (cand == best(i) && k > backK(i))) {
                 best(i) = cand
                 backK(i) = k
               }
@@ -111,75 +126,201 @@ object Unigram {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Per-word Viterbi segmentation under the corpus-trained unigram
-    * inventory: (word, freq, n_pieces, total_score, seg). */
-  def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
+  /** Seed (round-1) inventory costs: every ≤[[MaxPieceLen]]-gram of the
+    * vocabulary weighted by word frequency, single chars kept
+    * unconditionally, multi-char pieces needing ≥ [[MinPieceCount]]
+    * support. The kept counts collect to the driver (alphabet-bounded
+    * model metadata — the train-model / apply-distributed split), where
+    * the total mass T and the per-piece costs are finished in memory. */
+  private[operators] def seedCosts(spark: SparkSession, vocab: DataFrame)
+      : collection.Map[String, Long] = {
     import spark.implicits._
-    val vocab = wordVocab(spark, dir).localCheckpoint()
-    val scores = vocab
+    val counts = vocab
       .select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, length(word)), s ->
            |  transform(sequence(1, least($MaxPieceLen, length(word) - s + 1)),
            |    k -> substring(word, s, k))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
       .filter(length(col("piece")) === 1 || col("cnt") >= MinPieceCount)
-      .select(col("piece"), length(bin(col("cnt") * col("cnt"))).cast("long").as("sc"))
       .as[(String, Long)]
       .collect()
-      .toMap
-    val bc = spark.sparkContext.broadcast(scores)
+    val cT = c2l(counts.iterator.map(_._2).sum)
+    counts.iterator.map { case (p, c) => p -> (cT - c2l(c)) }.toMap
+  }
+
+  /** Segment every vocab word under `costs`: (word, freq, n_pieces,
+    * total_cost, seg). */
+  private def segment(spark: SparkSession, vocab: DataFrame,
+      costs: collection.Map[String, Long]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(costs)
     val seg = udf((w: String) => viterbi(w, bc.value))
     vocab
       .select(col("word"), col("freq"), seg(col("word")).as("r"))
       .select(col("word"), col("freq"), col("r.n_pieces"),
-        col("r.total_score"), col("r.seg"))
+        col("r.total_cost"), col("r.seg"))
       .orderBy("word")
   }
 
+  /** Round-1 segmentation of an arbitrary vocab — factored out so
+    * UnigramEmSpec can drive synthetic vocabularies. */
+  private[operators] def viterbiSegment(spark: SparkSession, vocab: DataFrame): DataFrame =
+    segment(spark, vocab, seedCosts(spark, vocab))
+
+  /** Per-word Viterbi segmentation under the corpus-trained unigram
+    * inventory: (word, freq, n_pieces, total_cost, seg). */
+  def unigramViterbi(spark: SparkSession, dir: String): DataFrame =
+    viterbiSegment(spark, wordVocab(spark, dir).localCheckpoint())
+
+  /** One hard-EM refinement round (Viterbi training — the hard-count
+    * variant of Kudo's E/M alternation, which uses forward–backward
+    * expected counts; hard counts keep every quantity an exact BIGINT so
+    * the round stays cross-engine gateable):
+    *
+    *   E — segment the vocabulary under the SEED inventory (round 1's
+    *       Viterbi) and count each piece's usage, weighted by word
+    *       frequency, with multiplicity;
+    *   M — rebuild the inventory from usage: multi-char pieces below
+    *       [[MinPieceCount]] usage drop out (Kudo's inventory pruning —
+    *       pieces that merely OCCUR but are never CHOSEN disappear),
+    *       single chars stay unconditionally (segmentability; zero usage
+    *       costs c2l(T₂) − 1, the maximal finite penalty), and costs are
+    *       re-quantized against the new total mass T₂;
+    *   then re-segment under the refined inventory.
+    *
+    * The re-estimated model concentrates probability on pieces the DP
+    * actually uses rather than all substrings that occur — the defining
+    * difference between a trainer and a scorer — and CAN change
+    * segmentations (UnigramEmSpec pins a vocab where a round-1 choice
+    * flips). Distribution shape is round 1's exactly: the E-step usage
+    * count is one explode of the segmented DISTINCT-word table (never
+    * per occurrence), both models are alphabet-bounded broadcast maps,
+    * segmentation is map-side DP — no shuffle beyond the vocab-sized
+    * usage aggregation, no iteration driver round-trips beyond the two
+    * model collects. */
+  private[operators] def emSegment(spark: SparkSession, vocab: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc1 = spark.sparkContext.broadcast(seedCosts(spark, vocab))
+    val seg1 = udf((w: String) => viterbi(w, bc1.value))
+    val usage = vocab
+      .select(col("freq"),
+        explode(split(seg1(col("word")).getField("seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val alphabet = vocab.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("piece"))
+      .distinct()
+      .as[String]
+      .collect()
+    val kept2: Map[String, Long] =
+      alphabet.iterator.map(a => a -> usage.getOrElse(a, 0L)).toMap ++
+        usage.iterator.filter { case (p, c) => p.length > 1 && c >= MinPieceCount }
+    val cT2 = c2l(kept2.valuesIterator.sum)
+    val costs2 = kept2.map { case (p, c) => p -> (cT2 - c2l(c)) }
+    segment(spark, vocab, costs2)
+  }
+
+  /** Round-2 (post-EM) per-word segmentation over the corpus vocab. */
+  def unigramEm(spark: SparkSession, dir: String): DataFrame =
+    emSegment(spark, wordVocab(spark, dir).localCheckpoint())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_unigram_viterbi" -> (unigramViterbi _)
+    "text_unigram_viterbi" -> (unigramViterbi _),
+    "text_unigram_em" -> (unigramEm _)
   )
 
   /** One forward-DP stage of the oracle: rows ending at position i via a
-    * final piece of length k come from stage i−k; the per-word argmax is
-    * (total score DESC, k DESC). MATERIALIZED is load-bearing — each
-    * stage is referenced by up to [[MaxPieceLen]] later stages. */
-  private def dpStageSql(i: Int): String = {
+    * final piece of length k come from stage i−k; the per-word argmin is
+    * (total cost ASC, k DESC). MATERIALIZED is load-bearing — each
+    * stage is referenced by up to [[MaxPieceLen]] later stages.
+    * Parameterized by stage prefix and piece-table name so the EM oracle
+    * can run a SECOND full DP pass under the re-estimated inventory. */
+  private def dpStageSql(i: Int, pfx: String, vName: String): String = {
     val members = (1 to math.min(MaxPieceLen, i)).map { k =>
       s"""SELECT word, freq, best, np, seg, $k AS k,
          |      substr(word, ${i - k + 1}, $k) AS p
-         |    FROM d${i - k} WHERE length(word) >= $i""".stripMargin
+         |    FROM $pfx${i - k} WHERE length(word) >= $i""".stripMargin
     }.mkString("\n    UNION ALL ")
-    s"""d$i AS MATERIALIZED (SELECT word, freq, best, np, seg FROM (
+    s"""$pfx$i AS MATERIALIZED (SELECT word, freq, best, np, seg FROM (
        |  SELECT c.word, c.freq, c.best + v.sc AS best, c.np + 1 AS np,
        |    CASE WHEN c.seg = '' THEN c.p ELSE c.seg || ' ' || c.p END AS seg,
        |    ROW_NUMBER() OVER (PARTITION BY c.word
-       |      ORDER BY c.best + v.sc DESC, c.k DESC) AS rn
-       |  FROM ($members) c JOIN v ON v.piece = c.p) WHERE rn = 1)""".stripMargin
+       |      ORDER BY c.best + v.sc ASC, c.k DESC) AS rn
+       |  FROM ($members) c JOIN $vName v ON v.piece = c.p) WHERE rn = 1)""".stripMargin
   }
+
+  private def finalSelectSql(pfx: String): String =
+    s"""SELECT word, freq, np AS n_pieces, best AS total_cost, seg
+       |FROM (${(1 to OracleMaxLen)
+             .map(i => s"SELECT * FROM $pfx$i WHERE length(word) = $i")
+             .mkString("\n  UNION ALL ")})
+       |ORDER BY word""".stripMargin
+
+  /** Shared WITH prelude: word vocab, kept seed counts, total-mass
+    * quantization, seed cost table `v`, and the round-1 DP stages
+    * d1..d[[OracleMaxLen]]. */
+  private def preludeSql: String =
+    s"""WITH w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                  x -> x <> '')) AS word
+       |        FROM documents) GROUP BY 1),
+       |pos AS (SELECT word, freq, s, k
+       |  FROM w, (SELECT unnest(range(1, ${OracleMaxLen + 1})) AS s) ss,
+       |          (SELECT unnest(range(1, ${MaxPieceLen + 1})) AS k) ks
+       |  WHERE s + k - 1 <= length(word)),
+       |pc AS (SELECT substr(word, CAST(s AS INTEGER), CAST(k AS INTEGER)) AS piece,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt FROM pos GROUP BY 1),
+       |kv AS MATERIALIZED (SELECT piece, cnt FROM pc
+       |  WHERE length(piece) = 1 OR cnt >= $MinPieceCount),
+       |tot AS (SELECT CAST(length(bin(s * s)) AS BIGINT) AS ct
+       |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM kv)),
+       |v AS MATERIALIZED (SELECT piece,
+       |    (SELECT ct FROM tot) - CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
+       |  FROM kv),
+       |d0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
+       |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
+       |${(1 to OracleMaxLen).map(dpStageSql(_, "d", "v")).mkString(",\n")}"""
+      .stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_unigram_viterbi" ->
-      s"""WITH w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-         |                                  x -> x <> '')) AS word
-         |        FROM documents) GROUP BY 1),
-         |pos AS (SELECT word, freq, s, k
-         |  FROM w, (SELECT unnest(range(1, ${OracleMaxLen + 1})) AS s) ss,
-         |          (SELECT unnest(range(1, ${MaxPieceLen + 1})) AS k) ks
-         |  WHERE s + k - 1 <= length(word)),
-         |pc AS (SELECT substr(word, CAST(s AS INTEGER), CAST(k AS INTEGER)) AS piece,
-         |    CAST(SUM(freq) AS BIGINT) AS cnt FROM pos GROUP BY 1),
-         |v AS MATERIALIZED (SELECT piece,
-         |    CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
-         |  FROM pc WHERE length(piece) = 1 OR cnt >= $MinPieceCount),
-         |d0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
-         |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
-         |${(1 to OracleMaxLen).map(dpStageSql).mkString(",\n")}
-         |SELECT word, freq, np AS n_pieces, best AS total_score, seg
-         |FROM (${(1 to OracleMaxLen)
+      s"""$preludeSql
+         |${finalSelectSql("d")}""".stripMargin,
+    // Hard-EM round: E = usage counts (with multiplicity, freq-weighted)
+    // from the round-1 segmentation; M = inventory rebuild + half-bit
+    // recost against the new total mass (single chars unconditional via
+    // the alphabet LEFT JOIN — zero usage costs cT2 - 1 — multi-char
+    // needs MinPieceCount usage); then the SECOND 16-stage DP pass
+    // e1..e16 under v2. The SET raises the expression-depth budget for
+    // the doubled chain.
+    "text_unigram_em" ->
+      s"""SET max_expression_depth TO 20000;
+         |$preludeSql,
+         |seg1 AS MATERIALIZED (SELECT word, freq, seg FROM (
+         |  ${(1 to OracleMaxLen)
                .map(i => s"SELECT * FROM d$i WHERE length(word) = $i")
-               .mkString("\n  UNION ALL ")})
-         |ORDER BY word""".stripMargin
+               .mkString("\n  UNION ALL ")})),
+         |usage AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM seg1)
+         |  GROUP BY 1),
+         |alpha AS (SELECT DISTINCT substr(word, CAST(s AS INTEGER), 1) AS piece
+         |  FROM pos WHERE k = 1),
+         |kept2 AS MATERIALIZED (
+         |  SELECT a.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+         |    FROM alpha a LEFT JOIN usage u ON u.piece = a.piece
+         |  UNION ALL
+         |  SELECT piece, cnt FROM usage
+         |    WHERE length(piece) > 1 AND cnt >= $MinPieceCount),
+         |tot2 AS (SELECT CAST(length(bin(s * s)) AS BIGINT) AS ct
+         |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM kept2)),
+         |v2 AS MATERIALIZED (SELECT piece,
+         |    (SELECT ct FROM tot2) - CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
+         |  FROM kept2),
+         |e0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
+         |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
+         |${(1 to OracleMaxLen).map(dpStageSql(_, "e", "v2")).mkString(",\n")}
+         |${finalSelectSql("e")}""".stripMargin
   )
 }

@@ -19,31 +19,33 @@ class Round9cSpec extends SparkSpec {
 
   // ---- Unigram Viterbi (pure DP semantics) ----
 
-  test("viterbi picks the max-total-score segmentation") {
-    val sc = Map("a" -> 1L, "b" -> 1L, "ab" -> 10L)
+  test("viterbi picks the min-total-cost segmentation") {
+    // costs are quantized NEGATIVE log-probs: cheaper = more probable
+    val sc = Map("a" -> 10L, "b" -> 10L, "ab" -> 1L)
     val r = Unigram.viterbi("abab", sc)
-    assert(r.seg == "ab ab" && r.n_pieces == 2 && r.total_score == 20L)
+    assert(r.seg == "ab ab" && r.n_pieces == 2 && r.total_cost == 2L)
   }
 
-  test("viterbi tie on total score prefers the longer final piece") {
-    // "ab" as one piece scores 5; "a"+"b" also scores 5 — longer k wins
+  test("viterbi tie on total cost prefers the longer final piece") {
+    // "ab" as one piece costs 5; "a"+"b" also costs 5 — longer k wins
     val sc = Map("a" -> 2L, "b" -> 3L, "ab" -> 5L)
     val r = Unigram.viterbi("ab", sc)
-    assert(r.seg == "ab" && r.n_pieces == 1 && r.total_score == 5L)
+    assert(r.seg == "ab" && r.n_pieces == 1 && r.total_cost == 5L)
   }
 
   test("viterbi falls back to single chars when no multi-piece applies") {
     val sc = Map("x" -> 2L, "y" -> 2L, "z" -> 2L)
     val r = Unigram.viterbi("xyz", sc)
-    assert(r.seg == "x y z" && r.n_pieces == 3 && r.total_score == 6L)
+    assert(r.seg == "x y z" && r.n_pieces == 3 && r.total_cost == 6L)
   }
 
-  test("viterbi crosses a high-score piece boundary when it pays") {
-    // "bc" dominates, so "abcd" should split a | bc | d, not ab | cd
+  test("viterbi crosses a cheap piece boundary when it pays") {
+    // "bc" is near-free, so "abcd" should split a | bc | d (cost 3), not
+    // ab | cd (6) or singles (4)
     val sc = Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
-      "ab" -> 3L, "cd" -> 3L, "bc" -> 9L)
+      "ab" -> 3L, "cd" -> 3L, "bc" -> 1L)
     val r = Unigram.viterbi("abcd", sc)
-    assert(r.seg == "a bc d" && r.total_score == 11L)
+    assert(r.seg == "a bc d" && r.total_cost == 3L)
   }
 
   // ---- Label propagation (synthetic two-community graph) ----
