@@ -88,13 +88,19 @@ object Bench {
     * runs between checkpoint qi/calibEvery and the next one (checkpoint 0
     * precedes the first query; one is emitted after every `calibEvery`
     * queries and after the last). If EITHER bracketing checkpoint read
-    * >= 1.5x the run's cleanest checkpoint, every timing in that window is
+    * >= 1.5x the run's MEDIAN checkpoint, every timing in that window is
     * untrustworthy — including the case the rep-spread detector cannot
-    * see, a burst long enough to inflate ALL reps of a query equally. */
+    * see, a burst long enough to inflate ALL reps of a query equally.
+    * The baseline is the median, not the min: worst-of-N-threads sampling
+    * has a long scheduling tail even on an idle host (a measured clean
+    * run spanned 0.30-0.49 s across 12 checkpoints), so min-anchoring
+    * flagged half of a clean run; a genuine steal burst still reads
+    * multiples of the median. */
   private[graft] def calibSuspectQueries(
       names: Seq[String], calibEvery: Int, calibs: IndexedSeq[Double]): Seq[String] = {
     if (calibs.isEmpty || calibs.min <= 0) return Seq.empty
-    val floor = calibs.min
+    val sorted = calibs.sorted
+    val floor = sorted(sorted.length / 2)
     def polluted(ci: Int): Boolean =
       calibs(math.min(ci, calibs.length - 1)) >= 1.5 * floor
     names.zipWithIndex.collect {

@@ -270,7 +270,14 @@ object Similarity {
     * the update is one partial-aggregated (cid, component) hash agg —
     * exactly how distributed k-means is deployed; iterations are a fixed
     * small constant (quantizer training, not convergence-chasing). */
-  private def kmeansAssigned(spark: SparkSession, dir: String): DataFrame = {
+  private def kmeansAssigned(spark: SparkSession, dir: String): DataFrame =
+    kmeansModel(spark, dir)._1
+
+  /** [[kmeansAssigned]] plus the collected trained centroid table — the
+    * residual quantizer ([[ivfadcResidual]]) needs the centroids
+    * themselves, not just the assignment. */
+  private def kmeansModel(spark: SparkSession, dir: String)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
     Registry.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val init = emb.filter(col("vec_id") <= 7)
@@ -334,7 +341,7 @@ object Similarity {
             element_at(element_at(centMatrix, (j + 1).cast("int")), (i + 1).cast("int"))
           acc + d * d
         }))
-    emb
+    val assigned = emb
       .withColumn("dists", dists)
       .withColumn("dist", array_min(col("dists")))
       .withColumn("cid",
@@ -346,6 +353,7 @@ object Similarity {
         // their top-r cells without re-deriving the codebook.
         array_sort(zip_with(col("dists"), cidArr,
           (d, c) => struct(d.as("dist"), c.as("cid")))).as("cells"))
+    (assigned, cents)
   }
 
   /** Final k-means cell assignment per vector (2 trained iterations). */
@@ -541,10 +549,10 @@ object Similarity {
     * tables over [[pqAssigned]]'s codes) ranks them without touching a
     * single database vector — the two-level shape of Jégou, Douze &
     * Schmid's IVFADC system (TPAMI 2011). (This variant quantizes raw
-    * vectors rather than cell residuals — the codes are shared with
-    * `sim_pq`/`sim_topk_pq_adc`, keeping one codebook per corpus; the
-    * residual refinement changes which codebook trains, not the plan
-    * shape.)
+    * vectors — the codes are shared with `sim_pq`/`sim_topk_pq_adc`,
+    * keeping one codebook per corpus; [[ivfadcResidual]] is the
+    * residual-trained twin and gates the accuracy delta between the two
+    * at equal code size.)
     *
     * Scale shape — why this is THE billion-vector search plan: the
     * candidate join is cell-keyed (n/k per probe, no corpus shuffle),
@@ -573,6 +581,219 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("rank") <= 3)
       .orderBy("query_id", "rank")
+  }
+
+  /** Residual frame: per vector, the 64-dim double residual to its
+    * assigned coarse centroid — exact componentwise IEEE subtraction of
+    * the fixed-point-mean centroid, identical in both engines. */
+  private def residualFrame(asg: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val centMatrix: Column = array(cents.toSeq.map { case (_, c) =>
+      array(c.toSeq.map(lit): _*)
+    }: _*)
+    val cidArr: Column = array(cents.toSeq.map(c => lit(c._1)): _*)
+    val cvec = element_at(centMatrix,
+      array_position(cidArr, col("cid")).cast("int"))
+    asg.withColumn("rv", transform(sequence(lit(0), lit(63)),
+      j => element_at(col("embedding"), (j + 1).cast("int")).cast("double") -
+        element_at(cvec, (j + 1).cast("int"))))
+  }
+
+  /** PQ training over the RESIDUAL frame — [[pqAssigned]]'s exact
+    * pipeline (deterministic init = vectors 0..3, one Lloyd iteration
+    * with fixed-point centroid means, first-min argmin) re-run on the
+    * `rv` column. Kept separate from pqAssigned rather than
+    * parameterized so the three raw-code gates keep their byte-exact
+    * plans. Returns (frame with rcode/rd columns, residual codebook). */
+  private def pqResidualAssigned(res: DataFrame)
+      : (DataFrame, Map[Int, Array[(Int, Array[Double])]]) = {
+    // `res` carries the COARSE cell as `cid`; the PQ cells reuse that
+    // column name inside training, so train on a trimmed projection.
+    val rv0 = res.select(col("vec_id"), col("rv"))
+    val init = rv0.filter(col("vec_id") <= 3)
+      .select(col("vec_id").cast("int").as("cid"), explode(expr(
+        """transform(sequence(0, 3), s -> named_struct(
+          |  's', s, 'c', slice(rv, s*16+1, 16)))""".stripMargin)).as("sc"))
+      .select(col("sc.s").as("s"), col("cid"), col("sc.c").as("c"))
+    val assigned = rv0.crossJoin(broadcast(init))
+      .withColumn("dist", expr(
+        """aggregate(sequence(0, 15), cast(0.0 as double),
+          |  (acc, i) -> acc + (rv[s*16 + i] - c[i]) * (rv[s*16 + i] - c[i]))"""
+          .stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("rv"), col("s"), col("cid"))
+    val trained = assigned
+      .select(col("s"), col("cid"), posexplode(expr("slice(rv, s*16+1, 16)")))
+      .toDF("s", "cid", "i", "v")
+      .groupBy(col("s"), col("cid"), col("i"))
+      .agg(
+        sum(expr("cast(floor(v * 1000000.0d + 0.5d) as bigint)")).as("ss"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("ss").cast("double") / 1000000.0 / col("n"))
+      .groupBy(col("s"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("c"))
+    val cb: Map[Int, Array[(Int, Array[Double])]] = trained.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+    val withDists = (0 until 4).foldLeft(res) { case (df, s) =>
+      val cells = cb(s)
+      val m = array(cells.toSeq.map { case (_, c) =>
+        array(c.toSeq.map(lit): _*)
+      }: _*)
+      val cidA = array(cells.toSeq.map(c => lit(c._1)): _*)
+      val dists = transform(
+        sequence(lit(0), lit(cells.length - 1)),
+        j => aggregate(
+          sequence(lit(0), lit(15)), lit(0.0),
+          (acc, k) => {
+            val d = element_at(col("rv"), (lit(s * 16) + k + 1).cast("int")) -
+              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
+            acc + d * d
+          }))
+      df.withColumn(s"rdists$s", dists)
+        .withColumn(s"rd$s", array_min(col(s"rdists$s")))
+        .withColumn(s"rcode$s", element_at(cidA,
+          array_position(col(s"rdists$s"), col(s"rd$s")).cast("int")))
+    }
+    (withDists, cb)
+  }
+
+  /** Residual distance tables / code lookup — [[adcDistTables]] /
+    * [[adcLookup]] over the residual columns. */
+  private def adcResDistTables(queriesDf: DataFrame,
+      cb: Map[Int, Array[(Int, Array[Double])]]): DataFrame =
+    (0 until 4).foldLeft(queriesDf) { case (df, s) =>
+      val cells = cb(s)
+      val m = array(cells.toSeq.map { case (_, c) =>
+        array(c.toSeq.map(lit): _*)
+      }: _*)
+      val dt = transform(
+        sequence(lit(0), lit(cells.length - 1)),
+        j => aggregate(
+          sequence(lit(0), lit(15)), lit(0.0),
+          (acc, k) => {
+            val d = element_at(col("rv"), (lit(s * 16) + k + 1).cast("int")) -
+              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
+            acc + d * d
+          }))
+      df.withColumn(s"rdt$s", dt)
+    }
+
+  private def adcResLookup(
+      cb: Map[Int, Array[(Int, Array[Double])]], s: Int): Column = {
+    val cells = cb(s)
+    cells.zipWithIndex.tail.foldLeft(
+      when(col(s"rcode$s") === cells.head._1,
+        element_at(col(s"rdt$s"), 1))) { case (acc, ((cid, _), idx)) =>
+      acc.when(col(s"rcode$s") === cid, element_at(col(s"rdt$s"), idx + 1))
+    }
+  }
+
+  /** RESIDUAL-quantized IVFADC vs the raw-vector variant, at equal code
+    * size — the accuracy half of the Jégou, Douze & Schmid composition
+    * that [[topkIvfAdc]]'s plan shape leaves on the table: coding the
+    * residual x − c(cell(x)) instead of x itself spends the same 4 codes
+    * on a far smaller-variance signal (the coarse quantizer has already
+    * explained the cell-level structure), so reconstruction error drops
+    * and ADC ranking tightens. This query runs BOTH systems over the
+    * IDENTICAL candidate sets (each query's own coarse cell, nprobe = 1,
+    * same 8-byte/vector budget) and gates the deltas:
+    *
+    *   - `hits` / `recall`: top-3-by-ADC agreement with the EXACT
+    *     within-cell L2 top-3 (the ground truth both approximate),
+    *     summed over the 10-query probe batch;
+    *   - `err_micro`: the corpus-wide fixed-point sum of per-subspace
+    *     reconstruction errors — the quantization-MSE functional, exact
+    *     BIGINT in both engines.
+    *
+    * Ivfadc residual-vs-raw is gated the way `sim_matryoshka_recall`
+    * gates its funnel: both operating points in one result, so the gate
+    * verifies the LIFT, not just each system in isolation (Round10Spec
+    * asserts the direction; the oracle hashes the exact values).
+    *
+    * Scale shape: identical to [[topkIvfAdc]] — the residual transform
+    * is a map-side broadcast-centroid subtraction fused into the same
+    * scan that assigns codes; training adds one Lloyd pass over the
+    * residual frame (same partial-agg shape); nothing new shuffles. */
+  def ivfadcResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (asg, kcents) = kmeansModel(spark, dir)
+    val res = residualFrame(asg, kcents).localCheckpoint()
+    // raw codes + codebook (shared with sim_pq/sim_topk_pq_adc)
+    val (rawDists, rawCb) = pqAssigned(spark, dir)
+    val rawCodes = rawDists.select(col("vec_id"),
+      col("code0"), col("code1"), col("code2"), col("code3"),
+      col("d0"), col("d1"), col("d2"), col("d3"))
+    val (resDists, resCb) = pqResidualAssigned(res)
+    val resCodes = resDists.select(col("vec_id"), col("cid").as("rcid"),
+      col("rcode0"), col("rcode1"), col("rcode2"), col("rcode3"),
+      col("rd0"), col("rd1"), col("rd2"), col("rd3"))
+
+    val coarse = asg.select(col("vec_id"), col("cid"), col("embedding"))
+    val qRaw = Tables.embeddings(spark, dir).filter(col("vec_id") <= 9)
+      .join(coarse.select(col("vec_id"), col("cid")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("cid"), col("embedding"))
+    val qRes = res.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("cid"), col("rv"))
+
+    // exact within-cell ground truth: in-order IEEE L2 fold
+    val gt = qRaw.select(col("query_id"), col("cid"),
+        col("embedding").as("qv"))
+      .join(coarse.select(col("cid"), col("vec_id"), col("embedding")), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("l2", expr(
+        """aggregate(sequence(0, 63), cast(0.0 as double),
+          |  (acc, i) -> acc + (cast(qv[i] as double) - cast(embedding[i] as double))
+          |                * (cast(qv[i] as double) - cast(embedding[i] as double)))"""
+          .stripMargin))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint() // fans into both variants' hit joins
+
+    def top3(adcRanked: DataFrame): DataFrame = adcRanked
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"))
+    val rawTop = top3(
+      broadcast(adcDistTables(qRaw, rawCb).drop("embedding"))
+        .join(rawCodes.join(coarse.select(col("vec_id"), col("cid")), "vec_id"),
+          Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (adcLookup(rawCb, 0) + adcLookup(rawCb, 1) + adcLookup(rawCb, 2)
+            + adcLookup(rawCb, 3)).as("adc")))
+    val resTop = top3(
+      broadcast(adcResDistTables(qRes, resCb).drop("rv"))
+        .join(resCodes.withColumnRenamed("rcid", "cid"), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (adcResLookup(resCb, 0) + adcResLookup(resCb, 1)
+            + adcResLookup(resCb, 2) + adcResLookup(resCb, 3)).as("adc")))
+
+    def variantRow(name: String, top: DataFrame, err: DataFrame): DataFrame = {
+      val hits = top.join(gt, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val n = gt.agg(count(lit(1)).as("n_gt"))
+      hits.crossJoin(n).crossJoin(err)
+        .select(lit(name).as("variant"), col("hits"), col("n_gt"),
+          (col("hits").cast("double") / col("n_gt").cast("double")).as("recall"),
+          col("err_micro"))
+    }
+    val rawErr = rawCodes.select(
+      explode(array(col("d0"), col("d1"), col("d2"), col("d3"))).as("d"))
+      .agg(sum(expr("cast(floor(d * 1000000.0d + 0.5d) as bigint)")).as("err_micro"))
+    val resErr = resCodes.select(
+      explode(array(col("rd0"), col("rd1"), col("rd2"), col("rd3"))).as("d"))
+      .agg(sum(expr("cast(floor(d * 1000000.0d + 0.5d) as bigint)")).as("err_micro"))
+    variantRow("adc_raw", rawTop, rawErr)
+      .unionByName(variantRow("adc_residual", resTop, resErr))
+      .orderBy("variant")
   }
 
   /** SemDeDup (Abbas et al., arXiv 2023): SEMANTIC near-duplicate pruning
@@ -959,6 +1180,7 @@ object Similarity {
     "dedup_semantic" -> (semanticDedup _),
     "sim_topk_pq_adc" -> (topkPqAdc _),
     "sim_topk_ivf_adc" -> (topkIvfAdc _),
+    "sim_ivfadc_residual" -> (ivfadcResidual _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
@@ -1233,6 +1455,125 @@ object Similarity {
          |  FROM adc)
          |SELECT query_id, ccell AS cid, vec_id, adc, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Residual IVFADC vs raw IVFADC: kmeans chain (k-prefixed) + raw PQ
+    // chain + a residual PQ chain (r-prefixed) trained on rv = x - c(cell),
+    // both ranked by ADC over the query's own coarse cell, scored against
+    // the exact within-cell L2 top-3, plus the corpus-wide fixed-point
+    // reconstruction-error sums.
+    "sim_ivfadc_residual" ->
+      s"""WITH $kmeansCteK,
+         |$pqCte,
+         |resf AS MATERIALIZED (SELECT ka.vec_id, ka.cid,
+         |    list_transform(range(0, 64), j ->
+         |      CAST(ka.embedding[j + 1] AS DOUBLE) - kc.c[j + 1]) AS rv
+         |  FROM kasg2 ka JOIN kcent2 kc USING (cid)),
+         |rinit AS (SELECT r.s, CAST(vec_id AS INTEGER) AS cid,
+         |    list_transform(range(0, 16), k -> rv[r.s*16 + k + 1]) AS c
+         |  FROM resf, range(0, 4) r(s) WHERE vec_id <= 3),
+         |ra1 AS (SELECT e.vec_id, e.rv, ci.s, ci.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (e.rv[ci.s*16 + k + 1] - ci.c[k + 1])
+         |          * (e.rv[ci.s*16 + k + 1] - ci.c[k + 1]))),
+         |      (a, b) -> a + b) AS dist
+         |  FROM resf e CROSS JOIN rinit ci),
+         |rasg1 AS (SELECT vec_id, rv, s, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist, cid) AS rn FROM ra1) WHERE rn = 1),
+         |rupd AS (SELECT s, cid, k,
+         |    CAST(SUM(CAST(floor(rv[s*16 + k + 1] * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS ss,
+         |    COUNT(*) AS n
+         |  FROM rasg1, range(0, 16) r(k) GROUP BY s, cid, k),
+         |rcent2 AS MATERIALIZED (SELECT s, cid,
+         |    list(CAST(ss AS DOUBLE) / 1000000.0 / n ORDER BY k) AS c
+         |  FROM rupd GROUP BY s, cid),
+         |ra2 AS (SELECT e.vec_id, ci.s, ci.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (e.rv[ci.s*16 + k + 1] - ci.c[k + 1])
+         |          * (e.rv[ci.s*16 + k + 1] - ci.c[k + 1]))),
+         |      (a, b) -> a + b) AS dist
+         |  FROM resf e CROSS JOIN rcent2 ci),
+         |rasg2 AS MATERIALIZED (SELECT vec_id, s, cid, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist, cid) AS rn FROM ra2) WHERE rn = 1),
+         |q AS (SELECT ka.vec_id AS query_id, ka.cid, ka.embedding
+         |  FROM kasg2 ka WHERE ka.vec_id <= 9),
+         |gt AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY l2, vec_id) AS rk
+         |  FROM (SELECT q.query_id, c.vec_id,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(0, 64), i ->
+         |          (CAST(q.embedding[i + 1] AS DOUBLE)
+         |             - CAST(c.embedding[i + 1] AS DOUBLE))
+         |          * (CAST(q.embedding[i + 1] AS DOUBLE)
+         |             - CAST(c.embedding[i + 1] AS DOUBLE)))),
+         |        (a, b) -> a + b) AS l2
+         |    FROM q JOIN kasg2 c ON c.cid = q.cid
+         |      AND c.vec_id <> q.query_id)) WHERE rk <= 3),
+         |dt AS (SELECT q.query_id, c.s, c.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (CAST(q.embedding[c.s*16 + k + 1] AS DOUBLE) - c.c[k + 1])
+         |          * (CAST(q.embedding[c.s*16 + k + 1] AS DOUBLE) - c.c[k + 1]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM q CROSS JOIN cent2 c),
+         |adcr AS (SELECT q.query_id, a.vec_id,
+         |    (MAX(CASE WHEN a.s = 0 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 1 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 2 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 3 THEN dd.d END)) AS adc
+         |  FROM q
+         |  JOIN kasg2 kc ON kc.cid = q.cid AND kc.vec_id <> q.query_id
+         |  JOIN asg2 a ON a.vec_id = kc.vec_id
+         |  JOIN dt dd ON dd.query_id = q.query_id AND dd.s = a.s
+         |    AND dd.cid = a.cid
+         |  GROUP BY 1, 2),
+         |rawtop AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adcr) WHERE rk <= 3),
+         |rq AS (SELECT vec_id AS query_id, cid, rv FROM resf WHERE vec_id <= 9),
+         |rdt AS (SELECT rq.query_id, c.s, c.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (rq.rv[c.s*16 + k + 1] - c.c[k + 1])
+         |          * (rq.rv[c.s*16 + k + 1] - c.c[k + 1]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM rq CROSS JOIN rcent2 c),
+         |radc AS (SELECT rq.query_id, a.vec_id,
+         |    (MAX(CASE WHEN a.s = 0 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 1 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 2 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 3 THEN dd.d END)) AS adc
+         |  FROM rq
+         |  JOIN kasg2 kc ON kc.cid = rq.cid AND kc.vec_id <> rq.query_id
+         |  JOIN rasg2 a ON a.vec_id = kc.vec_id
+         |  JOIN rdt dd ON dd.query_id = rq.query_id AND dd.s = a.s
+         |    AND dd.cid = a.cid
+         |  GROUP BY 1, 2),
+         |restop AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM radc) WHERE rk <= 3),
+         |ngt AS (SELECT COUNT(*) AS n_gt FROM gt)
+         |SELECT variant, hits, n_gt,
+         |  CAST(hits AS DOUBLE) / CAST(n_gt AS DOUBLE) AS recall, err_micro
+         |FROM (
+         |  SELECT 'adc_raw' AS variant,
+         |    (SELECT COUNT(*) FROM rawtop t JOIN gt USING (query_id, vec_id)) AS hits,
+         |    (SELECT n_gt FROM ngt) AS n_gt,
+         |    (SELECT CAST(SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))
+         |       AS BIGINT) FROM asg2) AS err_micro
+         |  UNION ALL
+         |  SELECT 'adc_residual' AS variant,
+         |    (SELECT COUNT(*) FROM restop t JOIN gt USING (query_id, vec_id)) AS hits,
+         |    (SELECT n_gt FROM ngt) AS n_gt,
+         |    (SELECT CAST(SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))
+         |       AS BIGINT) FROM rasg2) AS err_micro)
+         |ORDER BY variant""".stripMargin,
     "sim_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 500),

@@ -84,6 +84,22 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(head.get("calib_max_over_min").asDouble() < 1.3)
   }
 
+  test("worst-of-N scheduling tail does not pollute a clean run's flags") {
+    // Measured clean-host series (12 checkpoints spanning 0.30-0.49 s):
+    // anchoring the pollution floor at the MIN flags half the run; the
+    // median floor keeps a clean run clean while a real burst (multiples
+    // of the median) still trips the 1.5x gate.
+    val clean = Seq(
+      Bench.QRes("q1", Vector(1.0, 0.5, 0.5), ok = true),
+      Bench.QRes("q2", Vector(1.0, 0.5, 0.5), ok = true),
+      Bench.QRes("q3", Vector(1.0, 0.5, 0.5), ok = true),
+      Bench.QRes("q4", Vector(1.0, 0.5, 0.5), ok = true))
+    val tailCalibs = IndexedSeq(0.30, 0.45, 0.47, 0.49, 0.44)
+    val head = mapper.readTree(Bench.renderLines(clean, tailCalibs, 1, "/sf")(3))
+    assert(head.get("calib_suspect_queries").size() == 0,
+      "scheduling-tail spread around the median must not flag")
+  }
+
   test("multi-thread calibration spin returns a plausible worst-thread time") {
     // Not a steal assertion (CI noise) — just that the parallel spin runs,
     // returns positive seconds, and the worst thread >= a single-thread run
