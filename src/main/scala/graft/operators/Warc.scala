@@ -27,13 +27,17 @@ object Warc {
   }
 
   /** Full round-trip: payloads AND reconstructed headers hash-verified
-    * per language. */
+    * per language. `sum_len` gates the UNCOMPRESSED byte totals — the
+    * quantity DuckDB can recompute from the parquet text (it has no gzip;
+    * the compressed-span invariants are spec-gated in WarcV2SourceSpec
+    * instead) — so a wrong inflate anywhere flips both the hash AND the
+    * length column. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame =
     containers(spark, dir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_records"),
-        sum(col("content_length")).as("sum_len"),
+        sum(col("uncompressed_length")).as("sum_len"),
         expr("bit_xor(portable_hash60(payload))").as("xor_payload_hash"),
         expr("bit_xor(portable_hash60(target_uri))").as("xor_uri_hash"),
         min(col("record_id")).as("min_id"),
@@ -41,16 +45,18 @@ object Warc {
       .orderBy("lang")
 
   /** Header-only scan: the pruned-schema path — the connector parses
-    * record headers and SKIPS every payload via Content-Length (the
-    * streamability property container formats exist for; WarcV2SourceSpec
-    * asserts the payload column never reaches the scan schema). */
+    * record headers and SKIPS every payload via Content-Length, which
+    * counts the STORED (gzip'd) octets, so skipped payloads are never
+    * inflated either (the streamability property container formats exist
+    * for; WarcV2SourceSpec asserts the payload column never reaches the
+    * scan schema). */
   def headerStats(spark: SparkSession, dir: String): DataFrame =
     containers(spark, dir)
-      .select("record_id", "lang", "content_length")
+      .select("record_id", "lang", "uncompressed_length")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_records"),
-        sum(col("content_length")).as("sum_len"),
+        sum(col("uncompressed_length")).as("sum_len"),
         min(col("record_id")).as("min_id"),
         max(col("record_id")).as("max_id"))
       .orderBy("lang")
@@ -64,7 +70,7 @@ object Warc {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_records"),
-        sum(col("content_length")).as("sum_len"),
+        sum(col("uncompressed_length")).as("sum_len"),
         expr("bit_xor(portable_hash60(payload))").as("xor_payload_hash"))
       .orderBy("lang")
 

@@ -34,18 +34,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministically from the `documents` table and reads it back
   * through the connector API:
   *
-  *  - record layout (one record, CRLF line ends — the WARC grammar):
+  *  - record layout (one record, CRLF line ends — the WARC grammar;
+  *    payloads are GZIP-PER-RECORD, the real WARC storage layout, and
+  *    `Content-Length` counts the STORED octets — the compressed span —
+  *    exactly as ISO 28500 prescribes, so header-only streaming skips
+  *    compressed bytes without ever inflating them):
   *    {{{
   *    WARC/1.0
   *    WARC-Record-ID: <doc_id>
   *    WARC-Type: response
   *    WARC-Target-URI: http://example.invalid/<source>/<doc_id>
   *    WARC-Language: <lang>
-  *    Content-Length: <utf8 byte length of text>
+  *    Content-Encoding: gzip
+  *    WARC-Uncompressed-Length: <utf8 byte length of text>
+  *    Content-Length: <gzip'd payload byte length>
   *    <blank>
-  *    <payload bytes>
+  *    <gzip member: deflate of the payload bytes>
   *    <blank><blank>
   *    }}}
+  *    Records WITHOUT `Content-Encoding` read as raw bytes (the v1
+  *    layout and plain HTTP captures), so the reader handles mixed
+  *    corpora; `java.util.zip` gzip output is deterministic (fixed
+  *    header, MTIME = 0), keeping container synthesis reproducible;
   *  - container files `part-<p>-<lo>-<hi>.warc` hold the doc_id RANGE
   *    [lo, hi) — the id range rides in the FILE NAME, so record_id
   *    predicates prune whole container files at planning time (the V2
@@ -78,7 +88,8 @@ object WarcV2Source {
     .add("record_id", LongType, nullable = false)
     .add("target_uri", StringType, nullable = true)
     .add("lang", StringType, nullable = true)
-    .add("content_length", LongType, nullable = false)
+    .add("content_length", LongType, nullable = false)      // stored (compressed) span
+    .add("uncompressed_length", LongType, nullable = false) // payload text bytes
     .add("payload", StringType, nullable = true)
 
   private[graft] val FileName = raw"part-(\d+)-(\d+)-(\d+)\.warc".r
@@ -119,7 +130,10 @@ object WarcContainer {
     val (n, maxId, sumChars) = (fp.getLong(0), fp.getLong(1), fp.getLong(2))
     val key = java.lang.Long.toHexString(
       java.util.Objects.hash(dir, n, maxId, sumChars).toLong & 0xffffffffL)
-    val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_warc_$key")
+    // "warcz": layout v2 (gzip-per-record) — a distinct cache root so a
+    // stale v1 (uncompressed) corpus from an earlier session never
+    // satisfies a v2 fingerprint hit.
+    val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_warcz_$key")
     if (!Files.exists(out.resolve("_SUCCESS"))) write(spark, dir, out, maxId)
     out.toString
   }
@@ -171,13 +185,20 @@ object WarcContainer {
 
   private[v2] def record(id: Long, text: String, lang: String,
       source: String): Array[Byte] = {
-    val payload = text.getBytes(UTF_8)
+    val raw = text.getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw)
+    gz.close()
+    val payload = bos.toByteArray
     val header =
       s"WARC/1.0\r\n" +
         s"WARC-Record-ID: $id\r\n" +
         s"WARC-Type: response\r\n" +
         s"WARC-Target-URI: http://example.invalid/$source/$id\r\n" +
         s"WARC-Language: $lang\r\n" +
+        s"Content-Encoding: gzip\r\n" +
+        s"WARC-Uncompressed-Length: ${raw.length}\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n"
     val hb = header.getBytes(UTF_8)
     val outBytes = new Array[Byte](hb.length + payload.length + 4)
@@ -340,6 +361,26 @@ private[v2] class WarcReaderFactory(fieldNames: Array[String],
         buf
       }
 
+      /** Inflate one gzip member into exactly `n` bytes — the declared
+        * WARC-Uncompressed-Length is a framing invariant, so both a short
+        * and a long stream are corruption, not tolerance cases. */
+      private def gunzip(stored: Array[Byte], n: Int, path: String): Array[Byte] = {
+        val gin = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(stored))
+        try {
+          val out = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val k = gin.read(out, off, n - off)
+            require(k >= 0, s"graft-warc: truncated gzip payload in $path")
+            off += k
+          }
+          require(gin.read() == -1,
+            s"graft-warc: gzip payload exceeds declared length in $path")
+          out
+        } finally gin.close()
+      }
+
       private def skipFully(n: Long): Unit = {
         var left = n
         while (left > 0) {
@@ -360,6 +401,8 @@ private[v2] class WarcReaderFactory(fieldNames: Array[String],
           var uri: String = null
           var lang: String = null
           var len = -1L
+          var ulen = -1L
+          var gzipped = false
           var line = readLine(atRecordStart = false)
           while (line.nonEmpty) {
             val sep = line.indexOf(": ")
@@ -370,24 +413,34 @@ private[v2] class WarcReaderFactory(fieldNames: Array[String],
               case "WARC-Target-URI" => uri = v
               case "WARC-Language" => lang = v
               case "Content-Length" => len = v.toLong
+              case "Content-Encoding" => gzipped = v == "gzip"
+              case "WARC-Uncompressed-Length" => ulen = v.toLong
               case _ => // WARC-Type and future headers: tolerated, unused
             }
             line = readLine(atRecordStart = false)
           }
           require(id >= 0 && len >= 0,
             s"graft-warc: record missing id/length in ${p.path}")
+          if (ulen < 0) ulen = len // v1 (uncompressed) records
           if (!keep(id)) {
-            skipFully(len + 4) // payload + \r\n\r\n separator
+            skipFully(len + 4) // stored payload + \r\n\r\n separator
           } else {
+            // Content-Length counts STORED octets, so the skip path and
+            // the filtered path never inflate; decompression happens only
+            // for kept records whose projection includes `payload`.
             val payload: UTF8String =
-              if (needPayload) UTF8String.fromBytes(readFully(len.toInt))
-              else { skipFully(len); null }
+              if (needPayload) {
+                val stored = readFully(len.toInt)
+                UTF8String.fromBytes(
+                  if (gzipped) gunzip(stored, ulen.toInt, p.path) else stored)
+              } else { skipFully(len); null }
             skipFully(4)
             val values: Array[Any] = fieldNames.map {
               case "record_id" => id
               case "target_uri" => UTF8String.fromString(uri)
               case "lang" => UTF8String.fromString(lang)
               case "content_length" => len
+              case "uncompressed_length" => ulen
               case "payload" => payload
               case other => throw new IllegalStateException(s"unknown column $other")
             }

@@ -19,7 +19,7 @@ class WarcV2SourceSpec extends SparkSpec {
 
   test("round-trip: container records equal the documents table exactly") {
     val got = warc
-      .select("record_id", "target_uri", "lang", "content_length", "payload")
+      .select("record_id", "target_uri", "lang", "uncompressed_length", "payload")
       .orderBy("record_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getString(4)))
@@ -36,16 +36,50 @@ class WarcV2SourceSpec extends SparkSpec {
   }
 
   test("column pruning: header-only projections drop payload from the scan") {
-    val df = warc.select("record_id", "content_length")
+    val df = warc.select("record_id", "uncompressed_length")
     val scans = df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
     assert(scans.nonEmpty, s"no BatchScanExec in:\n${df.queryExecution.executedPlan}")
     val schema = scans.head.scan.readSchema()
-    assert(schema.fieldNames.toSeq == Seq("record_id", "content_length"),
+    assert(schema.fieldNames.toSeq == Seq("record_id", "uncompressed_length"),
       s"payload not pruned: ${schema.simpleString}")
-    val total = df.agg(sum("content_length")).head.getLong(0)
+    val total = df.agg(sum("uncompressed_length")).head.getLong(0)
     val want = graft.core.Tables.documents(spark, sfDir)
       .agg(sum(octet_length(col("text")).cast("long"))).head.getLong(0)
     assert(total == want)
+  }
+
+  test("payloads are stored gzip-per-record; Content-Length counts stored octets") {
+    // Aggregate invariant: the stored spans differ from the text bytes
+    // (compression is really on) and each record's Content-Length is the
+    // compressed span — re-deflating the text with the writer's exact
+    // codec settings must reproduce the stored length.
+    val lens = warc.select("record_id", "content_length", "uncompressed_length")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lens.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val raw = t.getBytes("UTF-8")
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      val (stored, ulen) = lens(id)
+      assert(ulen == raw.length, s"doc $id uncompressed_length")
+      assert(stored == bos.size().toLong,
+        s"doc $id Content-Length must equal the gzip'd span")
+    }
+    // and the raw container FILE carries gzip magic right after a header
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
+      .iterator()
+    val first = scala.jdk.CollectionConverters.IteratorHasAsScala(f).asScala
+      .map(_.toString).filter(_.endsWith(".warc")).toSeq.sorted.head
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(first))
+    val blank = "\r\n\r\n".getBytes("UTF-8")
+    val at = bytes.indexOfSlice(blank)
+    assert(at > 0 && (bytes(at + 4) & 0xff) == 0x1f &&
+      (bytes(at + 5) & 0xff) == 0x8b,
+      "first payload must start with the gzip magic 1f 8b")
   }
 
   test("record_id range predicates prune container files at planning time") {
