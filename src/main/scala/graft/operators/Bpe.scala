@@ -77,7 +77,7 @@ object Bpe {
     * flat count-1 tail where batched acceptance is hardest — rather than
     * an arbitrary prefix. A larger Steps is unreachable on this corpus;
     * the ≥512-merge proof lives in the phrase family ([[PhraseSteps]]),
-    * whose pair budget (~26k on the sample) supports it. */
+    * whose pair budget (~13k on the sample) supports it. */
   private val Steps = 128
 
   /** Candidate rows collected per round — bounded driver metadata. More
@@ -221,6 +221,26 @@ object Bpe {
     * identical left-fold application as the distributed path — the
     * BpeBatchSpec differential and the sequential DuckDB oracles gate
     * both. */
+  /** One merge rule applied left-to-right at the earliest opportunity —
+    * the shared fold of [[trainDriver]]'s vocab update and the
+    * corpus-wide encode ([[bpePhraseCorpusEncode]]); the DuckDB oracles
+    * reproduce it as an inclusive-slice list_reduce. The merged symbol is
+    * strictly longer than `l`, so it can never seed a second merge of the
+    * SAME rule (the no-cascade invariant is structural, not checked). */
+  private[graft] def applyRule(syms: Array[String], l: String, r: String,
+      m: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == l && syms(i) == r)
+        out(out.length - 1) = m
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
   private[graft] def trainDriver(
       init: Array[(String, Long, Array[String])],
       steps: Int, joiner: String)
@@ -250,18 +270,7 @@ object Bpe {
         val m = bl + joiner + br
         merges += ((k, bl, br, m, bc))
         vocab = vocab.map { case (w, cnt, syms) =>
-          if (syms.length < 2) (w, cnt, syms)
-          else {
-            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var i = 0
-            while (i < syms.length) {
-              if (out.nonEmpty && out.last == bl && syms(i) == br)
-                out(out.length - 1) = m
-              else out += syms(i)
-              i += 1
-            }
-            (w, cnt, out.toArray)
-          }
+          (w, cnt, applyRule(syms, bl, br, m))
         }
         k += 1
       }
@@ -422,16 +431,19 @@ object Bpe {
 
   /** Phrase-merge budget: 512 merges — the production-scale count the
     * char corpus cannot reach (it exhausts at 89). The sample's pair
-    * budget (~26k adjacent-word positions) supports it with room. */
+    * budget (~13k adjacent-word positions) supports it with room. */
   private val PhraseSteps = 512
 
   /** Training-sample bound: the tokenizer trains on documents with
-    * doc_id < 500 — the standard bounded-sample discipline of production
+    * doc_id < 250 — the standard bounded-sample discipline of production
     * tokenizer trainers (a tokenizer is trained on a corpus SAMPLE, then
     * applied to the full corpus). The bound makes training cost — and
     * the sequential DuckDB oracle's cost — scale-INDEPENDENT; the
-    * distributed part is the sample scan + the corpus-wide encode. */
-  private val PhraseSampleDocs = 500L
+    * distributed part is the sample scan + the corpus-wide encode
+    * ([[bpePhraseCorpusEncode]]). STRICTLY smaller than the document
+    * count at every gate scale (500 docs at sf0.01, 5000 at sf0.1), so
+    * the corpus apply always covers documents training never saw. */
+  private val PhraseSampleDocs = 250L
 
   /** Per-doc word sequences of the training sample: the phrase-level
     * "vocab" (unit = document, symbols = words, count = 1). */
@@ -479,11 +491,46 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** CORPUS-WIDE application of the 512-merge phrase table — the
+    * apply-at-scale twin [[bpeEncode]] has for the char family: train on
+    * the bounded sample ([[PhraseSampleDocs]] docs, driver-finishing),
+    * broadcast the rule list (512 tiny strings — tokenizer model
+    * metadata), and fold every document's word sequence through the
+    * rules in merge order with [[applyRule]] — one map-side pass per
+    * document, no shuffle, no join, cost linear in corpus size. This is
+    * the production tokenizer deployment shape: the sample-trained model
+    * applies to 100 TB as a broadcast + mapPartitions-equivalent
+    * projection. Per-doc output (n_words, n_tokens) is gated at every
+    * doc — each row proves 512 sequential rule applications. */
+  def bpePhraseCorpusEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _, _) = trainPhrase(spark, dir)
+    val rules = merges.map(t => (t._2, t._3, t._4)).toArray
+    val bc = spark.sparkContext.broadcast(rules)
+    val encodeLen = udf { (syms: Seq[String]) =>
+      var cur = syms.toArray
+      val rs = bc.value
+      var i = 0
+      while (i < rs.length) {
+        val (l, r, m) = rs(i)
+        cur = applyRule(cur, l, r, m)
+        i += 1
+      }
+      cur.length.toLong
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x != '')").as("syms"))
+      .select(col("doc_id"), size(col("syms")).cast("long").as("n_words"),
+        encodeLen(col("syms")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_bpe_phrases" -> (bpePhrases _),
-    "text_bpe_phrase_encode" -> (bpePhraseEncode _)
+    "text_bpe_phrase_encode" -> (bpePhraseEncode _),
+    "text_bpe_phrase_corpus" -> (bpePhraseCorpusEncode _)
   )
 
   /** The char merge loop unrolled SEQUENTIALLY (one argmax per step — the
@@ -602,6 +649,35 @@ object Bpe {
          |SELECT CAST(word AS BIGINT) AS doc_id, CAST(n0 AS BIGINT) AS n_words,
          |  CAST(len(syms) AS BIGINT) AS n_tokens
          |FROM st WHERE step = (SELECT MAX(step) FROM st)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // Corpus-wide apply: the sample-trained merge table (mt, from the
+    // training recursion) drives a SECOND recursion over EVERY document,
+    // applying rule step+1 each iteration with the identical
+    // inclusive-slice list_reduce fold.
+    "text_bpe_phrase_corpus" ->
+      s"""${phraseRecursive(withN0 = false)},
+         |mt AS MATERIALIZED (
+         |  SELECT step, ml AS l, mr AS r FROM st WHERE ml IS NOT NULL
+         |  GROUP BY ALL),
+         |ap AS (
+         |  SELECT 0 AS step, doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS syms
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT ap.step + 1, ap.doc_id,
+         |    CASE WHEN len(syms) < 2 THEN syms ELSE
+         |      list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+         |        CASE WHEN acc[-1] = m.l AND x[1] = m.r
+         |             THEN acc[:-2] || [m.l || ' ' || m.r] ELSE acc || x END) END
+         |  FROM ap JOIN mt m ON m.step = ap.step + 1
+         |  WHERE ap.step < $PhraseSteps
+         |)
+         |SELECT ap.doc_id,
+         |  CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> ''))
+         |    AS BIGINT) AS n_words,
+         |  CAST(len(ap.syms) AS BIGINT) AS n_tokens
+         |FROM ap JOIN documents d USING (doc_id)
+         |WHERE ap.step = (SELECT MAX(step) FROM ap)
+         |ORDER BY ap.doc_id""".stripMargin
   )
 }
