@@ -175,6 +175,18 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
     lines.append("|---|---|---|---|")
     for n, t0, t1, r in sorted(rows, key=lambda x: -x[2])[:15]:
         lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x |")
+    # Full per-query appendix: the inventory-sync invariant
+    # (InventorySyncSpec) checks this section's query set against
+    # SparkEntry.queries, so a probe that silently skipped queries (the
+    # r7/r8/r9 recurring lag) fails the test suite instead of the judge.
+    lines.append("\n## Appendix - per-query converged slopes\n")
+    lines.append("| query | sf0.1 | sf1 | slope |")
+    lines.append("|---|---|---|---|")
+    for n, t0, t1, r in sorted(rows, key=lambda x: x[0]):
+        lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x |")
+    missing = sorted(set(a["queries"]) - set(common)) + sorted(set(b["queries"]) - set(common))
+    if missing:
+        lines.append(f"\nQueries missing from one side (NOT probed): {', '.join(sorted(set(missing)))}")
     open(out_path, "w").write("\n".join(lines) + "\n")
     print(f"wrote {out_path}: {len(common)} queries, {len(flagged)} flagged")
     return 0
