@@ -127,13 +127,29 @@ class Round6cSpec extends SparkSpec {
       .selectExpr("event_type", "event_id",
         "cast(cast(value as decimal(15,2)) * 100 as long) cents").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // splitmix-style 60-bit mixer replay — hash md5 once per row, then
+    // per replicate: XOR b*prime and two multiply-mod-2^60 rounds with
+    // xor-shifts (Java long multiplication wraps mod 2^64, and 2^60
+    // divides 2^64, so (v*C) & (2^60-1) IS v*C mod 2^60 — a third
+    // formulation, independent of both the engine's 30/30-bit split and
+    // the oracle's DECIMAL mod).
+    val M60 = (1L << 60) - 1
+    def mix(h: Long, b: Int): Long = {
+      var v = h ^ (b.toLong * 4503599627370449L)
+      v = (v * 6364136223846793005L) & M60
+      v ^= v >>> 29
+      v = (v * 2685821657736338717L) & M60
+      v ^= v >>> 32
+      v
+    }
     val reps = for {
       (et, rows) <- ev.groupBy(_._1).toSeq
     } yield {
+      val hashed = rows.map { case (_, id, cents) => (h60(s"boot:$id"), cents) }
       val ms = (0 until 100).map { b =>
         var swc = 0L; var sw = 0L
-        rows.foreach { case (_, id, cents) =>
-          val u = h60(s"boot:$id:$b")
+        hashed.foreach { case (h, cents) =>
+          val u = mix(h, b)
           val w = thresholds.count(_ <= u).toLong
           swc += w * cents; sw += w
         }
