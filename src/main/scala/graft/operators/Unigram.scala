@@ -73,9 +73,13 @@ object Unigram {
 
   /** Half-bit log quantization: ⌊2·log₂ c⌋ + 1 for c ≥ 1, and 1 for
     * c = 0 (length of "0") — identical to `length(bin(c*c))` in both
-    * engines. */
+    * engines over the gated domain. Computed via BigInteger because the
+    * TOTAL mass T (Σ kept counts — squared for cT/cT2) passes 2^31.5 on
+    * a large corpus, where a bare Long c·c would wrap silently; the
+    * oracle's checked BIGINT multiply only ever sees gate-scale counts. */
   private[operators] def c2l(c: Long): Long =
-    java.lang.Long.toBinaryString(c * c).length.toLong
+    if (c == 0L) 1L
+    else java.math.BigInteger.valueOf(c).pow(2).bitLength().toLong
 
   /** UDF result row; public because the generated encoder code must be
     * able to reference the class and its accessors. */

@@ -124,12 +124,17 @@ object WarcContainer {
     * thread pool) share one build; a cross-JVM race is settled by the
     * ATOMIC_MOVE publish below. */
   def ensureWritten(spark: SparkSession, dir: String): String = this.synchronized {
-    val fp = graft.core.Tables.documents(spark, dir)
-      .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars")))
-      .head()
-    val (n, maxId, sumChars) = (fp.getLong(0), fp.getLong(1), fp.getLong(2))
-    val key = java.lang.Long.toHexString(
-      java.util.Objects.hash(dir, n, maxId, sumChars).toLong & 0xffffffffL)
+    // fingerprint memoized: one documents scan per JVM instead of one
+    // per warc query per bench rep (a dir pins its contents for a live
+    // JVM — see ModelMemo's scaladoc)
+    val (key, maxId) = graft.core.ModelMemo.cached(s"warcfp:$dir") {
+      val fp = graft.core.Tables.documents(spark, dir)
+        .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars")))
+        .head()
+      val (n, mx, sumChars) = (fp.getLong(0), fp.getLong(1), fp.getLong(2))
+      (java.lang.Long.toHexString(
+        java.util.Objects.hash(dir, n, mx, sumChars).toLong & 0xffffffffL), mx)
+    }
     // "warcz": layout v2 (gzip-per-record) — a distinct cache root so a
     // stale v1 (uncompressed) corpus from an earlier session never
     // satisfies a v2 fingerprint hit.
