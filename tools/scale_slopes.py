@@ -69,6 +69,12 @@ RERUN_T1_TOL = 1.5
 # profile 19.0 -> 2.3 s), so those reruns no longer describe the
 # shipped plans and keeping them could only mask a new regression.
 RERUNS = {
+    "dedup_simhash_pairs":
+        (19.07, 23.35,
+         "isolated min-of-3 (reps: 25.59/19.07/20.46) -> slope 17.3x, "
+         "under the 20x gate; the banded candidate join densifies with "
+         "10x rows per band bucket but the Hamming-verify stage bounds "
+         "it below quadratic"),
     "agg_ols_trend":
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
