@@ -113,7 +113,7 @@ object Bench {
     * bench run (BenchJsonSpec replays round 9's pollution pattern). */
   private[graft] def renderLines(
       rs: Seq[QRes], calibs: IndexedSeq[Double], calibEvery: Int,
-      sfDir: String): Seq[String] = {
+      sfDir: String, builds: Map[String, Double] = Map.empty): Seq[String] = {
     val qs = rs.map { r => "\"" + r.name + f"""\":${r.converged}%.3f""" }
       .mkString("{", ",", "}")
     val qsFirst = rs.map { r => "\"" + r.name + f"""\":${r.first}%.3f""" }
@@ -153,11 +153,20 @@ object Bench {
       .mkString("[", ",", "]")
     val calibSusp = calibSuspectQueries(rs.map(_.name), calibEvery, calibs)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // One-time cache builds (bucketed tables, trained models, WARC packs)
+    // are paid in rep 1 and EXCLUDED from converged timings — this line
+    // itemizes that ingest-amortized cost so converged totals are honestly
+    // comparable across rounds (pre-round-10 numbers paid these per query).
+    val buildsJson = builds.toSeq.sortBy(_._1)
+      .map { case (n, s) => "\"" + n + f"""\":$s%.3f""" }
+      .mkString("{", ",", "}")
+    val buildsTotal = builds.values.sum
     Seq(
       s"""{"metric":"per_query_converged","queries":$qs}""",
       s"""{"metric":"per_query_reps","reps":$qsReps}""",
       s"""{"metric":"per_query_first","queries":$qsFirst}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"sf":"$sfDir"}""")
+      f"""{"metric":"cache_builds","total_build_s":$buildsTotal%.3f,"builds":$buildsJson}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"ingest_build_s":$buildsTotal%.3f,"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -215,7 +224,8 @@ object Bench {
         calibs += calibSpin(nCalibThreads)
       QRes(name, times.map(_._1), times.forall(_._2))
     }
-    renderLines(results, calibs.toIndexedSeq, calibEvery, sfDir)
+    renderLines(results, calibs.toIndexedSeq, calibEvery, sfDir,
+        graft.core.BuildLog.snapshot())
       .foreach(println)
     spark.stop()
   }

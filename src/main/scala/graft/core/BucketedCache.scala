@@ -52,12 +52,15 @@ object BucketedCache {
     // races as UncheckedIOException (not IOException), and no cleanup
     // failure may abort the live query build that triggered the sweep.
     try listing.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("graft_") && !n.endsWith(JvmTag) &&
-          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-        try deleteRec(p)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      // The stat itself races a concurrent JVM's delete (NoSuchFileException
+      // between listing and getLastModifiedTime), so it must sit inside the
+      // per-entry guard too — no cleanup failure may abort the live build.
+      try {
+        val n = p.getFileName.toString
+        if (n.startsWith("graft_") && !n.endsWith(JvmTag) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          deleteRec(p)
+      } catch { case scala.util.control.NonFatal(_) => () }
     } finally listing.close()
   }
 
@@ -85,10 +88,12 @@ object BucketedCache {
         // provably ours and must clear or every retry of this key hits
         // LOCATION_ALREADY_EXISTS for the rest of the session.
         deleteRec(wh.resolve(tbl))
-        build
-          .repartition(buckets, col(bucketCol))
-          .write.bucketBy(buckets, bucketCol).sortBy(sortCol)
-          .format("parquet").mode("overwrite").saveAsTable(tbl)
+        BuildLog.timed(s"table:$prefix") {
+          build
+            .repartition(buckets, col(bucketCol))
+            .write.bucketBy(buckets, bucketCol).sortBy(sortCol)
+            .format("parquet").mode("overwrite").saveAsTable(tbl)
+        }
         val loc = wh.resolve(tbl)
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           try deleteRec(loc) catch { case _: Throwable => () }))

@@ -25,7 +25,9 @@ object ModelMemo {
   def cached[T <: AnyRef](key: String)(train: => T): T = {
     val existing = memo.get(key)
     if (existing != null) return existing.asInstanceOf[T]
-    val v = train
+    // Log under the key's family (text before the first ':'), not the full
+    // dir-qualified key, so the bench line stays one entry per model kind.
+    val v = BuildLog.timed(s"model:${key.takeWhile(_ != ':')}")(train)
     val prev = memo.putIfAbsent(key, v)
     (if (prev != null) prev else v).asInstanceOf[T]
   }

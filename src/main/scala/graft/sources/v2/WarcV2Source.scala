@@ -139,8 +139,36 @@ object WarcContainer {
     // stale v1 (uncompressed) corpus from an earlier session never
     // satisfies a v2 fingerprint hit.
     val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_warcz_$key")
-    if (!Files.exists(out.resolve("_SUCCESS"))) write(spark, dir, out, maxId)
+    sweepStale(out)
+    if (!Files.exists(out.resolve("_SUCCESS")))
+      graft.core.BuildLog.timed("pack:warc")(write(spark, dir, out, maxId))
     out.toString
+  }
+
+  /** Best-effort sweep of packed corpora orphaned by earlier sessions —
+    * both the retired v1 root (`graft_warc_`, which nothing else ever
+    * deletes since the v2 rename) and v2 roots whose fingerprint no live
+    * session can hit anymore. 24 h cutoff and per-entry NonFatal guard
+    * mirror [[graft.core.BucketedCache]]'s sweepStale; the corpus being
+    * (re)built this call (`keep`) is always skipped regardless of age. */
+  private def sweepStale(keep: Path): Unit = {
+    val tmpdir = Paths.get(sys.props("java.io.tmpdir"))
+    if (!Files.isDirectory(tmpdir)) return
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val listing = Files.list(tmpdir)
+    try listing.forEach { p =>
+      try {
+        val n = p.getFileName.toString
+        if ((n.startsWith("graft_warc_") || n.startsWith("graft_warcz_")) &&
+            p != keep &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    } finally listing.close()
   }
 
   private def write(spark: SparkSession, dir: String, out: Path,

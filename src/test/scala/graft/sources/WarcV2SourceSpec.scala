@@ -70,10 +70,11 @@ class WarcV2SourceSpec extends SparkSpec {
         s"doc $id Content-Length must equal the gzip'd span")
     }
     // and the raw container FILE carries gzip magic right after a header
-    val f = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
-      .iterator()
-    val first = scala.jdk.CollectionConverters.IteratorHasAsScala(f).asScala
-      .map(_.toString).filter(_.endsWith(".warc")).toSeq.sorted.head
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
+    val first =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.toString).filter(_.endsWith(".warc")).toSeq.sorted.head
+      finally listing.close()
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(first))
     val blank = "\r\n\r\n".getBytes("UTF-8")
     val at = bytes.indexOfSlice(blank)
@@ -99,13 +100,14 @@ class WarcV2SourceSpec extends SparkSpec {
   }
 
   test("container layout: file names carry exact disjoint id ranges") {
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
-      .iterator()
-    val ranges = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
-      .flatMap(p => p.getFileName.toString match {
-        case WarcV2Source.FileName(c, lo, hi) => Some((c.toInt, lo.toLong, hi.toLong))
-        case _ => None
-      }).toSeq.sortBy(_._1)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
+    val ranges =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.flatMap(p => p.getFileName.toString match {
+          case WarcV2Source.FileName(c, lo, hi) => Some((c.toInt, lo.toLong, hi.toLong))
+          case _ => None
+        }).toSeq.sortBy(_._1)
+      finally listing.close()
     assert(ranges.nonEmpty)
     // ranges tile [0, maxId] without overlap
     ranges.sliding(2).foreach {
