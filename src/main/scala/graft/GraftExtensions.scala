@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(array<string>) - 32-bit TF-weighted simhash"),
       (exprs: Seq[Expression]) => Simhash32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit TF-weighted simhash"),
+      (exprs: Seq[Expression]) => Simhash64(exprs.head)))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "sorted_intersect_count(array<bigint>, array<bigint>) - intersection cardinality of sorted distinct arrays"),

@@ -91,6 +91,53 @@ object HashUtil {
     acc
   }
 
+  private val HiSuffix = "#hi".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** h60 of `s` with a byte suffix appended — definitionally
+    * `hash60(s || suffix)` without materializing the concatenation. */
+  private def hash60Suffixed(s: UTF8String, suffix: Array[Byte]): Long = {
+    val md = tl.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.update(suffix)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** 64-bit TF-weighted simhash: bit planes 0..31 from `hash60(t)`, planes
+    * 32..63 from the independent `hash60(t || "#hi")` — two portable
+    * md5-derived halves instead of one 64-bit digest read, so the DuckDB
+    * oracle states the identical definition with the same `dh60` helper
+    * the 32-bit oracles use (a 16-hex-digit fold would overflow DuckDB's
+    * checked BIGINT arithmetic). Bit 63 set yields a negative long in
+    * both engines — the signed value IS the fingerprint. */
+  def simhash64(toks: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val lo = hash60(t)
+      val hi = hash60Suffixed(t, HiSuffix)
+      var j = 0
+      while (j < 32) {
+        if (((lo >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        if (((hi >>> j) & 1L) == 1L) counters(j + 32) += 1 else counters(j + 32) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) acc |= 1L << j
+      j += 1
+    }
+    acc
+  }
+
   // Rabin-Karp double-hash parameters. Two independent 30-bit polynomial
   // hashes are combined as h1 * 2^31 + h2 (< 2^62, exact in int64 for both
   // engines), giving ~60 effective bits — collision odds stay negligible at
@@ -331,6 +378,52 @@ case class Simhash32(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+/** `simhash64(array<string>)` → bigint: the web-scale fingerprint width
+  * (Manku WWW'07 uses 64 bits) whose 4×16-bit bands keep banded candidate
+  * generation near-linear — expected bucket size n/65536 vs the 32-bit
+  * path's n/256. Null poisoning matches [[Simhash32]]. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    HashUtil.simhash64(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val hasNull = ctx.freshName("hasNullTok")
+      s"""
+        boolean $hasNull = false;
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          if ($c.isNullAt($i)) { $hasNull = true; break; }
+        }
+        if ($hasNull) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.HashUtil.simhash64($c);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
     copy(child = newChild)
 }
 

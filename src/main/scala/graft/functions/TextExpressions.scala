@@ -133,6 +133,8 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "simhash32", exprs => Simhash32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

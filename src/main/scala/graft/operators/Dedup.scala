@@ -344,6 +344,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The web-scale production twin of [[simhashPairs]]: 64-bit fingerprint
+    * ([[graft.functions.Simhash64]] — Manku WWW'07's deployed width) banded
+    * into 4×16-bit keys. Pigeonhole still covers Hamming ≤ 3 (4 bands, at
+    * most 3 differing), but the expected band-bucket size drops from n/256
+    * to n/65536, so the cross-bucket candidate term — the one genuinely
+    * quadratic component of the 32-bit path, measured 17.3× on 10× data —
+    * becomes near-linear: at n = 10⁹ docs a 16-bit band bucket holds ~15k
+    * docs vs the 8-bit path's ~4M. Same lossless contract: the oracle runs
+    * the naive all-pairs join over the SAME 64-bit fingerprint, so equal
+    * results prove the banding drops nothing at the new width. */
+  def simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = tokenized(spark, dir)
+      .select(col("doc_id"), expr("simhash64(toks)").as("sh"))
+    val banded = sim.select(col("doc_id"), col("sh"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      // arithmetic shiftright sign-extends for band 3; the & 65535 mask
+      // keeps exactly the 16 band bits either way
+      .withColumn("bkey", expr("shiftright(sh, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .filter(expr("bit_count(sh_a ^ sh_b) <= 3"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // one-pass codegen expression: per token one md5, 32 stack counters —
     // equal by definition to the bit-plane HOF fold the oracle SQL uses
@@ -644,6 +675,7 @@ object Dedup {
     "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_simhash" -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_simhash64_pairs" -> (simhash64Pairs _),
     "dedup_cc_clusters" -> (ccClusters _)
   )
 
@@ -894,6 +926,27 @@ object Dedup {
          |           ((${dh60("tk")} >> j) & 1) * 2 - 1)) > 0
          |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
          |  FROM toks)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // naive all-pairs over the 64-bit fingerprint — proves the 16-bit
+    // banding lossless at the production width. The fingerprint is two
+    // independent 32-bit halves (dh60(tk) / dh60(tk || '#hi')); planes are
+    // accumulated UNSIGNED in HUGEINT (1::BIGINT << 63 overflows DuckDB's
+    // checked shift) then wrapped to the signed BIGINT Spark emits.
+    "dedup_simhash64_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |simu AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+         |    CASE WHEN list_sum(list_transform(t, tk ->
+         |           (((CASE WHEN j < 32 THEN ${dh60("tk")}
+         |              ELSE ${dh60("tk || '#hi'")} END) >> (j % 32)) & 1) * 2 - 1)) > 0
+         |         THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS v
+         |  FROM toks),
+         |sim AS (SELECT doc_id, CAST(v - CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+         |    THEN CAST(1 AS HUGEINT) << 64 ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+         |  FROM simu)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id

@@ -93,4 +93,30 @@ class HashExpressionsSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("simhash64(toks) == two independent 32-bit HOF halves, bit 63 signed") {
+    Registry.register(spark)
+    val docs = strings(50).filter(_.nonEmpty).toDF("text")
+      .selectExpr("split(text, '\\\\s+') as toks")
+    // plane j < 32 from h60(t), plane j >= 32 from h60(t || '#hi'); the
+    // shiftleft(1L, 63) term wraps to Long.MinValue in Spark exactly as
+    // the signed fingerprint demands
+    val rows = docs.selectExpr(
+      "simhash64(toks) as fast",
+      """aggregate(sequence(0, 63), 0L, (acc, j) -> acc + if(
+        |  aggregate(transform(toks,
+        |      t -> portable_hash60(if(j < 32, t, concat(t, '#hi')))), 0L,
+        |    (a, h) -> a + (cast(shiftright(h, j % 32) as bigint) & 1L) * 2L - 1L) > 0,
+        |  shiftleft(1L, j), 0L))""".stripMargin + " as ref")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the 64-bit planes must actually disagree with a 32-bit extension
+    // (i.e. the high half is an independent hash, not zero/copied)
+    val fp = docs.selectExpr("simhash64(toks) as h64", "simhash32(toks) as h32")
+      .collect()
+    assert(fp.exists(r => (r.getLong(0) >>> 32) != 0L),
+      "high 32 planes never set — the '#hi' half is not being hashed")
+    assert(fp.forall(r => (r.getLong(0) & 0xffffffffL) == r.getLong(1)),
+      "low 32 planes must equal simhash32 (same token hash, same fold)")
+  }
 }
