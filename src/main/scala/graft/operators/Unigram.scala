@@ -130,16 +130,23 @@ object Unigram {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Seed (round-1) inventory costs: every ≤[[MaxPieceLen]]-gram of the
-    * vocabulary weighted by word frequency, single chars kept
+  /** Half-bit costs from a kept-count inventory: cost(p) = c2l(T) −
+    * c2l(cnt) against the inventory's own total mass. */
+  private[operators] def costsOf(kept: collection.Map[String, Long]): Map[String, Long] = {
+    val cT = c2l(kept.valuesIterator.sum)
+    kept.iterator.map { case (p, c) => p -> (cT - c2l(c)) }.toMap
+  }
+
+  /** Seed (round-1) inventory kept counts: every ≤[[MaxPieceLen]]-gram of
+    * the vocabulary weighted by word frequency, single chars kept
     * unconditionally, multi-char pieces needing ≥ [[MinPieceCount]]
     * support. The kept counts collect to the driver (alphabet-bounded
     * model metadata — the train-model / apply-distributed split), where
     * the total mass T and the per-piece costs are finished in memory. */
-  private[operators] def seedCosts(spark: SparkSession, vocab: DataFrame)
-      : collection.Map[String, Long] = {
+  private[operators] def seedKept(spark: SparkSession, vocab: DataFrame)
+      : Map[String, Long] = {
     import spark.implicits._
-    val counts = vocab
+    vocab
       .select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, length(word)), s ->
            |  transform(sequence(1, least($MaxPieceLen, length(word) - s + 1)),
@@ -148,9 +155,11 @@ object Unigram {
       .filter(length(col("piece")) === 1 || col("cnt") >= MinPieceCount)
       .as[(String, Long)]
       .collect()
-    val cT = c2l(counts.iterator.map(_._2).sum)
-    counts.iterator.map { case (p, c) => p -> (cT - c2l(c)) }.toMap
+      .toMap
   }
+
+  private[operators] def seedCosts(spark: SparkSession, vocab: DataFrame)
+      : collection.Map[String, Long] = costsOf(seedKept(spark, vocab))
 
   /** Segment every vocab word under `costs`: (word, freq, n_pieces,
     * total_cost, seg). */
@@ -201,38 +210,108 @@ object Unigram {
     * segmentation is map-side DP — no shuffle beyond the vocab-sized
     * usage aggregation, no iteration driver round-trips beyond the two
     * model collects. */
-  private[operators] def emSegment(spark: SparkSession, vocab: DataFrame): DataFrame = {
+  /** The corpus alphabet (every single character of every vocab word) —
+    * invariant across EM rounds, computed once per trainer run. */
+  private def alphabetOf(spark: SparkSession, vocab: DataFrame): Array[String] = {
     import spark.implicits._
-    val bc1 = spark.sparkContext.broadcast(seedCosts(spark, vocab))
-    val seg1 = udf((w: String) => viterbi(w, bc1.value))
-    val usage = vocab
-      .select(col("freq"),
-        explode(split(seg1(col("word")).getField("seg"), " ")).as("piece"))
-      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
-      .as[(String, Long)]
-      .collect()
-      .toMap
-    val alphabet = vocab.select(explode(expr(
+    vocab.select(explode(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as("piece"))
       .distinct()
       .as[String]
       .collect()
-    val kept2: Map[String, Long] =
-      alphabet.iterator.map(a => a -> usage.getOrElse(a, 0L)).toMap ++
-        usage.iterator.filter { case (p, c) => p.length > 1 && c >= MinPieceCount }
-    val cT2 = c2l(kept2.valuesIterator.sum)
-    val costs2 = kept2.map { case (p, c) => p -> (cT2 - c2l(c)) }
-    segment(spark, vocab, costs2)
+  }
+
+  /** One E+M: usage counts under `costs` (E — one explode of the
+    * segmented distinct-word table, freq-weighted, with multiplicity),
+    * then the inventory rebuild (M — prune never-chosen multi-char
+    * pieces, keep the alphabet unconditionally). */
+  private def refineKept(spark: SparkSession, vocab: DataFrame,
+      costs: collection.Map[String, Long], alphabet: Array[String])
+      : Map[String, Long] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(costs)
+    val seg = udf((w: String) => viterbi(w, bc.value))
+    val usage = vocab
+      .select(col("freq"),
+        explode(split(seg(col("word")).getField("seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    alphabet.iterator.map(a => a -> usage.getOrElse(a, 0L)).toMap ++
+      usage.iterator.filter { case (p, c) => p.length > 1 && c >= MinPieceCount }
+  }
+
+  private[operators] def emSegment(spark: SparkSession, vocab: DataFrame): DataFrame = {
+    val kept2 = refineKept(spark, vocab, seedCosts(spark, vocab),
+      alphabetOf(spark, vocab))
+    segment(spark, vocab, costsOf(kept2))
   }
 
   /** Round-2 (post-EM) per-word segmentation over the corpus vocab. */
   def unigramEm(spark: SparkSession, dir: String): DataFrame =
     emSegment(spark, wordVocab(spark, dir).localCheckpoint())
 
+  /** EM rounds the trainer gate runs (Kudo's trainer iterates E/M until
+    * the likelihood settles; 4 hard-EM rounds converge on every corpus
+    * and synthetic vocab exercised — the trajectory output SHOWS the
+    * settling, n_seg_changed → 0). */
+  val EmRounds = 4
+
+  /** The full trainer trajectory — the unigram counterpart of BPE's gated
+    * 512-merge sequence: run [[EmRounds]] E/M rounds and emit ONE ROW PER
+    * ROUND of exact-integer training telemetry
+    * (round, inv_size, total_mass, corpus_cost, corpus_pieces,
+    * n_seg_changed), where round 1 is the seed (substring-count) model and
+    * round r ≥ 2 segments under the (r−1)-times-refined inventory.
+    * `corpus_cost`/`corpus_pieces` are freq-weighted over the corpus;
+    * `n_seg_changed` counts vocab words whose segmentation differs from
+    * the previous round (0 for round 1 by definition) — a monotone-ish
+    * decay to 0 IS the convergence evidence, and a flip at round ≥ 3
+    * (UnigramEmTrainSpec pins one) proves rounds beyond the first E/M do
+    * real training work.
+    *
+    * Distribution shape per round is [[emSegment]]'s exactly: broadcast
+    * model, map-side DP over the DISTINCT-word table, one vocab-sized
+    * usage aggregation; the only additions are a vocab-sized self-join
+    * per round for `n_seg_changed` and a 6-long driver row per round —
+    * the whole trajectory is model-metadata-sized. */
+  private[operators] def emTrajectory(spark: SparkSession, vocab: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val alphabet = alphabetOf(spark, vocab)
+    var kept = seedKept(spark, vocab)
+    var prevSeg: DataFrame = null
+    val rows = (1 to rounds).map { r =>
+      val costs = costsOf(kept)
+      val seg = segment(spark, vocab, costs).localCheckpoint()
+      val st = seg.agg(
+        sum(col("freq") * col("total_cost")).as("cc"),
+        sum(col("freq") * col("n_pieces")).as("cp")).head()
+      val changed =
+        if (prevSeg == null) 0L
+        else seg.as("a").join(prevSeg.as("b"), "word")
+          .filter(col("a.seg") =!= col("b.seg")).count()
+      prevSeg = seg
+      val row = (r.toLong, kept.size.toLong, kept.valuesIterator.sum,
+        st.getLong(0), st.getLong(1), changed)
+      if (r < rounds) kept = refineKept(spark, vocab, costs, alphabet)
+      row
+    }
+    rows.toDF("round", "inv_size", "total_mass", "corpus_cost",
+        "corpus_pieces", "n_seg_changed")
+      .orderBy("round")
+  }
+
+  /** [[EmRounds]]-round trainer trajectory over the corpus vocab. */
+  def unigramEmTrain(spark: SparkSession, dir: String): DataFrame =
+    emTrajectory(spark, wordVocab(spark, dir).localCheckpoint(), EmRounds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_viterbi" -> (unigramViterbi _),
-    "text_unigram_em" -> (unigramEm _)
+    "text_unigram_em" -> (unigramEm _),
+    "text_unigram_em_train" -> (unigramEmTrain _)
   )
 
   /** One forward-DP stage of the oracle: rows ending at position i via a
@@ -288,10 +367,74 @@ object Unigram {
        |${(1 to OracleMaxLen).map(dpStageSql(_, "d", "v")).mkString(",\n")}"""
       .stripMargin
 
+  /** Materialized final-segmentation table for one round's DP stages. */
+  private def segfinSql(name: String, pfx: String): String =
+    s"""$name AS MATERIALIZED (SELECT word, freq, best, np, seg FROM (
+       |  ${(1 to OracleMaxLen)
+             .map(i => s"SELECT * FROM $pfx$i WHERE length(word) = $i")
+             .mkString("\n  UNION ALL ")}))""".stripMargin
+
+  /** One oracle E+M round r (≥ 2): usage counts from the previous round's
+    * segmentation, inventory rebuild, recost, and a fresh DP chain under
+    * stage prefix `pfx`. */
+  private def emRoundSql(r: Int, prevSeg: String, pfx: String): String =
+    s"""usage$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM $prevSeg)
+       |  GROUP BY 1),
+       |kept$r AS MATERIALIZED (
+       |  SELECT a.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+       |    FROM alpha a LEFT JOIN usage$r u ON u.piece = a.piece
+       |  UNION ALL
+       |  SELECT piece, cnt FROM usage$r
+       |    WHERE length(piece) > 1 AND cnt >= $MinPieceCount),
+       |tot$r AS (SELECT CAST(length(bin(s * s)) AS BIGINT) AS ct
+       |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM kept$r)),
+       |v$r AS MATERIALIZED (SELECT piece,
+       |    (SELECT ct FROM tot$r) - CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
+       |  FROM kept$r),
+       |${pfx}0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
+       |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
+       |${(1 to OracleMaxLen).map(dpStageSql(_, pfx, s"v$r")).mkString(",\n")}"""
+      .stripMargin
+
+  private def trajPfx(r: Int): String = ('d' + r - 1).toChar.toString
+
+  /** One trajectory output row: round r's inventory + corpus stats. */
+  private def trajRowSql(r: Int): String = {
+    val kept = if (r == 1) "kv" else s"kept$r"
+    val changed =
+      if (r == 1) "CAST(0 AS BIGINT)"
+      else s"""(SELECT CAST(COUNT(*) AS BIGINT) FROM sf$r a
+              |     JOIN sf${r - 1} b USING (word) WHERE a.seg <> b.seg)"""
+        .stripMargin
+    s"""SELECT CAST($r AS BIGINT) AS round,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $kept) AS inv_size,
+       |  (SELECT CAST(SUM(cnt) AS BIGINT) FROM $kept) AS total_mass,
+       |  (SELECT CAST(SUM(freq * best) AS BIGINT) FROM sf$r) AS corpus_cost,
+       |  (SELECT CAST(SUM(freq * np) AS BIGINT) FROM sf$r) AS corpus_pieces,
+       |  $changed AS n_seg_changed""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_unigram_viterbi" ->
       s"""$preludeSql
          |${finalSelectSql("d")}""".stripMargin,
+    // The full trainer trajectory: EmRounds chained E/M rounds, each a
+    // complete 16-stage DP pass (prefixes d, e, f, g), emitting one
+    // telemetry row per round — the same recurrence cross-check as the
+    // single-round gates, times EmRounds.
+    "text_unigram_em_train" ->
+      s"""SET max_expression_depth TO 20000;
+         |$preludeSql,
+         |alpha AS (SELECT DISTINCT substr(word, CAST(s AS INTEGER), 1) AS piece
+         |  FROM pos WHERE k = 1),
+         |${segfinSql("sf1", "d")},
+         |${(2 to EmRounds).map(r =>
+               emRoundSql(r, s"sf${r - 1}", trajPfx(r)) + ",\n" +
+                 segfinSql(s"sf$r", trajPfx(r))).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to EmRounds).map(trajRowSql).mkString("\nUNION ALL\n")})
+         |ORDER BY round""".stripMargin,
     // Hard-EM round: E = usage counts (with multiplicity, freq-weighted)
     // from the round-1 segmentation; M = inventory rebuild + half-bit
     // recost against the new total mass (single chars unconditional via
