@@ -810,6 +810,108 @@ object Similarity {
       .orderBy("variant")
   }
 
+  /** The nprobe/recall CURVE for the residual-quantized IVFADC — the best
+    * quantizer in the family finally carries the knob a production user
+    * actually turns ([[ivfRecall]] gates it for plain IVF, [[knnNprobe]]
+    * for IVF-kNN; this gates it for residual ADC). For each probe
+    * (vec_id ≤ 9) and nprobe ∈ {1, 2}: search the query's `nprobe`
+    * nearest coarse cells, ranking candidates by residual-ADC distance —
+    * and, per true multi-probe IVFADC semantics (Jégou TPAMI'11 §IV-A),
+    * the query's residual is recomputed AGAINST EACH PROBED CELL's
+    * centroid (the candidates in cell p were coded relative to p, so the
+    * query must be too; one distance-table set per (query, probed cell)).
+    * Recall@3 is scored against the exact GLOBAL L2 top-3, and the curve
+    * carries BOTH halves of the trade a production user must separate:
+    * `reachable_at_3` (how much of the true top-3 lives in the probed
+    * cells — what nprobe buys) and `recall_at_3` (how much the ADC
+    * ranking delivers of it — what the quantizer caps). On this
+    * near-orthogonal gaussian corpus the gate shows coverage CLIMBING
+    * with nprobe while recall stays quantizer-bound — exactly the
+    * signature telling an operator to spend bytes on the code, not
+    * probes on the list (on clustered real embeddings the same two
+    * columns move together).
+    *
+    * Scale shape: identical to [[topkIvfAdc]] per probe point — the
+    * distance-table work is (probe batch × nprobe × 4 × k) broadcast
+    * metadata, candidates stay cell-keyed (nprobe·n/k each), only the
+    * 10-query exact ground truth scans the corpus (bounded probe batch,
+    * the family-wide baseline cost). */
+  def ivfadcResidualNprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (asg, kcents) = kmeansModel(spark, dir)
+    val res = residualFrame(asg, kcents).localCheckpoint()
+    val (resDists, resCb) = pqResidualAssigned(res, s"pqres:$dir")
+    val resCodes = resDists.select(col("vec_id"), col("cid"),
+      col("rcode0"), col("rcode1"), col("rcode2"), col("rcode3"))
+
+    val q0 = asg.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("cells"))
+    // one row per (query, probed cell) with the cell's probe rank; the
+    // residual + distance tables are computed once per pair and shared by
+    // every nprobe ≥ rank (the nprobe axis attaches at candidate time)
+    val qCells = q0
+      .select(col("query_id"), col("embedding"),
+        posexplode(expr("slice(cells, 1, 2)")))
+      .select(col("query_id"), col("embedding"),
+        (col("pos") + 1).as("crk"), col("col.cid").as("cid"))
+    val qDt = adcResDistTables(residualFrame(qCells, kcents), resCb)
+      .drop("embedding", "rv")
+    val cand = broadcast(qDt).join(resCodes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("crk"), col("vec_id"),
+        (adcResLookup(resCb, 0) + adcResLookup(resCb, 1)
+          + adcResLookup(resCb, 2) + adcResLookup(resCb, 3)).as("adc"))
+    val np = Seq(1, 2).toDF("nprobe")
+    val ivf3 = cand.join(broadcast(np), col("crk") <= col("nprobe"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("nprobe", "query_id", "vec_id")
+
+    // exact GLOBAL L2 top-3 — the truth both probe depths chase
+    val gt = broadcast(q0.select(col("query_id"), col("embedding").as("qv")))
+      .join(asg.select(col("vec_id"), col("embedding")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("l2", expr(
+        """aggregate(sequence(0, 63), cast(0.0 as double),
+          |  (acc, i) -> acc + (cast(qv[i] as double) - cast(embedding[i] as double))
+          |                * (cast(qv[i] as double) - cast(embedding[i] as double)))"""
+          .stripMargin))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("query_id", "vec_id")
+
+    val ov = ivf3.join(gt, Seq("query_id", "vec_id"))
+      .groupBy("nprobe", "query_id").agg(count(lit(1)).as("hits"))
+    // coverage: gt neighbors whose OWN cell is among the query's probed
+    // cells — the ceiling nprobe raises, independent of ADC ranking
+    val reach = gt
+      .join(res.select(col("vec_id"), col("cid")), "vec_id")
+      .join(qCells.select(col("query_id"), col("cid"), col("crk")),
+        Seq("query_id", "cid"))
+      .join(broadcast(np), col("crk") <= col("nprobe"))
+      .groupBy("nprobe", "query_id").agg(count(lit(1)).as("reachable"))
+    q0.select("query_id").crossJoin(broadcast(np))
+      .join(ov, Seq("nprobe", "query_id"), "left")
+      .join(reach, Seq("nprobe", "query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("reachable", coalesce(col("reachable"), lit(0L)))
+      .groupBy("nprobe")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("n_hits"),
+        sum(col("reachable")).as("n_reachable"),
+        sum(when(col("hits") === 3L, 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("hits") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("recall_at_3",
+        col("n_hits").cast("double") / (col("n_queries") * 3))
+      .withColumn("reachable_at_3",
+        col("n_reachable").cast("double") / (col("n_queries") * 3))
+      .orderBy("nprobe")
+  }
+
   /** SemDeDup (Abbas et al., arXiv 2023): SEMANTIC near-duplicate pruning
     * — cluster the embedding space with the trained k-means quantizer,
     * then compare only within-cluster pairs by exact cosine and keep one
@@ -1195,6 +1297,7 @@ object Similarity {
     "sim_topk_pq_adc" -> (topkPqAdc _),
     "sim_topk_ivf_adc" -> (topkIvfAdc _),
     "sim_ivfadc_residual" -> (ivfadcResidual _),
+    "sim_ivfadc_residual_nprobe" -> (ivfadcResidualNprobe _),
     "sim_ann_recall" -> (annRecall _),
     "sim_ivf_recall" -> (ivfRecall _),
     "sim_matryoshka_recall" -> (matryoshkaRecall _),
@@ -1438,6 +1541,47 @@ object Similarity {
   private lazy val kmeansCteK: String =
     kmeansCte.replaceAll("\\b(init|a1|asg1|upd|cent2|a2|asg2)\\b", "k$1")
 
+  /** Residual-PQ training chain (r-prefixed, over rv = x − c(cell)),
+    * shared by the residual gate and its nprobe curve; assumes
+    * [[kmeansCteK]] precedes it. Ends at rcent2 (codebook) + rasg2
+    * (per-vector per-subspace residual codes). */
+  private val resPqCte: String =
+    """resf AS MATERIALIZED (SELECT ka.vec_id, ka.cid,
+      |    list_transform(range(0, 64), j ->
+      |      CAST(ka.embedding[j + 1] AS DOUBLE) - kc.c[j + 1]) AS rv
+      |  FROM kasg2 ka JOIN kcent2 kc USING (cid)),
+      |rinit AS (SELECT r.s, CAST(vec_id AS INTEGER) AS cid,
+      |    list_transform(range(0, 16), k -> rv[r.s*16 + k + 1]) AS c
+      |  FROM resf, range(0, 4) r(s) WHERE vec_id <= 3),
+      |ra1 AS (SELECT e.vec_id, e.rv, ci.s, ci.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 16), k ->
+      |        (e.rv[ci.s*16 + k + 1] - ci.c[k + 1])
+      |          * (e.rv[ci.s*16 + k + 1] - ci.c[k + 1]))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM resf e CROSS JOIN rinit ci),
+      |rasg1 AS (SELECT vec_id, rv, s, cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |      ORDER BY dist, cid) AS rn FROM ra1) WHERE rn = 1),
+      |rupd AS (SELECT s, cid, k,
+      |    CAST(SUM(CAST(floor(rv[s*16 + k + 1] * 1000000.0 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS ss,
+      |    COUNT(*) AS n
+      |  FROM rasg1, range(0, 16) r(k) GROUP BY s, cid, k),
+      |rcent2 AS MATERIALIZED (SELECT s, cid,
+      |    list(CAST(ss AS DOUBLE) / 1000000.0 / n ORDER BY k) AS c
+      |  FROM rupd GROUP BY s, cid),
+      |ra2 AS (SELECT e.vec_id, ci.s, ci.cid,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 16), k ->
+      |        (e.rv[ci.s*16 + k + 1] - ci.c[k + 1])
+      |          * (e.rv[ci.s*16 + k + 1] - ci.c[k + 1]))),
+      |      (a, b) -> a + b) AS dist
+      |  FROM resf e CROSS JOIN rcent2 ci),
+      |rasg2 AS MATERIALIZED (SELECT vec_id, s, cid, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |      ORDER BY dist, cid) AS rn FROM ra2) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim_topk_ivf_adc" ->
       s"""WITH $kmeansCteK,
@@ -1477,41 +1621,7 @@ object Similarity {
     "sim_ivfadc_residual" ->
       s"""WITH $kmeansCteK,
          |$pqCte,
-         |resf AS MATERIALIZED (SELECT ka.vec_id, ka.cid,
-         |    list_transform(range(0, 64), j ->
-         |      CAST(ka.embedding[j + 1] AS DOUBLE) - kc.c[j + 1]) AS rv
-         |  FROM kasg2 ka JOIN kcent2 kc USING (cid)),
-         |rinit AS (SELECT r.s, CAST(vec_id AS INTEGER) AS cid,
-         |    list_transform(range(0, 16), k -> rv[r.s*16 + k + 1]) AS c
-         |  FROM resf, range(0, 4) r(s) WHERE vec_id <= 3),
-         |ra1 AS (SELECT e.vec_id, e.rv, ci.s, ci.cid,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(0, 16), k ->
-         |        (e.rv[ci.s*16 + k + 1] - ci.c[k + 1])
-         |          * (e.rv[ci.s*16 + k + 1] - ci.c[k + 1]))),
-         |      (a, b) -> a + b) AS dist
-         |  FROM resf e CROSS JOIN rinit ci),
-         |rasg1 AS (SELECT vec_id, rv, s, cid FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-         |      ORDER BY dist, cid) AS rn FROM ra1) WHERE rn = 1),
-         |rupd AS (SELECT s, cid, k,
-         |    CAST(SUM(CAST(floor(rv[s*16 + k + 1] * 1000000.0 + 0.5)
-         |      AS BIGINT)) AS BIGINT) AS ss,
-         |    COUNT(*) AS n
-         |  FROM rasg1, range(0, 16) r(k) GROUP BY s, cid, k),
-         |rcent2 AS MATERIALIZED (SELECT s, cid,
-         |    list(CAST(ss AS DOUBLE) / 1000000.0 / n ORDER BY k) AS c
-         |  FROM rupd GROUP BY s, cid),
-         |ra2 AS (SELECT e.vec_id, ci.s, ci.cid,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(0, 16), k ->
-         |        (e.rv[ci.s*16 + k + 1] - ci.c[k + 1])
-         |          * (e.rv[ci.s*16 + k + 1] - ci.c[k + 1]))),
-         |      (a, b) -> a + b) AS dist
-         |  FROM resf e CROSS JOIN rcent2 ci),
-         |rasg2 AS MATERIALIZED (SELECT vec_id, s, cid, dist FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-         |      ORDER BY dist, cid) AS rn FROM ra2) WHERE rn = 1),
+         |$resPqCte,
          |q AS (SELECT ka.vec_id AS query_id, ka.cid, ka.embedding
          |  FROM kasg2 ka WHERE ka.vec_id <= 9),
          |gt AS MATERIALIZED (SELECT query_id, vec_id FROM (
@@ -1588,6 +1698,86 @@ object Similarity {
          |    (SELECT CAST(SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))
          |       AS BIGINT) FROM rasg2) AS err_micro)
          |ORDER BY variant""".stripMargin,
+    // Residual-ADC nprobe curve: probe ranks from the pre-argmin distance
+    // table (ka2), one query-residual + distance-table set PER PROBED
+    // CELL, candidates pooled across probed cells, scored vs the exact
+    // GLOBAL L2 top-3.
+    "sim_ivfadc_residual_nprobe" ->
+      s"""WITH $kmeansCteK,
+         |$resPqCte,
+         |np AS (SELECT unnest([1, 2]) AS nprobe),
+         |q AS (SELECT ka.vec_id AS query_id, ka.embedding
+         |  FROM kasg2 ka WHERE ka.vec_id <= 9),
+         |qc AS (SELECT query_id, cid AS pcid, crk FROM (
+         |  SELECT a.vec_id AS query_id, a.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |                       ORDER BY a.dist, a.cid) AS crk
+         |  FROM ka2 a JOIN q ON q.query_id = a.vec_id) WHERE crk <= 2),
+         |qrv AS (SELECT qc.query_id, qc.pcid, qc.crk,
+         |    list_transform(range(0, 64), j ->
+         |      CAST(q.embedding[j + 1] AS DOUBLE) - kc.c[j + 1]) AS rv
+         |  FROM qc JOIN q USING (query_id)
+         |  JOIN kcent2 kc ON kc.cid = qc.pcid),
+         |rdt AS (SELECT qrv.query_id, qrv.pcid, c.s, c.cid,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, 16), k ->
+         |        (qrv.rv[c.s*16 + k + 1] - c.c[k + 1])
+         |          * (qrv.rv[c.s*16 + k + 1] - c.c[k + 1]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM qrv CROSS JOIN rcent2 c),
+         |cand AS (SELECT p.query_id, p.crk, kc.vec_id,
+         |    (MAX(CASE WHEN a.s = 0 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 1 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 2 THEN dd.d END)
+         |     + MAX(CASE WHEN a.s = 3 THEN dd.d END)) AS adc
+         |  FROM qc p
+         |  JOIN kasg2 kc ON kc.cid = p.pcid AND kc.vec_id <> p.query_id
+         |  JOIN rasg2 a ON a.vec_id = kc.vec_id
+         |  JOIN rdt dd ON dd.query_id = p.query_id AND dd.pcid = p.pcid
+         |    AND dd.s = a.s AND dd.cid = a.cid
+         |  GROUP BY 1, 2, 3),
+         |ivf3 AS (SELECT nprobe, query_id, vec_id FROM (
+         |  SELECT n.nprobe, c.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY n.nprobe, c.query_id
+         |                       ORDER BY c.adc, c.vec_id) AS rk
+         |  FROM np n JOIN cand c ON c.crk <= n.nprobe) WHERE rk <= 3),
+         |gt AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY l2, vec_id) AS rk
+         |  FROM (SELECT q.query_id, e.vec_id,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(0, 64), i ->
+         |          (CAST(q.embedding[i + 1] AS DOUBLE)
+         |             - CAST(e.embedding[i + 1] AS DOUBLE))
+         |          * (CAST(q.embedding[i + 1] AS DOUBLE)
+         |             - CAST(e.embedding[i + 1] AS DOUBLE)))),
+         |        (a, b) -> a + b) AS l2
+         |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id))
+         |  WHERE rk <= 3),
+         |ov AS (SELECT i.nprobe, g.query_id, COUNT(*) AS hits
+         |  FROM gt g JOIN ivf3 i
+         |    ON i.query_id = g.query_id AND i.vec_id = g.vec_id
+         |  GROUP BY 1, 2),
+         |rv_ AS (SELECT n.nprobe, g.query_id, COUNT(*) AS reachable
+         |  FROM gt g
+         |  JOIN kasg2 e ON e.vec_id = g.vec_id
+         |  JOIN qc ON qc.query_id = g.query_id AND qc.pcid = e.cid
+         |  JOIN np n ON qc.crk <= n.nprobe
+         |  GROUP BY 1, 2),
+         |perq AS (SELECT n.nprobe, q.query_id, COALESCE(ov.hits, 0) AS hits,
+         |    COALESCE(rv_.reachable, 0) AS reachable
+         |  FROM np n CROSS JOIN q
+         |  LEFT JOIN ov ON ov.nprobe = n.nprobe AND ov.query_id = q.query_id
+         |  LEFT JOIN rv_ ON rv_.nprobe = n.nprobe AND rv_.query_id = q.query_id)
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+         |  COUNT(*) AS n_queries,
+         |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+         |  CAST(SUM(reachable) AS BIGINT) AS n_reachable,
+         |  CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 3) AS recall_at_3,
+         |  CAST(SUM(reachable) AS DOUBLE) / (COUNT(*) * 3) AS reachable_at_3
+         |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin,
     "sim_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 500),
