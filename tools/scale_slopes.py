@@ -79,6 +79,12 @@ RERUNS = {
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
          "(reps: 5.00/1.36/1.53)"),
+    "evt_attribution_linear":
+        (2.25, 8.26,
+         "isolated min-of-3 (reps: 7.05/2.58/2.25) -> slope ~5.2x, in "
+         "family with evt_attribution 4.1x / evt_attribution_ushaped "
+         "4.4x (same RANGE-frame window shape); the 8.26s bench rep "
+         "was a steal burst"),
     "mm_audio_silence":
         (3.33, 20.23,
          "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
