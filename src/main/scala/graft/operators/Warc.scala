@@ -74,13 +74,30 @@ object Warc {
         expr("bit_xor(portable_hash60(payload))").as("xor_payload_hash"))
       .orderBy("lang")
 
+  /** Record-level POINT LOOKUP through the CDX side index: an `In`
+    * predicate on record_id resolves — per surviving container — to
+    * (offset, span) entries in the `.cdx` file, and the reader seeks and
+    * fetches EXACTLY those spans (bytes touched = index + requested
+    * records, independent of container size; WarcV2SourceSpec asserts
+    * the bound via [[graft.sources.v2.WarcReadStats]]). The ids are
+    * fixed (< 500, present at every gate scale) and land in different
+    * containers, so file pruning AND the CDX seek both run. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    containers(spark, dir)
+      .filter(col("record_id").isin(137L, 301L, 449L))
+      .select(col("record_id"), col("target_uri"), col("lang"),
+        col("uncompressed_length"),
+        expr("portable_hash60(payload)").as("payload_hash"))
+      .orderBy("record_id")
+
   private def h60(x: String): String =
     s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> (roundtrip _),
     "warc_header_stats" -> (headerStats _),
-    "warc_pruned_scan" -> (prunedScan _)
+    "warc_pruned_scan" -> (prunedScan _),
+    "warc_point_lookup" -> (pointLookup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -109,6 +126,13 @@ object Warc {
          |SELECT lang, COUNT(*) AS n_records,
          |  CAST(SUM(len) AS BIGINT) AS sum_len,
          |  bit_xor(ph) AS xor_payload_hash
-         |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "warc_point_lookup" ->
+      s"""SELECT doc_id AS record_id,
+         |  'http://example.invalid/' || source || '/' || doc_id AS target_uri,
+         |  lang, CAST(strlen(text) AS BIGINT) AS uncompressed_length,
+         |  ${h60("text")} AS payload_hash
+         |FROM documents WHERE doc_id IN (137, 301, 449)
+         |ORDER BY record_id""".stripMargin
   )
 }

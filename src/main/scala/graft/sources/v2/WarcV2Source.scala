@@ -137,8 +137,11 @@ object WarcContainer {
     }
     // "warcz": layout v2 (gzip-per-record) — a distinct cache root so a
     // stale v1 (uncompressed) corpus from an earlier session never
-    // satisfies a v2 fingerprint hit.
-    val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_warcz_$key")
+    // satisfies a v2 fingerprint hit. The "c" key suffix marks the
+    // with-CDX layout so a pre-CDX v2 corpus repacks rather than serving
+    // without its seek index (it shares the root prefix, so the sweep
+    // collects pre-CDX leftovers).
+    val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_warcz_${key}c")
     sweepStale(out)
     if (!Files.exists(out.resolve("_SUCCESS")))
       graft.core.BuildLog.timed("pack:warc")(write(spark, dir, out, maxId))
@@ -186,7 +189,19 @@ object WarcContainer {
       .foreachPartition { (it: Iterator[Row]) =>
         var cur = -1
         var os: BufferedOutputStream = null
-        def close(): Unit = if (os != null) { os.close(); os = null }
+        var offset = 0L
+        var cdx: java.lang.StringBuilder = null
+        var cdxPath: String = null
+        // The CDX side index (the record-level seek table every real WARC
+        // stack pairs with its containers): one "<id> <offset> <span>"
+        // line per record, written alongside the container inside the
+        // same staged directory so the ATOMIC_MOVE publishes both or
+        // neither. The reader's point-lookup path seeks straight to a
+        // record's span instead of streaming the container.
+        def close(): Unit = if (os != null) {
+          os.close(); os = null
+          Files.write(Paths.get(cdxPath), cdx.toString.getBytes(UTF_8))
+        }
         it.foreach { r =>
           val cont = r.getAs[Int]("cont")
           if (cont != cur) {
@@ -196,9 +211,17 @@ object WarcContainer {
             val hi = math.min((cont + 1).toLong * span, maxId + 1)
             os = new BufferedOutputStream(new FileOutputStream(
               s"$tmpStr/part-$cont-$lo-$hi.warc"))
+            cdxPath = s"$tmpStr/part-$cont-$lo-$hi.cdx"
+            cdx = new java.lang.StringBuilder(4096)
+            offset = 0L
           }
-          os.write(record(r.getAs[Long]("doc_id"), r.getAs[String]("text"),
-            r.getAs[String]("lang"), r.getAs[String]("source")))
+          val id = r.getAs[Long]("doc_id")
+          val bytes = record(id, r.getAs[String]("text"),
+            r.getAs[String]("lang"), r.getAs[String]("source"))
+          cdx.append(id).append(' ').append(offset).append(' ')
+            .append(bytes.length).append('\n')
+          os.write(bytes)
+          offset += bytes.length
         }
         close()
       }
@@ -343,18 +366,90 @@ private[v2] class WarcScan(dir: String, required: StructType,
 private[v2] case class WarcPartition(path: String, lo: Long, hi: Long)
     extends InputPartition
 
+/** JVM-global diagnostics for the CDX point-lookup path — deterministic
+  * in local mode (driver + executors share the JVM), where the
+  * bytes-read-bound spec reads them. `pointBytesRead` counts exactly the
+  * disk bytes a point lookup touches: the CDX file plus the fetched
+  * record spans — never the container body it seeks past. */
+object WarcReadStats {
+  val pointLookups = new java.util.concurrent.atomic.AtomicLong()
+  val pointBytesRead = new java.util.concurrent.atomic.AtomicLong()
+  def reset(): Unit = { pointLookups.set(0L); pointBytesRead.set(0L) }
+}
+
 /** Streams one container file: parses each record's headers, applies the
   * pushed record_id predicates, and reads the payload only when (a) the
   * record survives the filters and (b) the pruned schema asks for it —
-  * otherwise `Content-Length` bytes are skipped without materialization. */
+  * otherwise `Content-Length` bytes are skipped without materialization.
+  *
+  * POINT LOOKUPS take the CDX path instead: when every surviving record
+  * is named by an `EqualTo`/`In` record_id predicate and the container's
+  * `.cdx` side index exists, the reader resolves each id to its (offset,
+  * span) entry, seeks, and reads EXACTLY those spans — bytes touched are
+  * the index plus the requested records, independent of container size
+  * (the record-level random access real WARC stacks get from their CDX
+  * files). The fetched spans then flow through the IDENTICAL record
+  * parser as the streaming path, so the grammar is enforced either way. */
 private[v2] class WarcReaderFactory(fieldNames: Array[String],
     pushed: Array[Filter]) extends PartitionReaderFactory {
 
+  private def num(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+  }
+
+  /** The finite candidate id set named by the pushed predicates, if any:
+    * the intersection semantics of AND-ed filters mean any single
+    * EqualTo/In bounds the surviving set. None = not a point lookup. */
+  private def pointCandidates: Option[Set[Long]] = {
+    val sets = pushed.collect {
+      case EqualTo("record_id", v) => Set(num(v))
+      case In("record_id", vs) => vs.iterator.map(num).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcPartition]
+    val cdxPath = Paths.get(p.path.stripSuffix(".warc") + ".cdx")
+    pointCandidates match {
+      case Some(ids) if Files.exists(cdxPath) =>
+        // resolve ids -> spans through the index; order by offset so the
+        // concatenated spans parse as a well-formed sub-stream
+        val cdxBytes = Files.readAllBytes(cdxPath)
+        val wanted = new String(cdxBytes, UTF_8).split("\n").iterator
+          .filter(_.nonEmpty)
+          .map { line =>
+            val Array(id, off, len) = line.split(" ")
+            (id.toLong, off.toLong, len.toInt)
+          }
+          .filter { case (id, _, _) => ids.contains(id) }
+          .toArray
+          .sortBy(_._2)
+        val buf = new java.io.ByteArrayOutputStream(
+          wanted.iterator.map(_._3).sum max 16)
+        val raf = new java.io.RandomAccessFile(p.path, "r")
+        try wanted.foreach { case (_, off, len) =>
+          val span = new Array[Byte](len)
+          raf.seek(off)
+          raf.readFully(span)
+          buf.write(span)
+        } finally raf.close()
+        WarcReadStats.pointLookups.incrementAndGet()
+        WarcReadStats.pointBytesRead.addAndGet(
+          cdxBytes.length.toLong + buf.size().toLong)
+        makeReader(p, new java.io.ByteArrayInputStream(buf.toByteArray))
+      case _ =>
+        makeReader(p,
+          new BufferedInputStream(new FileInputStream(p.path), 1 << 16))
+    }
+  }
+
+  private def makeReader(p: WarcPartition,
+      input: java.io.InputStream): PartitionReader[InternalRow] = {
     val needPayload = fieldNames.contains("payload")
     new PartitionReader[InternalRow] {
-      private val in = new BufferedInputStream(new FileInputStream(p.path), 1 << 16)
+      private val in = input
       private var row: InternalRow = _
 
       private def num(v: Any): Long = v match {

@@ -99,6 +99,59 @@ class WarcV2SourceSpec extends SparkSpec {
       (0L to 4L))
   }
 
+  test("CDX point lookup reads the index plus the spans, not the container") {
+    import graft.sources.v2.WarcReadStats
+    val ids = Seq(137L, 301L, 449L)
+    WarcReadStats.reset()
+    // no orderBy: a sort's range-partitioner sampling pass would run the
+    // scan (and the counters) a second time
+    val got = warc.filter(col("record_id").isin(ids: _*))
+      .select("record_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // correctness of the seek path: full payloads, right records
+    val want = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // the CDX path actually ran, once per surviving container
+    val lookups = WarcReadStats.pointLookups.get()
+    assert(lookups >= 1, "point lookup never took the CDX path")
+    // bytes-read bound: index lines + the requested spans only — recompute
+    // the exact expectation from the CDX files themselves and compare
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
+    val cdxFiles =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.toString).filter(_.endsWith(".cdx")).toSeq
+      finally listing.close()
+    assert(cdxFiles.nonEmpty, "pack wrote no CDX side indexes")
+    var expected = 0L
+    var containersWithHit = 0L
+    cdxFiles.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      val spans = new String(bytes, "UTF-8").split("\n").iterator
+        .filter(_.nonEmpty).map(_.split(" "))
+        .filter(a => ids.contains(a(0).toLong)).map(_(2).toLong).toSeq
+      // only containers surviving file-range pruning are opened at all
+      if (spans.nonEmpty) {
+        expected += bytes.length + spans.sum
+        containersWithHit += 1
+      }
+    }
+    assert(lookups == containersWithHit,
+      s"CDX path ran $lookups times for $containersWithHit surviving containers")
+    assert(WarcReadStats.pointBytesRead.get() == expected,
+      s"point lookup touched ${WarcReadStats.pointBytesRead.get()} bytes, " +
+        s"expected exactly $expected (cdx + spans)")
+    // and that bound is a tiny fraction of the corpus the streaming path
+    // would have read
+    val totalWarc = cdxFiles.map(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(f.stripSuffix(".cdx") + ".warc"))).sum
+    assert(WarcReadStats.pointBytesRead.get() < totalWarc / 4,
+      s"point lookup read ${WarcReadStats.pointBytesRead.get()} of $totalWarc " +
+        "container bytes — not bounded")
+  }
+
   test("container layout: file names carry exact disjoint id ranges") {
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
     val ranges =
