@@ -125,4 +125,50 @@ class BpeBatchSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     assert(a == b, "final vocabs must be identical")
   }
+
+  test("interned Int fold == string applyRule fold on adversarial sequences") {
+    // The corpus encode runs applyRuleInterned under a presence-count
+    // guard; the guarded Int fold must equal the plain string fold on
+    // every sequence, including self-pair rules (l == r), chained merges,
+    // rules whose output feeds a LATER rule, and unknown symbols.
+    val rnd = new scala.util.Random(0xB9E)
+    val words = Array("a", "b", "c", "d", "u1", "u2") // u* stay un-ruled
+    for (trial <- 0 until 300) {
+      val seq = Array.fill(rnd.nextInt(24))(words(rnd.nextInt(words.length)))
+      // random rule list over phrases of the known alphabet, merge-order
+      // realistic: each rule's output may appear in later rules' inputs
+      var pool = Array("a", "b", "c", "d")
+      val rules = (0 until 12).map { _ =>
+        val l = pool(rnd.nextInt(pool.length))
+        val r = pool(rnd.nextInt(pool.length))
+        val m = l + " " + r
+        pool = pool :+ m
+        (l, r, m)
+      }
+      // string fold
+      var curS = seq
+      rules.foreach { case (l, r, m) => curS = Bpe.applyRule(curS, l, r, m) }
+      // interned fold with guard
+      val symId = rules.flatMap(t => Seq(t._1, t._2, t._3)).distinct
+        .zipWithIndex.toMap
+      val present = new Array[Int](symId.size)
+      var curI = seq.map(s => symId.getOrElse(s, -1))
+      curI.foreach(id => if (id >= 0) present(id) += 1)
+      rules.foreach { case (l, r, m) =>
+        val (li, ri, mi) = (symId(l), symId(r), symId(m))
+        if (present(li) > 0 && present(ri) > 0)
+          curI = Bpe.applyRuleInterned(curI, li, ri, mi, present)
+      }
+      assert(curI.length == curS.length,
+        s"trial $trial: interned ${curI.length} != string ${curS.length} " +
+          s"on ${seq.mkString(",")} rules ${rules.mkString(";")}")
+      // the guard's presence counts must stay exact, not just non-negative
+      val truth = curS.groupBy(identity).view.mapValues(_.length).toMap
+      symId.foreach { case (s, id) =>
+        assert(present(id) == truth.getOrElse(s, 0),
+          s"trial $trial: presence[$s] = ${present(id)} " +
+            s"!= ${truth.getOrElse(s, 0)}")
+      }
+    }
+  }
 }
