@@ -69,4 +69,26 @@ class GraphHubCapSpec extends SparkSpec {
     // K_32 has C(32,3) triangles; the small component adds exactly one
     assert(nTri == c * (c - 1) * (c - 2) / 6 + 1)
   }
+
+  test("tighter cap projects a strict subgraph: both census rows dominate") {
+    // A bucket surviving cap 16 survives cap 32, so the tight projection's
+    // edge set is a SUBSET of the default's — every census column is
+    // monotone in the cap. The synthetic at-cap bucket (exactly HubCap
+    // users) sits between the two knobs, so the tight row must drop it.
+    val loose = Graph.capAndProject(presence, 1L, Graph.HubCap)
+      .select("u1", "u2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Graph.capAndProject(presence, 1L, Graph.TightHubCap)
+      .select("u1", "u2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(loose), "tight-cap edges must be a subset")
+    assert(tight.size < loose.size,
+      "the at-cap bucket (32 users) must vanish under cap 16")
+    // only the small k=3 component survives cap 16 here
+    assert(tight == Set((200L, 201L), (200L, 202L), (201L, 202L)))
+    val rows = Seq(Graph.TightHubCap.toLong -> tight, Graph.HubCap.toLong -> loose)
+    rows.foreach { case (cap, es) =>
+      val row = Graph.triangleCensus(
+        Graph.capAndProject(presence, 1L, cap).select("u1", "u2")).collect()(0)
+      assert(row.getLong(1) == es.size, s"cap $cap edge count")
+    }
+  }
 }
