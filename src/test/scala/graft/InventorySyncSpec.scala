@@ -45,6 +45,47 @@ class InventorySyncSpec extends AnyFunSuite {
         "(regenerate: sbt 'runMain graft.PlanAudit')")
   }
 
+  test("BENCH_DETAIL.json covers SparkEntry.queries with full rep detail") {
+    // The r10 verdict's cheap close-out fix: the driver's bench artifact
+    // tail-truncates to ~4 KB (top-20 only), so the FULL per-query detail
+    // (converged + first + every rep) must be committed at close-out.
+    val txt = repoFile("BENCH_DETAIL.json").getOrElse(
+      fail("BENCH_DETAIL.json missing - at close-out, save the final " +
+        "bench run's per_query_converged/per_query_first/per_query_reps " +
+        "lines via tools (see the close-out recipe)"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(txt)
+    Seq("per_query_converged", "per_query_first", "per_query_reps")
+      .foreach(k => assert(root.has(k), s"BENCH_DETAIL.json lacks '$k'"))
+    def names(field: String): Set[String] = {
+      val node = root.get(field)
+      val it = node.fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    Seq("per_query_converged", "per_query_first", "per_query_reps").foreach { f =>
+      val missing = live -- names(f)
+      val stale = names(f) -- live
+      assert(missing.isEmpty && stale.isEmpty,
+        s"BENCH_DETAIL.json '$f' out of sync - missing: " +
+          s"${missing.toSeq.sorted.mkString(", ")}; stale: " +
+          s"${stale.toSeq.sorted.mkString(", ")}")
+    }
+    // every query's rep array is non-empty and its converged time is the
+    // min over the post-warmup reps (the artifact's own definition)
+    val reps = root.get("per_query_reps")
+    val conv = root.get("per_query_converged")
+    live.foreach { q =>
+      val arr = reps.get(q)
+      assert(arr.size() >= 1, s"$q: empty rep array")
+      val post = (if (arr.size() > 1) 1 until arr.size() else 0 until 1)
+        .map(arr.get(_).asDouble())
+      assert(math.abs(conv.get(q).asDouble() - post.min) < 5e-3,
+        s"$q: converged ${conv.get(q).asDouble()} != min post-warmup rep ${post.min}")
+    }
+  }
+
   test("SCALE.md per-query appendix == SparkEntry.queries") {
     val md = repoFile("SCALE.md").getOrElse(fail("SCALE.md missing"))
     val heading = "## Appendix - per-query converged slopes"
