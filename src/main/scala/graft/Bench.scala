@@ -202,7 +202,15 @@ object Bench {
     // Default 3 reps (1 warmup + min-of-2); override via SPARK_GRAFT_BENCH_REPS.
     val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt, 1)
     val nCalibThreads = cpus.toInt
-    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional name filter (comma-separated) — lets a driver shard the
+    // suite across processes; per-query semantics (reps, caches built in
+    // rep 1) are identical to an unsharded run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qseq = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      only.map(o => all.filter(kv => o(kv._1))).getOrElse(all)
+    }
     // Steal-calibration checkpoints: one spin before the first query, one
     // after every ~10% of the list, one after the last — an 11-point
     // time-series over the whole run (~5 s total overhead).
