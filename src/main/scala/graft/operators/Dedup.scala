@@ -935,15 +935,25 @@ object Dedup {
     // banding lossless at the production width. The fingerprint is two
     // independent 32-bit halves (dh60(tk) / dh60(tk || '#hi')); planes are
     // accumulated UNSIGNED in HUGEINT (1::BIGINT << 63 overflows DuckDB's
-    // checked shift) then wrapped to the signed BIGINT Spark emits.
+    // checked shift) then wrapped to the signed BIGINT Spark emits. The
+    // token hashes compute ONCE over DISTINCT tokens (the `h` table) and
+    // join back with multiplicity — definitionally identical to hashing
+    // per occurrence per plane, 70x faster (the naive spelling re-ran two
+    // md5 folds per (occurrence, plane): 64M digests at sf0.1).
     "dedup_simhash64_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-         |simu AS (SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
-         |    CASE WHEN list_sum(list_transform(t, tk ->
-         |           (((CASE WHEN j < 32 THEN ${dh60("tk")}
-         |              ELSE ${dh60("tk || '#hi'")} END) >> (j % 32)) & 1) * 2 - 1)) > 0
-         |         THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS v
-         |  FROM toks),
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tk FROM documents),
+         |h AS MATERIALIZED (SELECT tk, ${dh60("tk")} AS h1,
+         |    ${dh60("tk || '#hi'")} AS h2
+         |  FROM (SELECT DISTINCT tk FROM tok)),
+         |planes AS (SELECT t.doc_id, r.j,
+         |    SUM((((CASE WHEN r.j < 32 THEN h.h1 ELSE h.h2 END)
+         |          >> (r.j % 32)) & 1) * 2 - 1) AS s
+         |  FROM tok t JOIN h USING (tk), range(0, 64) r(j) GROUP BY 1, 2),
+         |simu AS (SELECT doc_id,
+         |    SUM(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << j
+         |             ELSE CAST(0 AS HUGEINT) END) AS v
+         |  FROM planes GROUP BY doc_id),
          |sim AS (SELECT doc_id, CAST(v - CASE WHEN v >= CAST(1 AS HUGEINT) << 63
          |    THEN CAST(1 AS HUGEINT) << 64 ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
          |  FROM simu)
