@@ -36,6 +36,11 @@ BASELINES = {}
 DENSIFIED = {
     "graph_triangle_count":
         "wedge-join work scales with graph density, input edges grew 61x",
+    "graph_triangle_census_capped":
+        "contains the default-cap census over the same 61x-densified edge "
+        "list as graph_triangle_count; its OTHER row (TightHubCap=16, "
+        "67.5k edges / 180k triangles vs 4.1M / 71M) is the gated "
+        "mitigation an operator deploys on exactly this graph",
     "graph_local_clustering":
         "same degree-ordered wedge join as triangle_count over a 61x-denser "
         "input graph",
@@ -85,6 +90,16 @@ RERUNS = {
          "family with evt_attribution 4.1x / evt_attribution_ushaped "
          "4.4x (same RANGE-frame window shape); the 8.26s bench rep "
          "was a steal burst"),
+    "evt_attribution_ushaped":
+        (1.58, 14.79,
+         "isolated min-of-3 (reps: 3.55/2.54/1.58) -> slope ~3.7x, "
+         "matching the r10 probe's 4.4x; the sharded-run rep was a "
+         "steal burst"),
+    "mm_ahash_dedup":
+        (8.27, 16.96,
+         "isolated min-of-3 (reps: 14.14/8.75/8.27) -> slope ~11x, "
+         "matching the r10 probe's 9.8x (pair verify within pHash "
+         "bucket family); the sharded-run rep was a steal burst"),
     "mm_audio_silence":
         (3.33, 20.23,
          "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
