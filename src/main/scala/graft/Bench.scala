@@ -31,8 +31,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   @volatile private var calibSink: Long = 0L
 
-  /** One query's measured reps (rep 1 = cold/JIT warmup). */
-  private[graft] final case class QRes(name: String, reps: Vector[Double], ok: Boolean) {
+  /** One query's measured reps (rep 1 = cold/JIT warmup). `builds` names
+    * the one-time cache/model builds that ran INSIDE this query's reps
+    * (almost always rep 1) with their seconds — the attribution that lets
+    * a consumer subtract ingest cost from a first-run row instead of
+    * misreading it as a regression (r11's 12.1 s graph_label_propagation
+    * rep 1 was the graft_coedges build + codegen). */
+  private[graft] final case class QRes(name: String, reps: Vector[Double], ok: Boolean,
+      builds: Map[String, Double] = Map.empty) {
     def first: Double = reps.head
     /** Min over post-warmup reps — the headline number. */
     def converged: Double = if (reps.length > 1) reps.tail.min else reps.head
@@ -161,10 +167,22 @@ object Bench {
       .map { case (n, s) => "\"" + n + f"""\":$s%.3f""" }
       .mkString("{", ",", "}")
     val buildsTotal = builds.values.sum
+    // Per-query attribution of the same ledger: WHICH build ran inside
+    // WHICH query's reps, so a consumer reading an inflated first-run row
+    // can see the one-time ingest share without cross-referencing the
+    // global cache_builds line by hand (r11 verdict item 8).
+    val perQueryBuild = rs.filter(_.builds.nonEmpty).map { r =>
+      val bs = r.builds.toSeq.sortBy(_._1)
+        .map { case (n, s) => "\"" + n + f"""\":$s%.3f""" }
+        .mkString("{", ",", "}")
+      "\"" + r.name + "\":" +
+        f"""{"build_s":${r.builds.values.sum}%.3f,"builds":$bs}"""
+    }.mkString("{", ",", "}")
     Seq(
       s"""{"metric":"per_query_converged","queries":$qs}""",
       s"""{"metric":"per_query_reps","reps":$qsReps}""",
       s"""{"metric":"per_query_first","queries":$qsFirst}""",
+      s"""{"metric":"per_query_build","queries":$perQueryBuild}""",
       f"""{"metric":"cache_builds","total_build_s":$buildsTotal%.3f,"builds":$buildsJson}""",
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"ingest_build_s":$buildsTotal%.3f,"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"sf":"$sfDir"}""")
   }
@@ -209,7 +227,17 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qseq = {
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
-      only.map(o => all.filter(kv => o(kv._1))).getOrElse(all)
+      only match {
+        case Some(o) =>
+          // Fail fast on names that match nothing: a typo in a shard list
+          // must abort the run, not silently shrink the shard (the gap
+          // would only surface later as an InventorySyncSpec failure).
+          val unknown = o -- all.iterator.map(_._1).toSet
+          require(unknown.isEmpty, "SPARK_GRAFT_BENCH_ONLY names unknown " +
+            s"queries: ${unknown.toSeq.sorted.mkString(", ")}")
+          all.filter(kv => o(kv._1))
+        case None => all
+      }
     }
     // Steal-calibration checkpoints: one spin before the first query, one
     // after every ~10% of the list, one after the last — an 11-point
@@ -218,6 +246,7 @@ object Bench {
     val calibs =
       scala.collection.mutable.ArrayBuffer[Double](calibSpin(nCalibThreads))
     val results = qseq.zipWithIndex.map { case ((name, fn), qi) =>
+      val buildsBefore = graft.core.BuildLog.snapshot()
       val times = (1 to reps).toVector.map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -230,7 +259,13 @@ object Bench {
       }
       if ((qi + 1) % calibEvery == 0 || qi == qseq.length - 1)
         calibs += calibSpin(nCalibThreads)
-      QRes(name, times.map(_._1), times.forall(_._2))
+      // builds this query triggered = ledger delta across its reps
+      val buildsDelta = graft.core.BuildLog.snapshot().flatMap { case (k, v) =>
+        val d = v - buildsBefore.getOrElse(k, 0.0)
+        if (d > 1e-9 || (d >= 0.0 && !buildsBefore.contains(k)))
+          Some(k -> d) else None
+      }
+      QRes(name, times.map(_._1), times.forall(_._2), buildsDelta)
     }
     renderLines(results, calibs.toIndexedSeq, calibEvery, sfDir,
         graft.core.BuildLog.snapshot())

@@ -26,9 +26,19 @@ object BenchOne {
     }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (name <- names; r <- 1 to reps) {
+      val before = graft.core.BuildLog.snapshot()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      // name the one-time builds this rep paid, so an inflated rep 1 is
+      // self-explaining (same attribution as Bench's per_query_build line)
+      val delta = graft.core.BuildLog.snapshot().flatMap { case (k, v) =>
+        val d = v - before.getOrElse(k, 0.0)
+        if (d > 1e-9) Some(f"$k=$d%.2f") else None
+      }
+      val suffix =
+        if (delta.isEmpty) "" else delta.toSeq.sorted.mkString(" (builds: ", ", ", ")")
+      println(f"[benchone] $name rep$r $dt%.2f s$suffix")
     }
     spark.stop()
   }

@@ -20,6 +20,14 @@ object BuildLog {
     finally log.merge(name, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
   }
 
+  /** Record an explicit entry without timing anything — e.g. the
+    * zero-cost cache-hit marker a pre-existing WARC pack leaves so the
+    * bench's cache_builds line still names the ingest artifact its
+    * converged timings ride (ADVICE r11: a silent fingerprint hit made
+    * the build ledger under-report). */
+  def record(name: String, seconds: Double): Unit =
+    log.merge(name, seconds, (a, b) => a + b)
+
   /** Snapshot of (build name -> accumulated seconds), insertion-unordered. */
   def snapshot(): Map[String, Double] = {
     val b = Map.newBuilder[String, Double]

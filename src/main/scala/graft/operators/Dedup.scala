@@ -324,7 +324,16 @@ object Dedup {
     * public recipe is a 64-bit simhash with 16-bit bands (expected bucket
     * size n/2^16), keeping candidate counts near-linear; 8-bit bands are
     * right for the test corpus. The shuffle key is (band, key) — 2 longs —
-    * never text. */
+    * never text.
+    *
+    * STATUS (r12): DECLARED EXHAUSTIVE BASELINE of [[simhash64Pairs]].
+    * The n²/256 cross-bucket candidate term is inherent to the 8-bit band
+    * width, so this query is superlinear BY DESIGN (16.1× on 10× data,
+    * SCALE.md declared-baselines section); the production path at any
+    * larger corpus is the 64-bit/16-bit-band twin (measured 8.8× on the
+    * same probe), and this query stays gated at both scales as the
+    * narrow-band witness that the banding recipe itself is lossless —
+    * the same round-7 discipline as the other exhaustive twins. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sim = tokenized(spark, dir)
       .select(col("doc_id"), expr("simhash32(toks)").as("sh"))

@@ -52,6 +52,30 @@ object Graph {
     * densified graph (ScaleUp's sf1 grows edges 61×) actually deploys. */
   val TightHubCap = 16
 
+  /** Candidate caps of the DENSITY-ADAPTIVE selection (r11 verdict item
+    * 4): never above the default [[HubCap]] (so the sparse-graph cache
+    * table is reused verbatim), halving per step down to the floor. */
+  val CapLadder: Seq[Long] = Seq(8L, 16L, 32L)
+
+  /** Pair budget of the adaptive cap, in projected pairs per presence
+    * row: the chosen cap is the LARGEST ladder entry whose capped
+    * projection Σ_{bn≤cap} bn(bn−1)/2 stays ≤ this × |presence| — i.e.
+    * the projection is kept LINEAR in its input by construction. At the
+    * gate scales (max bucket 3 / 9 users) every ladder entry fits and
+    * 32 is chosen — identical edges to the fixed default — while the
+    * 10×-densified sf1 graph (buckets to 90 users, cap-32 projection
+    * 7.9M pairs vs 4.0M budget) tightens itself to 16: the knob turns
+    * without an operator reading SCALE.md first. */
+  val PairBudgetPerRow = 4L
+
+  /** Pure selection rule, factored for GraphAdaptiveCapSpec: largest
+    * ladder cap whose capped pair projection fits the budget; the floor
+    * entry when none does. */
+  private[operators] def pickCap(pairsAtCap: Map[Long, Long], nRows: Long): Long =
+    CapLadder.sorted.reverse
+      .find(c => pairsAtCap.getOrElse(c, Long.MaxValue) <= PairBudgetPerRow * nRows)
+      .getOrElse(CapLadder.min)
+
   /** Hub-cap + pair projection over ANY distinct (user_id, k, hr)
     * presence relation — factored out so GraphHubCapSpec can drive it
     * with a synthetic hub-heavy presence table and pin the cap's exact
@@ -104,6 +128,34 @@ object Graph {
         dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
     }
 
+  /** The distinct (user_id, k, hour) presence relation every co-presence
+    * artifact derives from. */
+  private def presence(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+
+  /** DENSITY-ADAPTIVE hub cap: [[pickCap]] over the measured bucket-size
+    * histogram, memoized per corpus (one aggregate over the presence
+    * relation; the histogram collapses to one row of ladder-conditional
+    * sums, so the driver reads a single row — model metadata, not data).
+    * Serves [[triangleCount]]/[[localClustering]] — the two quadratic-
+    * wedge queries — and the [[adaptiveCapCensus]] gate. */
+  private[operators] def adaptiveCap(spark: SparkSession, dir: String): Long =
+    graft.core.ModelMemo.cached(s"adcap:$dir") {
+      val sizes = presence(spark, dir)
+        .groupBy("k", "hr").agg(count(lit(1)).as("bn"))
+      val aggs = CapLadder.map(c =>
+        sum(when(col("bn") <= c, expr("bn * (bn - 1) div 2"))
+          .otherwise(0L)).as(s"p$c")) :+ sum(col("bn")).as("n_rows")
+      val row = sizes.agg(aggs.head, aggs.tail: _*).head()
+      val pairs = CapLadder.map(c => c -> row.getAs[Long](s"p$c")).toMap
+      java.lang.Long.valueOf(pickCap(pairs, row.getAs[Long]("n_rows")))
+    }.longValue()
+
   private[operators] def copresenceEdges(
       spark: SparkSession, dir: String, minWeight: Long,
       cap: Long = HubCap): DataFrame = {
@@ -114,13 +166,7 @@ object Graph {
       if (cap == HubCap) "graft_coedges" else s"graft_coedges$cap"
     val edges = graft.core.BucketedCache.getOrBuild(
       spark, prefix, key, EdgeBuckets, "u1", "u1") {
-      val ev = Tables.events(spark, dir)
-        .select(
-          col("user_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"),
-          date_trunc("hour", col("ts")).as("hr"))
-        .distinct()
-      capAndProject(ev, 1L, cap)
+      capAndProject(presence(spark, dir), 1L, cap)
     }
     if (minWeight > 1L) edges.filter(col("w") >= minWeight) else edges
   }
@@ -141,9 +187,36 @@ object Graph {
   /** Global triangle census: one row (n_nodes, n_edges, n_triangles).
     * Wedges are enumerated at each triangle's unique out-degree-2 apex
     * under the (degree, id) total order and closed against the canonical
-    * (min, max) edge list, so each triangle counts exactly once. */
+    * (min, max) edge list, so each triangle counts exactly once.
+    * SERVED FROM THE ADAPTIVE OPERATING POINT ([[adaptiveCap]]): on the
+    * gate corpora the chosen cap's edge set equals the fixed default's,
+    * and on a densified graph the projection tightens itself instead of
+    * re-creating the 78 s sf1 row the fixed cap paid at every probe. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
-    triangleCensus(copresenceEdges(spark, dir, 1L).select("u1", "u2"))
+    triangleCensus(
+      copresenceEdges(spark, dir, 1L, adaptiveCap(spark, dir)).select("u1", "u2"))
+
+  /** The adaptive selection gate (r11 verdict item 4): ONE row carrying
+    * the measured inputs of the choice (presence rows, the linear pair
+    * budget, the chosen cap's projected pairs) plus the full census at
+    * the chosen operating point — so the self-turning knob is a
+    * hash-gated artifact (the oracle re-derives the same histogram, the
+    * same argmax-under-budget and the same census), not driver prose. */
+  def adaptiveCapCensus(spark: SparkSession, dir: String): DataFrame = {
+    val cap = adaptiveCap(spark, dir)
+    val sizes = presence(spark, dir)
+      .groupBy("k", "hr").agg(count(lit(1)).as("bn"))
+    val stats = sizes.agg(
+      sum(col("bn")).as("presence_rows"),
+      sum(when(col("bn") <= cap, expr("bn * (bn - 1) div 2"))
+        .otherwise(0L)).as("proj_pairs"))
+      .select(lit(cap).as("hub_cap"), col("presence_rows"),
+        (col("presence_rows") * PairBudgetPerRow).as("pairs_budget"),
+        col("proj_pairs"))
+    // 1×1 scalar cross join against the chosen-cap census
+    stats.crossJoin(triangleCensus(
+      copresenceEdges(spark, dir, 1L, cap).select("u1", "u2")))
+  }
 
   /** TWO-KNOB triangle census — the default [[HubCap]] AND the tighter
     * [[TightHubCap]] operating point gated in one output (the nprobe-
@@ -225,7 +298,9 @@ object Graph {
     * re-enumeration). Wedge counts are exact integers; lcc is one double
     * division. Nodes with deg < 2 (no possible triangle) are excluded. */
   def localClustering(spark: SparkSession, dir: String): DataFrame = {
-    val e = copresenceEdges(spark, dir, 1L).select("u1", "u2")
+    // adaptive operating point — same rationale as [[triangleCount]]
+    val e = copresenceEdges(spark, dir, 1L, adaptiveCap(spark, dir))
+      .select("u1", "u2")
     val deg = degrees(e)
     val withDeg = e
       .join(deg.select(col("v").as("u1"), col("deg").as("deg1")), "u1")
@@ -499,6 +574,7 @@ object Graph {
     "graph_kcore" -> (kcore _),
     "graph_degree_dist" -> (degreeDist _),
     "graph_triangle_count" -> (triangleCount _),
+    "graph_adaptive_cap" -> (adaptiveCapCensus _),
     "graph_triangle_census_capped" -> (triangleCensusCapped _),
     "graph_pagerank_int" -> (pagerankInt _),
     "graph_local_clustering" -> (localClustering _),
@@ -729,6 +805,31 @@ object Graph {
        |            ON a.k = b.k AND a.hr = b.hr AND a.user_id < b.user_id
        |          GROUP BY 1, 2 HAVING COUNT(*) >= $minW)""".stripMargin
 
+  /** [[edgeCte]]'s adaptive twin: re-derives [[pickCap]]'s selection in
+    * SQL (bucket-size histogram → ladder-conditional pair sums → largest
+    * cap under the linear budget) and projects edges at the CHOSEN cap;
+    * downstream SQL reuses the same `edges` relation name. */
+  private def adaptiveEdgeCte(minW: Int): String =
+    s"""ev AS (SELECT DISTINCT user_id,
+       |         CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+       |         date_trunc('hour', ts) AS hr FROM events),
+       |bs AS MATERIALIZED (SELECT k, hr, COUNT(*) AS bn FROM ev GROUP BY 1, 2),
+       |psum AS (SELECT c, CAST(SUM(CASE WHEN bn <= c
+       |             THEN bn * (bn - 1) // 2 ELSE 0 END) AS BIGINT) AS pp
+       |         FROM (VALUES ${CapLadder.map(c => s"($c)").mkString(", ")}) l(c)
+       |         CROSS JOIN bs GROUP BY c),
+       |nrow AS (SELECT CAST(SUM(bn) AS BIGINT) AS n FROM bs),
+       |chosen AS (SELECT CAST(COALESCE(
+       |             (SELECT MAX(c) FROM psum, nrow
+       |               WHERE pp <= $PairBudgetPerRow * n),
+       |             ${CapLadder.min}) AS BIGINT) AS cap),
+       |bk AS (SELECT k, hr FROM bs WHERE bn <= (SELECT cap FROM chosen)),
+       |evb AS (SELECT ev.* FROM ev JOIN bk USING (k, hr)),
+       |edges AS (SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS w
+       |          FROM evb a JOIN evb b
+       |            ON a.k = b.k AND a.hr = b.hr AND a.user_id < b.user_id
+       |          GROUP BY 1, 2 HAVING COUNT(*) >= $minW)""".stripMargin
+
   /** One oracle peel round: degrees over e{r−1}, survivors, e{r}.
     * MATERIALIZED is load-bearing: each round references the previous
     * round's edges three times, so DuckDB's default CTE inlining would
@@ -878,9 +979,24 @@ object Graph {
          |SELECT deg AS degree, COUNT(*) AS n_users
          |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
     "graph_triangle_count" ->
-      s"""WITH ${edgeCte(1)},
+      s"""WITH ${adaptiveEdgeCte(1)},
          |nodes AS (SELECT u1 AS v FROM edges UNION SELECT u2 FROM edges)
          |SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+         |       (SELECT COUNT(*) FROM edges) AS n_edges,
+         |       (SELECT COUNT(*)
+         |          FROM edges e1
+         |          JOIN edges e2 ON e2.u1 = e1.u2
+         |          JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2) AS n_triangles""".stripMargin,
+    "graph_adaptive_cap" ->
+      s"""WITH ${adaptiveEdgeCte(1)},
+         |nodes AS (SELECT u1 AS v FROM edges UNION SELECT u2 FROM edges)
+         |SELECT (SELECT cap FROM chosen) AS hub_cap,
+         |       (SELECT n FROM nrow) AS presence_rows,
+         |       CAST($PairBudgetPerRow * (SELECT n FROM nrow) AS BIGINT)
+         |         AS pairs_budget,
+         |       (SELECT pp FROM psum
+         |          WHERE c = (SELECT cap FROM chosen)) AS proj_pairs,
+         |       (SELECT COUNT(*) FROM nodes) AS n_nodes,
          |       (SELECT COUNT(*) FROM edges) AS n_edges,
          |       (SELECT COUNT(*)
          |          FROM edges e1
@@ -936,7 +1052,7 @@ object Graph {
          |SELECT v AS user_id, CAST(pr AS BIGINT) AS pr FROM pr3
          |ORDER BY pr DESC, user_id LIMIT 20""".stripMargin,
     "graph_local_clustering" ->
-      s"""WITH ${edgeCte(1)},
+      s"""WITH ${adaptiveEdgeCte(1)},
          |deg AS (SELECT v, COUNT(*) AS deg FROM
          |          (SELECT u1 AS v FROM edges UNION ALL SELECT u2 FROM edges)
          |        GROUP BY v),

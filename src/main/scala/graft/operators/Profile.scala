@@ -105,9 +105,115 @@ object Profile {
   def profileLineitem(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.lineitem(spark, dir))
 
+  /** Canonical string for sketch hashing — the cross-engine contract that
+    * lets DuckDB rebuild the identical registers. Integrals/strings cast
+    * directly; DOUBLE columns are cents-precision in this corpus, so the
+    * ×100-to-BIGINT canonicalization is injective on the actual domain
+    * (the repo's established cents discipline); timestamps use the same
+    * second-precision ISO form as the min/max routing. */
+  private def canonCol(f: StructField): Column = f.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      col(f.name).cast("string")
+    case DoubleType | FloatType | _: DecimalType =>
+      expr(s"cast(cast(round(${f.name} * 100) as bigint) as string)")
+    case TimestampType => date_format(col(f.name), "yyyy-MM-dd HH:mm:ss")
+    case _ => col(f.name).cast("string")
+  }
+
+  /** 2^55 — the zero-register term of the exact harmonic numerator. */
+  private val Pow55 = 36028797018963968L
+
+  /** THE 100 TB PROFILE (r11 verdict item 3, gated as
+    * `profile_lineitem_approx`): every exact statistic of [[profile]]
+    * (nulls, typed min/max, n_rows — the single global aggregate) plus a
+    * PORTABLE per-column HLL distinct sketch in place of the ×cols exact
+    * COUNT(DISTINCT) jobs: one extra scan unpivots each row into
+    * (col_name, canonical value) pairs map-side, partial-aggregates into
+    * ≤ cols·64 (column, register, max-rank) groups, and each column's
+    * estimate is the `sketch_hll_estimate` arithmetic — exact BIGINT
+    * n_zero_regs/harmonic_num and ONE double division — so the sketch
+    * output hash-gates exactly in DuckDB (stronger than an in-bounds
+    * boolean: the estimator's value itself is cross-engine-pinned).
+    * ProfileApproxSpec separately asserts the small-range-corrected
+    * estimates sit inside HLL's published error envelope of the exact
+    * counts, so accuracy is tested where ln() can't hash-gate.
+    *
+    * Scale shape vs the exact profiler: 2 scans and a ≤ cols·64-row
+    * shuffle total, independent of row count — no per-column distinct
+    * jobs anywhere on the plan, which is exactly the swap the exact
+    * profiler's scaladoc documents for cluster scale. */
+  def profileHll(df: DataFrame): DataFrame = {
+    graft.functions.Registry.register(df.sparkSession)
+    val fields = df.schema.fields
+    def statCols(f: StructField): (Column, Column, Column, Column) = {
+      val c = col(f.name)
+      f.dataType match {
+        case _: NumericType =>
+          (min(c).cast("double"), max(c).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case TimestampType =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min(c).cast("string"), max(c).cast("string"))
+      }
+    }
+    val aggs = fields.toSeq.flatMap { f =>
+      val (mnn, mxn, mns, mxs) = statCols(f)
+      Seq(
+        count(col(f.name)).as(s"nn_${f.name}"),
+        mnn.as(s"mnn_${f.name}"), mxn.as(s"mxn_${f.name}"),
+        mns.as(s"mns_${f.name}"), mxs.as(s"mxs_${f.name}"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = fields.map { f =>
+      s"'${f.name}', n_rows - nn_${f.name}, " +
+        s"mnn_${f.name}, mxn_${f.name}, mns_${f.name}, mxs_${f.name}"
+    }.mkString(", ")
+    val base = one.select(
+      expr(s"stack(${fields.length}, $stacked) AS " +
+        "(col_name, n_nulls, min_num, max_num, min_str, max_str)"),
+      col("n_rows"))
+    // the sketch pass: map-side unpivot → 60-bit portable hash → (column,
+    // register, max rank) partial agg — the shuffle carries ≤ cols·64 rows
+    val arms = fields.toSeq.map(f =>
+      struct(lit(f.name).as("col_name"), canonCol(f).as("v")))
+    val sketch = df.select(explode(array(arms: _*)).as("a"))
+      .select(col("a.col_name").as("col_name"), col("a.v").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("col_name"),
+        expr("portable_hash60(concat('pf:', col_name, ':', v))").as("h"))
+      .select(col("col_name"),
+        expr("h div 18014398509481984").as("register"),
+        expr("h % 18014398509481984").as("rem"))
+      .select(col("col_name"), col("register"),
+        when(col("rem") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("rem")))).cast("int").as("rnk"))
+      .groupBy("col_name", "register").agg(max(col("rnk")).as("mr"))
+      .groupBy("col_name").agg(
+        (lit(64L) - count(lit(1))).as("n_zero_regs"),
+        (sum(expr("shiftleft(cast(1 as bigint), cast(55 - mr as int))"))
+          + (lit(64L) - count(lit(1))) * lit(Pow55)).as("harmonic_num"))
+    base.join(broadcast(sketch), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        coalesce(col("n_zero_regs"), lit(64L)).as("n_zero_regs"),
+        coalesce(col("harmonic_num"), lit(64L * Pow55)).as("harmonic_num"))
+      .withColumn("nd_estimate",
+        lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16)
+          / col("harmonic_num").cast("double"))
+      .orderBy("col_name")
+  }
+
+  def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame =
+    profileHll(Tables.lineitem(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
-    "profile_lineitem" -> (profileLineitem _)
+    "profile_lineitem" -> (profileLineitem _),
+    "profile_lineitem_approx" -> (profileLineitemApprox _)
   )
 
   /** One UNION ALL arm per column, mirroring the typed min/max routing. */
@@ -131,7 +237,72 @@ object Profile {
        |FROM $table""".stripMargin
   }
 
+  /** DuckDB twin of the 60-bit portable hash (the repo-wide md5 split). */
+  private def h60Sql(x: String): String =
+    s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', " +
+      s"substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+
+  /** DuckDB twin of [[canonCol]]'s canonical sketch-hash string. */
+  private def canonSql(c: String, kind: String): String = kind match {
+    case "num" => s"CAST($c AS VARCHAR)"
+    case "dbl" => s"CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR)"
+    case "ts" => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+    case _ => c
+  }
+
+  /** Per-column register/summary CTEs for the portable-HLL oracle. */
+  private def sketchCte(table: String, c: String, kind: String): String =
+    s"""m_$c AS (SELECT h // 18014398509481984 AS register,
+       |    MAX(CASE WHEN h % 18014398509481984 = 0 THEN 55
+       |             ELSE 55 - length(bin(h % 18014398509481984)) END) AS mr
+       |  FROM (SELECT ${h60Sql(s"'pf:$c:' || ${canonSql(c, kind)}")} AS h
+       |        FROM $table WHERE $c IS NOT NULL)
+       |  GROUP BY 1),
+       |s_$c AS (SELECT CAST(64 - COUNT(*) AS BIGINT) AS nz,
+       |    CAST(SUM(1::BIGINT << (55 - mr))
+       |      + (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS hn
+       |  FROM m_$c)""".stripMargin
+
+  /** One UNION ALL arm of the approx profile: exact base stats + the
+    * column's sketch summary and raw estimate (same literal chain as the
+    * sketch_hll_estimate oracle, so the double division matches Spark's
+    * bit-for-bit). */
+  private def armApprox(table: String, c: String, kind: String): String = {
+    val (mnn, mxn, mns, mxs) = kind match {
+      case "num" | "dbl" =>
+        (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "ts" =>
+        ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+      case _ =>
+        ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+    }
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($c) AS n_nulls,
+       |  $mnn AS min_num, $mxn AS max_num, $mns AS min_str, $mxs AS max_str,
+       |  (SELECT nz FROM s_$c) AS n_zero_regs,
+       |  (SELECT hn FROM s_$c) AS harmonic_num,
+       |  7.09e-1 * 4.096e3 * 3.6028797018963968e16
+       |    / CAST((SELECT hn FROM s_$c) AS DOUBLE) AS nd_estimate
+       |FROM $table""".stripMargin
+  }
+
+  /** (column, type-kind) inventory of the gated lineitem profile. */
+  private val LineitemKinds: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "dbl",
+    "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
   val oracle: Map[String, String] = Map(
+    "profile_lineitem_approx" -> (
+      "WITH " + LineitemKinds.map { case (c, k) => sketchCte("lineitem", c, k) }
+        .mkString(",\n") + "\n" +
+      LineitemKinds.map { case (c, k) => armApprox("lineitem", c, k) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     "profile_orders" -> (Seq(
       arm("orders", "o_orderkey", "num"),
       arm("orders", "o_custkey", "num"),

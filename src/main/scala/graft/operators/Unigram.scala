@@ -249,6 +249,111 @@ object Unigram {
     segment(spark, vocab, costsOf(kept2))
   }
 
+  /** Posterior truncation window of the SOFT E-step, in half-bit cost
+    * units: segmentations costing more than [[SoftWindow]] above a
+    * word's best path carry relative probability < 2^-20 under the
+    * tempered posterior and are dropped EXACTLY (the cutoff tests an
+    * integer, so both engines truncate identically) — what keeps every
+    * weight a ≤ 2^40 integer and the whole E-step cross-engine exact. */
+  val SoftWindow = 40L
+
+  /** All segmentations of `w` into inventory pieces, with total half-bit
+    * cost and piece multiset. Bounded by composition count (≤ tetranacci
+    * of the word length — 56 paths for an 8-char word, O(1) per DISTINCT
+    * word at any corpus scale), so enumeration is the per-word map-side
+    * work the corpus never shuffles. */
+  private[operators] def softPaths(w: String,
+      cost: collection.Map[String, Long]): IndexedSeq[(Long, List[String])] = {
+    val L = w.length
+    val memo = Array.fill[List[(Long, List[String])]](L + 1)(null)
+    def rec(i: Int): List[(Long, List[String])] = {
+      if (i == 0) List((0L, Nil))
+      else if (memo(i) != null) memo(i)
+      else {
+        val acc = List.newBuilder[(Long, List[String])]
+        var k = 1
+        while (k <= MaxPieceLen && k <= i) {
+          val p = w.substring(i - k, i)
+          if (cost.contains(p)) {
+            val s = cost(p)
+            rec(i - k).foreach { case (c, ps) => acc += ((c + s, p :: ps)) }
+          }
+          k += 1
+        }
+        memo(i) = acc.result()
+        memo(i)
+      }
+    }
+    rec(L).toIndexedSeq
+  }
+
+  /** SOFT expected usage of one word (Kudo's E-step with expected counts
+    * instead of [[refineKept]]'s hard argmin counts), kept EXACT: the
+    * posterior is the TEMPERED distribution Q(seg) ∝ 2^(−cost(seg)) —
+    * the square of the model probability, since cost is the half-bit
+    * −2·log₂ p — whose weights are exact dyadic integers 2^(SoftWindow−δ)
+    * after per-word min-cost normalization and window truncation. The
+    * expected count freq·Σw·mult / Σw is rounded half-up in exact integer
+    * arithmetic (BigInt guards the freq·num product; the oracle's HUGEINT
+    * mirrors it), so soft counts are cross-engine gateable the same way
+    * hard counts are. */
+  private[operators] def softUsageOne(w: String, freq: Long,
+      cost: collection.Map[String, Long]): Seq[(String, Long)] = {
+    val paths = softPaths(w, cost)
+    if (paths.isEmpty) return Nil
+    var cmin = Long.MaxValue
+    paths.foreach { case (c, _) => if (c < cmin) cmin = c }
+    var den = 0L
+    val num = scala.collection.mutable.Map.empty[String, Long]
+    paths.foreach { case (c, ps) =>
+      val d = c - cmin
+      if (d <= SoftWindow) {
+        val wt = 1L << (SoftWindow - d)
+        den += wt
+        ps.foreach(p => num(p) = num.getOrElse(p, 0L) + wt)
+      }
+    }
+    num.iterator.map { case (p, n) =>
+      p -> ((BigInt(2) * freq * n + den) / (BigInt(2) * den)).toLong
+    }.filter(_._2 > 0L).toSeq.sortBy(_._1)
+  }
+
+  /** One SOFT E+M: expected usage over the whole vocab (map-side path
+    * enumeration per distinct word, one vocab-sized aggregation — the
+    * same distribution shape as the hard E-step), then the identical
+    * inventory rebuild rule (alphabet unconditional, multi-char needs
+    * ≥ [[MinPieceCount]] expected usage). */
+  private[operators] def softRefineKept(spark: SparkSession, vocab: DataFrame,
+      costs: collection.Map[String, Long], alphabet: Array[String])
+      : Map[String, Long] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(costs)
+    val usage = vocab.select(col("word"), col("freq")).as[(String, Long)]
+      .flatMap { case (w, f) => softUsageOne(w, f, bc.value) }
+      .toDF("piece", "cnt")
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    alphabet.iterator.map(a => a -> usage.getOrElse(a, 0L)).toMap ++
+      usage.iterator.filter { case (p, c) => p.length > 1 && c >= MinPieceCount }
+  }
+
+  private[operators] def emSoftSegment(spark: SparkSession, vocab: DataFrame): DataFrame = {
+    val kept2 = softRefineKept(spark, vocab, seedCosts(spark, vocab),
+      alphabetOf(spark, vocab))
+    segment(spark, vocab, costsOf(kept2))
+  }
+
+  /** Round-2 per-word segmentation under the SOFT-EM-refined inventory
+    * (forward posterior over ALL segmentations instead of the argmin
+    * path — Kudo ACL'18's actual E-step, where [[unigramEm]] is the
+    * Viterbi-training approximation; UnigramSoftSpec pins a vocab where
+    * the two refinements disagree). Decoding stays Viterbi — training
+    * soft, inference hard, as SentencePiece ships. */
+  def unigramEmSoft(spark: SparkSession, dir: String): DataFrame =
+    emSoftSegment(spark, wordVocab(spark, dir).localCheckpoint())
+
   /** Round-2 (post-EM) per-word segmentation over the corpus vocab. */
   def unigramEm(spark: SparkSession, dir: String): DataFrame =
     emSegment(spark, wordVocab(spark, dir).localCheckpoint())
@@ -308,10 +413,48 @@ object Unigram {
   def unigramEmTrain(spark: SparkSession, dir: String): DataFrame =
     emTrajectory(spark, wordVocab(spark, dir).localCheckpoint(), EmRounds)
 
+  /** The SOFT trainer trajectory — [[emTrajectory]] with the E-step
+    * swapped for [[softRefineKept]]'s expected counts (decoding and all
+    * telemetry stay argmin, so the two trajectories are row-comparable:
+    * same schema, same convergence semantics, different training
+    * signal). */
+  private[operators] def softEmTrajectory(spark: SparkSession, vocab: DataFrame,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val alphabet = alphabetOf(spark, vocab)
+    var kept = seedKept(spark, vocab)
+    var prevSeg: DataFrame = null
+    val rows = (1 to rounds).map { r =>
+      val costs = costsOf(kept)
+      val seg = segment(spark, vocab, costs).localCheckpoint()
+      val st = seg.agg(
+        sum(col("freq") * col("total_cost")).as("cc"),
+        sum(col("freq") * col("n_pieces")).as("cp")).head()
+      val changed =
+        if (prevSeg == null) 0L
+        else seg.as("a").join(prevSeg.as("b"), "word")
+          .filter(col("a.seg") =!= col("b.seg")).count()
+      prevSeg = seg
+      val row = (r.toLong, kept.size.toLong, kept.valuesIterator.sum,
+        st.getLong(0), st.getLong(1), changed)
+      if (r < rounds) kept = softRefineKept(spark, vocab, costs, alphabet)
+      row
+    }
+    rows.toDF("round", "inv_size", "total_mass", "corpus_cost",
+        "corpus_pieces", "n_seg_changed")
+      .orderBy("round")
+  }
+
+  /** [[EmRounds]]-round SOFT trainer trajectory over the corpus vocab. */
+  def unigramEmSoftTrain(spark: SparkSession, dir: String): DataFrame =
+    softEmTrajectory(spark, wordVocab(spark, dir).localCheckpoint(), EmRounds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_viterbi" -> (unigramViterbi _),
     "text_unigram_em" -> (unigramEm _),
-    "text_unigram_em_train" -> (unigramEmTrain _)
+    "text_unigram_em_soft" -> (unigramEmSoft _),
+    "text_unigram_em_train" -> (unigramEmTrain _),
+    "text_unigram_em_soft_train" -> (unigramEmSoftTrain _)
   )
 
   /** One forward-DP stage of the oracle: rows ending at position i via a
@@ -341,10 +484,9 @@ object Unigram {
              .mkString("\n  UNION ALL ")})
        |ORDER BY word""".stripMargin
 
-  /** Shared WITH prelude: word vocab, kept seed counts, total-mass
-    * quantization, seed cost table `v`, and the round-1 DP stages
-    * d1..d[[OracleMaxLen]]. */
-  private def preludeSql: String =
+  /** Seed-model WITH body (no DP stages): word vocab, kept seed counts,
+    * total-mass quantization, seed cost table `v`. */
+  private def modelSql: String =
     s"""WITH w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
        |                                  x -> x <> '')) AS word
@@ -361,11 +503,32 @@ object Unigram {
        |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM kv)),
        |v AS MATERIALIZED (SELECT piece,
        |    (SELECT ct FROM tot) - CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
-       |  FROM kv),
+       |  FROM kv)""".stripMargin
+
+  /** Shared WITH prelude: [[modelSql]] plus the round-1 DP stages
+    * d1..d[[OracleMaxLen]]. */
+  private def preludeSql: String =
+    s"""$modelSql,
        |d0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
        |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
        |${(1 to OracleMaxLen).map(dpStageSql(_, "d", "v")).mkString(",\n")}"""
       .stripMargin
+
+  /** One ALL-PATHS forward stage (the soft oracle's enumerator): like
+    * [[dpStageSql]] but WITHOUT the per-word argmin, so stage i holds
+    * every segmentation of each word's first i characters with its
+    * accumulated cost — composition-bounded, tiny at gate scale. */
+  private def allPathsStageSql(i: Int, pfx: String, vName: String): String = {
+    val members = (1 to math.min(MaxPieceLen, i)).map { k =>
+      s"""SELECT word, freq, best, seg,
+         |      substr(word, ${i - k + 1}, $k) AS p
+         |    FROM $pfx${i - k} WHERE length(word) >= $i""".stripMargin
+    }.mkString("\n    UNION ALL ")
+    s"""$pfx$i AS MATERIALIZED (
+       |  SELECT c.word, c.freq, c.best + v.sc AS best,
+       |    CASE WHEN c.seg = '' THEN c.p ELSE c.seg || ' ' || c.p END AS seg
+       |  FROM ($members) c JOIN $vName v ON v.piece = c.p)""".stripMargin
+  }
 
   /** Materialized final-segmentation table for one round's DP stages. */
   private def segfinSql(name: String, pfx: String): String =
@@ -398,6 +561,53 @@ object Unigram {
       .stripMargin
 
   private def trajPfx(r: Int): String = ('d' + r - 1).toChar.toString
+
+  /** One SOFT oracle round r ≥ 2: all-paths enumeration under round
+    * r−1's cost table, the exact-integer expected-usage pipeline,
+    * inventory rebuild + recost, and round r's argmin DP chain (prefix
+    * [[trajPfx]](r)) ending in the materialized sf$r. */
+  private def softRoundSql(r: Int): String = {
+    val vPrev = if (r == 2) "v" else s"v${r - 1}"
+    val ap = s"ap${r - 1}x"
+    s"""${ap}0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best, '' AS seg FROM w),
+       |${(1 to OracleMaxLen).map(allPathsStageSql(_, ap, vPrev)).mkString(",\n")},
+       |pf$r AS MATERIALIZED (SELECT word, freq, best, seg FROM (
+       |  ${(1 to OracleMaxLen)
+             .map(i => s"SELECT * FROM $ap$i WHERE length(word) = $i")
+             .mkString("\n  UNION ALL ")})),
+       |wmin$r AS (SELECT word, MIN(best) AS cmin FROM pf$r GROUP BY 1),
+       |wp$r AS MATERIALIZED (SELECT p.word, p.freq, p.seg,
+       |    (1::BIGINT << CAST($SoftWindow - (p.best - m.cmin) AS INTEGER)) AS wt
+       |  FROM pf$r p JOIN wmin$r m USING (word)
+       |  WHERE p.best - m.cmin <= $SoftWindow),
+       |wden$r AS (SELECT word, CAST(SUM(wt) AS BIGINT) AS den
+       |  FROM wp$r GROUP BY 1),
+       |wnum$r AS (SELECT word, piece, CAST(SUM(wt) AS BIGINT) AS num
+       |  FROM (SELECT word, wt, unnest(string_split(seg, ' ')) AS piece
+       |        FROM wp$r)
+       |  GROUP BY 1, 2),
+       |ex$r AS (SELECT n.word, n.piece,
+       |    CAST((2::HUGEINT * f.freq * n.num + d.den)
+       |         // (2::HUGEINT * d.den) AS BIGINT) AS e
+       |  FROM wnum$r n JOIN wden$r d USING (word) JOIN w f USING (word)),
+       |usage$r AS MATERIALIZED (SELECT piece, CAST(SUM(e) AS BIGINT) AS cnt
+       |  FROM ex$r WHERE e > 0 GROUP BY 1),
+       |kept$r AS MATERIALIZED (
+       |  SELECT a.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+       |    FROM alpha a LEFT JOIN usage$r u ON u.piece = a.piece
+       |  UNION ALL
+       |  SELECT piece, cnt FROM usage$r
+       |    WHERE length(piece) > 1 AND cnt >= $MinPieceCount),
+       |tot$r AS (SELECT CAST(length(bin(s * s)) AS BIGINT) AS ct
+       |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM kept$r)),
+       |v$r AS MATERIALIZED (SELECT piece,
+       |    (SELECT ct FROM tot$r) - CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
+       |  FROM kept$r),
+       |${trajPfx(r)}0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
+       |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
+       |${(1 to OracleMaxLen).map(dpStageSql(_, trajPfx(r), s"v$r")).mkString(",\n")},
+       |${segfinSql(s"sf$r", trajPfx(r))}""".stripMargin
+  }
 
   /** One trajectory output row: round r's inventory + corpus stats. */
   private def trajRowSql(r: Int): String = {
@@ -435,6 +645,20 @@ object Unigram {
          |SELECT * FROM (
          |${(1 to EmRounds).map(trajRowSql).mkString("\nUNION ALL\n")})
          |ORDER BY round""".stripMargin,
+    // The SOFT trainer trajectory: EmRounds chained soft-E/M rounds,
+    // each an all-paths enumeration + expected-usage pipeline + a full
+    // argmin DP pass, emitting the same telemetry row per round as the
+    // hard trajectory (trajRowSql is shared verbatim).
+    "text_unigram_em_soft_train" ->
+      s"""SET max_expression_depth TO 20000;
+         |$preludeSql,
+         |alpha AS (SELECT DISTINCT substr(word, CAST(s AS INTEGER), 1) AS piece
+         |  FROM pos WHERE k = 1),
+         |${segfinSql("sf1", "d")},
+         |${(2 to EmRounds).map(softRoundSql).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to EmRounds).map(trajRowSql).mkString("\nUNION ALL\n")})
+         |ORDER BY round""".stripMargin,
     // Hard-EM round: E = usage counts (with multiplicity, freq-weighted)
     // from the round-1 segmentation; M = inventory rebuild + half-bit
     // recost against the new total mass (single chars unconditional via
@@ -442,6 +666,55 @@ object Unigram {
     // needs MinPieceCount usage); then the SECOND 16-stage DP pass
     // e1..e16 under v2. The SET raises the expression-depth budget for
     // the doubled chain.
+    // SOFT-EM round: E = EXPECTED usage from the tempered posterior over
+    // ALL segmentations (the a1..a16 all-paths chain — no argmin — then
+    // per-word min-cost normalization, 2^(40−δ) integer weights, and the
+    // exact HUGEINT round-half-up of freq·num/den); M = the identical
+    // inventory rebuild; then the second argmin DP chain s1..s16 under
+    // the soft-refined cost table. A deliberately different formulation
+    // from the Scala path-enumeration UDF, so the gate cross-checks the
+    // posterior arithmetic itself.
+    "text_unigram_em_soft" ->
+      s"""SET max_expression_depth TO 20000;
+         |$modelSql,
+         |alpha AS (SELECT DISTINCT substr(word, CAST(s AS INTEGER), 1) AS piece
+         |  FROM pos WHERE k = 1),
+         |a0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best, '' AS seg FROM w),
+         |${(1 to OracleMaxLen).map(allPathsStageSql(_, "a", "v")).mkString(",\n")},
+         |pathsf AS MATERIALIZED (SELECT word, freq, best, seg FROM (
+         |  ${(1 to OracleMaxLen)
+               .map(i => s"SELECT * FROM a$i WHERE length(word) = $i")
+               .mkString("\n  UNION ALL ")})),
+         |wmin AS (SELECT word, MIN(best) AS cmin FROM pathsf GROUP BY 1),
+         |wp AS MATERIALIZED (SELECT p.word, p.freq, p.seg,
+         |    (1::BIGINT << CAST($SoftWindow - (p.best - m.cmin) AS INTEGER)) AS wt
+         |  FROM pathsf p JOIN wmin m USING (word)
+         |  WHERE p.best - m.cmin <= $SoftWindow),
+         |wden AS (SELECT word, CAST(SUM(wt) AS BIGINT) AS den FROM wp GROUP BY 1),
+         |wnum AS (SELECT word, piece, CAST(SUM(wt) AS BIGINT) AS num
+         |  FROM (SELECT word, wt, unnest(string_split(seg, ' ')) AS piece FROM wp)
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT n.word, n.piece,
+         |    CAST((2::HUGEINT * f.freq * n.num + d.den)
+         |         // (2::HUGEINT * d.den) AS BIGINT) AS e
+         |  FROM wnum n JOIN wden d USING (word) JOIN w f USING (word)),
+         |usg AS MATERIALIZED (SELECT piece, CAST(SUM(e) AS BIGINT) AS cnt
+         |  FROM ex WHERE e > 0 GROUP BY 1),
+         |kept2 AS MATERIALIZED (
+         |  SELECT a.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+         |    FROM alpha a LEFT JOIN usg u ON u.piece = a.piece
+         |  UNION ALL
+         |  SELECT piece, cnt FROM usg
+         |    WHERE length(piece) > 1 AND cnt >= $MinPieceCount),
+         |tot2 AS (SELECT CAST(length(bin(s * s)) AS BIGINT) AS ct
+         |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM kept2)),
+         |v2 AS MATERIALIZED (SELECT piece,
+         |    (SELECT ct FROM tot2) - CAST(length(bin(cnt * cnt)) AS BIGINT) AS sc
+         |  FROM kept2),
+         |s0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best,
+         |       CAST(0 AS BIGINT) AS np, '' AS seg FROM w),
+         |${(1 to OracleMaxLen).map(dpStageSql(_, "s", "v2")).mkString(",\n")}
+         |${finalSelectSql("s")}""".stripMargin,
     "text_unigram_em" ->
       s"""SET max_expression_depth TO 20000;
          |$preludeSql,

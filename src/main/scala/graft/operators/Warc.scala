@@ -90,6 +90,32 @@ object Warc {
         expr("portable_hash60(payload)").as("payload_hash"))
       .orderBy("record_id")
 
+  /** Bounds of [[rangeLookup]]'s record_id interval — inside the corpus
+    * at every gate scale (documents max id ≥ 499). */
+  val RangeLo = 120L
+  val RangeHi = 180L
+
+  /** Record-level RANGE LOOKUP through the CDX side index (r11 verdict
+    * item 7): an interval predicate on record_id prunes container files
+    * at plan time, then — because CDX entries are id-ascending and the
+    * pack wrote records id-ascending — resolves inside each surviving
+    * container to a CONTIGUOUS CDX run that the reader coalesces into a
+    * single seek+read ([[graft.sources.v2.WarcReadStats]].rangeRuns;
+    * WarcV2SourceSpec pins bytes-read == index + selected spans and one
+    * run per container). The aggregate output keeps the gate row count
+    * scale-independent while hashing every selected payload. */
+  def rangeLookup(spark: SparkSession, dir: String): DataFrame =
+    containers(spark, dir)
+      .filter(col("record_id") >= RangeLo && col("record_id") <= RangeHi)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("uncompressed_length")).as("sum_len"),
+        expr("bit_xor(portable_hash60(payload))").as("xor_payload_hash"),
+        min(col("record_id")).as("min_id"),
+        max(col("record_id")).as("max_id"))
+      .orderBy("lang")
+
   private def h60(x: String): String =
     s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
@@ -97,7 +123,8 @@ object Warc {
     "warc_roundtrip" -> (roundtrip _),
     "warc_header_stats" -> (headerStats _),
     "warc_pruned_scan" -> (prunedScan _),
-    "warc_point_lookup" -> (pointLookup _)
+    "warc_point_lookup" -> (pointLookup _),
+    "warc_range_lookup" -> (rangeLookup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,6 +160,16 @@ object Warc {
          |  lang, CAST(strlen(text) AS BIGINT) AS uncompressed_length,
          |  ${h60("text")} AS payload_hash
          |FROM documents WHERE doc_id IN (137, 301, 449)
-         |ORDER BY record_id""".stripMargin
+         |ORDER BY record_id""".stripMargin,
+    "warc_range_lookup" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    CAST(strlen(text) AS BIGINT) AS len,
+         |    ${h60("text")} AS ph
+         |  FROM documents WHERE doc_id BETWEEN $RangeLo AND $RangeHi)
+         |SELECT lang, COUNT(*) AS n_records,
+         |  CAST(SUM(len) AS BIGINT) AS sum_len,
+         |  bit_xor(ph) AS xor_payload_hash,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

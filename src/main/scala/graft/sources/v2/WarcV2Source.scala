@@ -145,6 +145,21 @@ object WarcContainer {
     sweepStale(out)
     if (!Files.exists(out.resolve("_SUCCESS")))
       graft.core.BuildLog.timed("pack:warc")(write(spark, dir, out, maxId))
+    else {
+      // A pre-existing pack (same fingerprint, earlier session) must (a)
+      // never age past the 24 h sweep cutoff while actively serving — the
+      // mtime refresh here makes every resolution reset the clock, so an
+      // in-use corpus cannot be collected mid-scan by this JVM reading a
+      // second corpus past 24 h or by a concurrent JVM's sweep — and (b)
+      // still surface in the bench's cache_builds ledger: converged
+      // timings ride this pack, so a zero-cost cache-hit marker keeps the
+      // ingest-cost accounting honest (the pack itself was paid by the
+      // session that wrote it).
+      try Files.setLastModifiedTime(out,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case scala.util.control.NonFatal(_) => () }
+      graft.core.BuildLog.record("pack:warc(cache-hit)", 0.0)
+    }
     out.toString
   }
 
@@ -374,7 +389,18 @@ private[v2] case class WarcPartition(path: String, lo: Long, hi: Long)
 object WarcReadStats {
   val pointLookups = new java.util.concurrent.atomic.AtomicLong()
   val pointBytesRead = new java.util.concurrent.atomic.AtomicLong()
-  def reset(): Unit = { pointLookups.set(0L); pointBytesRead.set(0L) }
+  /** Range-predicate CDX scans (r11 verdict item 7): one per container
+    * taken down the coalesced-span seek path. `rangeRuns` counts the
+    * merged contiguous byte runs actually read — a contiguous id range
+    * coalesces to ONE run per container, which is the property the
+    * bytes-read spec pins. */
+  val rangeLookups = new java.util.concurrent.atomic.AtomicLong()
+  val rangeRuns = new java.util.concurrent.atomic.AtomicLong()
+  val rangeBytesRead = new java.util.concurrent.atomic.AtomicLong()
+  def reset(): Unit = {
+    pointLookups.set(0L); pointBytesRead.set(0L)
+    rangeLookups.set(0L); rangeRuns.set(0L); rangeBytesRead.set(0L)
+  }
 }
 
 /** Streams one container file: parses each record's headers, applies the
@@ -409,36 +435,90 @@ private[v2] class WarcReaderFactory(fieldNames: Array[String],
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
+  /** Does `id` satisfy every pushed record_id predicate? (Shared by the
+    * CDX selection paths and the record parser's keep().) */
+  private def keepId(id: Long): Boolean = pushed.forall {
+    case EqualTo("record_id", v) => id == num(v)
+    case LessThan("record_id", v) => id < num(v)
+    case LessThanOrEqual("record_id", v) => id <= num(v)
+    case GreaterThan("record_id", v) => id > num(v)
+    case GreaterThanOrEqual("record_id", v) => id >= num(v)
+    case In("record_id", vs) => vs.exists(num(_) == id)
+    case _ => true
+  }
+
+  /** Parsed CDX entries of one container, id-ascending = offset-ascending
+    * by the pack job's write order. */
+  private def cdxEntries(cdxBytes: Array[Byte]): Array[(Long, Long, Int)] =
+    new String(cdxBytes, UTF_8).split("\n").iterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(id, off, len) = line.split(" ")
+        (id.toLong, off.toLong, len.toInt)
+      }
+      .toArray
+
+  /** Seek-and-fetch the given (offset-sorted) spans as one concatenated
+    * sub-stream, coalescing ADJACENT spans into single reads first: a
+    * contiguous id run occupies a contiguous byte run (records were
+    * written id-ascending), so a range predicate costs one seek+read per
+    * container however many records it selects. Returns (bytes, nRuns). */
+  private def fetchSpans(path: String,
+      wanted: Array[(Long, Long, Int)]): (Array[Byte], Int) = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    wanted.foreach { case (_, off, len) =>
+      if (runs.nonEmpty && runs.last._1 + runs.last._2 == off)
+        runs(runs.length - 1) = (runs.last._1, runs.last._2 + len)
+      else runs += ((off, len.toLong))
+    }
+    val total = runs.iterator.map(_._2).sum
+    val buf = new java.io.ByteArrayOutputStream(math.max(total.toInt, 16))
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try runs.foreach { case (off, len) =>
+      val span = new Array[Byte](len.toInt)
+      raf.seek(off)
+      raf.readFully(span)
+      buf.write(span)
+    } finally raf.close()
+    (buf.toByteArray, runs.length)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcPartition]
     val cdxPath = Paths.get(p.path.stripSuffix(".warc") + ".cdx")
     pointCandidates match {
       case Some(ids) if Files.exists(cdxPath) =>
-        // resolve ids -> spans through the index; order by offset so the
-        // concatenated spans parse as a well-formed sub-stream
+        // POINT path: resolve the named ids -> spans through the index
         val cdxBytes = Files.readAllBytes(cdxPath)
-        val wanted = new String(cdxBytes, UTF_8).split("\n").iterator
-          .filter(_.nonEmpty)
-          .map { line =>
-            val Array(id, off, len) = line.split(" ")
-            (id.toLong, off.toLong, len.toInt)
-          }
+        val wanted = cdxEntries(cdxBytes)
           .filter { case (id, _, _) => ids.contains(id) }
-          .toArray
           .sortBy(_._2)
-        val buf = new java.io.ByteArrayOutputStream(
-          wanted.iterator.map(_._3).sum max 16)
-        val raf = new java.io.RandomAccessFile(p.path, "r")
-        try wanted.foreach { case (_, off, len) =>
-          val span = new Array[Byte](len)
-          raf.seek(off)
-          raf.readFully(span)
-          buf.write(span)
-        } finally raf.close()
+        val (bytes, _) = fetchSpans(p.path, wanted)
         WarcReadStats.pointLookups.incrementAndGet()
         WarcReadStats.pointBytesRead.addAndGet(
-          cdxBytes.length.toLong + buf.size().toLong)
-        makeReader(p, new java.io.ByteArrayInputStream(buf.toByteArray))
+          cdxBytes.length.toLong + bytes.length.toLong)
+        makeReader(p, new java.io.ByteArrayInputStream(bytes))
+      case None if pushed.nonEmpty && Files.exists(cdxPath)
+          && fieldNames.contains("payload") =>
+        // RANGE path (r11 verdict item 7): every pushed filter is a
+        // record_id predicate (pushFilters accepts nothing else), so the
+        // surviving CDX entries are exactly the selected records — for
+        // interval predicates a CONTIGUOUS run, which fetchSpans
+        // coalesces into a single seek+read. Bytes touched = index +
+        // selected spans, independent of container size. Payload-less
+        // projections keep the streaming path: header parsing + skip is
+        // already span-free there, and the CDX fetch would read payload
+        // bytes the projection never asks for.
+        val cdxBytes = Files.readAllBytes(cdxPath)
+        val wanted = cdxEntries(cdxBytes)
+          .filter { case (id, _, _) => keepId(id) }
+          .sortBy(_._2)
+        val (bytes, nRuns) = fetchSpans(p.path, wanted)
+        WarcReadStats.rangeLookups.incrementAndGet()
+        WarcReadStats.rangeRuns.addAndGet(nRuns.toLong)
+        WarcReadStats.rangeBytesRead.addAndGet(
+          cdxBytes.length.toLong + bytes.length.toLong)
+        makeReader(p, new java.io.ByteArrayInputStream(bytes))
       case _ =>
         makeReader(p,
           new BufferedInputStream(new FileInputStream(p.path), 1 << 16))

@@ -293,6 +293,77 @@ object StreamingPipelines {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class Sh64Doc(band: Int, bkey: Long, doc_id: Long, ts: Timestamp,
+      sh: Long)
+  case class Sh64Bucket(docs: List[(Long, Long)]) // (doc_id, fingerprint)
+  case class SimhashPair(doc_a: Long, doc_b: Long, hamming: Long)
+
+  /** Streaming 64-bit SimHash near-dedup — the incremental form of
+    * [[graft.operators.Dedup.simhash64Pairs]] at the PRODUCTION width
+    * (r11 verdict item 6; the streaming path previously existed only for
+    * the MinHash family): per-row stateless fingerprinting via the
+    * `simhash64` codegen expression, 4×16-bit banding (Manku WWW'07's
+    * deployed recipe — pigeonhole covers Hamming ≤ `maxHamming` = 3 with
+    * 4 bands), then keyed state per (band, bkey) bucket holding only
+    * (doc_id, fingerprint) pairs — 16 bytes per stored doc, never text.
+    * An arriving doc verifies against every stored fingerprint in its
+    * bucket with ONE xor+popcount and joins it; a time-ordered replay
+    * therefore emits exactly the batch query's pair set
+    * (StreamingPipelinesSpec proves full-set parity on the real
+    * documents table). State expires via event-time timeout `ttl` after
+    * a bucket's last arrival — memory bounded by the dedup horizon.
+    *
+    * Per-shared-band duplicate emissions carry identical values and
+    * collapse at any exact-key downstream stage, same contract as
+    * [[minhashNearDup]]. */
+  def simhash64NearDup(docs: DataFrame, ttlMs: Long = 3600000L,
+      maxHamming: Int = 3): Dataset[SimhashPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.Registry.register(spark)
+    val ttl = s"${ttlMs / 1000} seconds"
+    val banded = docs
+      .selectExpr("doc_id", "ts", "simhash64(split(text, '\\\\s+')) AS sh")
+      .selectExpr("doc_id", "ts", "sh",
+        """stack(4,
+          |  0, shiftright(sh, 0) & 65535,
+          |  1, shiftright(sh, 16) & 65535,
+          |  2, shiftright(sh, 32) & 65535,
+          |  3, shiftright(sh, 48) & 65535) as (band, bkey)""".stripMargin)
+      .withWatermark("ts", ttl)
+      .as[Sh64Doc]
+
+    def update(key: (Int, Long), it: Iterator[Sh64Doc],
+        state: GroupState[Sh64Bucket]): Iterator[SimhashPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var stored = state.getOption.map(_.docs).getOrElse(Nil)
+      val out = scala.collection.mutable.ListBuffer.empty[SimhashPair]
+      var maxTs = Long.MinValue
+      for (d <- it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))) {
+        maxTs = math.max(maxTs, d.ts.getTime)
+        if (!stored.exists(_._1 == d.doc_id)) { // replayed doc: no self-pair
+          for ((sid, ssh) <- stored) {
+            val ham = java.lang.Long.bitCount(d.sh ^ ssh)
+            if (ham <= maxHamming) {
+              val (a, b) =
+                if (sid < d.doc_id) (sid, d.doc_id) else (d.doc_id, sid)
+              out += SimhashPair(a, b, ham.toLong)
+            }
+          }
+          stored = (d.doc_id, d.sh) :: stored
+        }
+      }
+      state.update(Sh64Bucket(stored))
+      if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
+      out.iterator
+    }
+
+    banded
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class TypedEvent(user_id: Long, event_type: String, ts: Timestamp)
   case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String, ts: Timestamp)
 

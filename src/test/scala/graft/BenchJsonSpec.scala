@@ -28,14 +28,14 @@ class BenchJsonSpec extends AnyFunSuite {
   private val lines = Bench.renderLines(rs, calibs, calibEvery = 2, sfDir = "/sf")
 
   test("every emitted line is valid standalone JSON with its metric key") {
-    assert(lines.length == 5)
+    assert(lines.length == 6)
     val metrics = lines.map { l =>
       val node = mapper.readTree(l) // throws on malformed JSON
       node.get("metric").asText()
     }
     assert(metrics == Seq(
       "per_query_converged", "per_query_reps", "per_query_first",
-      "cache_builds", "total"))
+      "per_query_build", "cache_builds", "total"))
   }
 
   test("per_query_reps preserves every rep of every query") {
@@ -48,7 +48,7 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("rep-spread detector flags the query whose post-warmup reps disagree 3x") {
-    val head = mapper.readTree(lines(4))
+    val head = mapper.readTree(lines(5))
     val flagged = (0 until head.get("rep_spread_suspects").size())
       .map(head.get("rep_spread_suspects").get(_).asText())
     assert(flagged == Seq("b_spread"),
@@ -56,7 +56,7 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("calibration-window detector flags all-rep inflation invisible to spread") {
-    val head = mapper.readTree(lines(4))
+    val head = mapper.readTree(lines(5))
     val flagged = (0 until head.get("calib_suspect_queries").size())
       .map(head.get("calib_suspect_queries").get(_).asText())
     // window 2 (indices 2-3) is bracketed by the 2.0s checkpoint
@@ -66,7 +66,7 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("headline keeps converged totals, top20 map and failure list") {
-    val head = mapper.readTree(lines(4))
+    val head = mapper.readTree(lines(5))
     assert(head.get("n_queries").asInt() == 4)
     assert(head.has("top20_queries") && !head.has("queries"),
       "full map must NOT ride the headline (tail-truncation hazard)")
@@ -79,7 +79,7 @@ class BenchJsonSpec extends AnyFunSuite {
       Bench.QRes("q1", Vector(1.0, 0.5, 0.5), ok = true),
       Bench.QRes("q2", Vector(2.0, 1.1, 1.0), ok = true))
     val head = mapper.readTree(
-      Bench.renderLines(clean, IndexedSeq(0.5, 0.55, 0.52), 1, "/sf")(4))
+      Bench.renderLines(clean, IndexedSeq(0.5, 0.55, 0.52), 1, "/sf")(5))
     assert(head.get("rep_spread_suspects").size() == 0)
     assert(head.get("calib_suspect_queries").size() == 0)
     assert(head.get("calib_max_over_min").asDouble() < 1.3)
@@ -96,7 +96,7 @@ class BenchJsonSpec extends AnyFunSuite {
       Bench.QRes("q3", Vector(1.0, 0.5, 0.5), ok = true),
       Bench.QRes("q4", Vector(1.0, 0.5, 0.5), ok = true))
     val tailCalibs = IndexedSeq(0.30, 0.45, 0.47, 0.49, 0.44)
-    val head = mapper.readTree(Bench.renderLines(clean, tailCalibs, 1, "/sf")(4))
+    val head = mapper.readTree(Bench.renderLines(clean, tailCalibs, 1, "/sf")(5))
     assert(head.get("calib_suspect_queries").size() == 0,
       "scheduling-tail spread around the median must not flag")
   }
@@ -105,14 +105,30 @@ class BenchJsonSpec extends AnyFunSuite {
     val clean = Seq(Bench.QRes("q1", Vector(1.0, 0.5, 0.5), ok = true))
     val ls = Bench.renderLines(clean, IndexedSeq(0.5, 0.5), 1, "/sf",
       builds = Map("table:graft_edges" -> 8.25, "model:kmeans" -> 1.5))
-    val cb = mapper.readTree(ls(3))
+    val cb = mapper.readTree(ls(4))
     assert(cb.get("metric").asText() == "cache_builds")
     assert(math.abs(cb.get("total_build_s").asDouble() - 9.75) < 1e-6)
     assert(math.abs(cb.get("builds").get("table:graft_edges").asDouble() - 8.25) < 1e-6)
     // the headline (tail-survivable line) carries the aggregate too
-    val head = mapper.readTree(ls(4))
+    val head = mapper.readTree(ls(5))
     assert(math.abs(head.get("ingest_build_s").asDouble() - 9.75) < 1e-6,
       "converged totals must be readable alongside the excluded build cost")
+  }
+
+  test("per_query_build attributes one-time builds to the query that ran them") {
+    val withBuilds = Seq(
+      Bench.QRes("q_cold", Vector(12.0, 2.0, 1.9), ok = true,
+        builds = Map("table:graft_coedges" -> 8.25, "model:kmeans" -> 1.5)),
+      Bench.QRes("q_warm", Vector(1.0, 0.5, 0.5), ok = true))
+    val ls = Bench.renderLines(withBuilds, IndexedSeq(0.5, 0.5), 1, "/sf")
+    val pb = mapper.readTree(ls(3))
+    assert(pb.get("metric").asText() == "per_query_build")
+    val q = pb.get("queries")
+    assert(q.has("q_cold") && !q.has("q_warm"),
+      "only queries that triggered a build carry an attribution row")
+    assert(math.abs(q.get("q_cold").get("build_s").asDouble() - 9.75) < 1e-6)
+    assert(math.abs(q.get("q_cold").get("builds").get("table:graft_coedges")
+      .asDouble() - 8.25) < 1e-6)
   }
 
   test("multi-thread calibration spin returns a plausible worst-thread time") {

@@ -72,6 +72,27 @@ class InventorySyncSpec extends AnyFunSuite {
           s"${missing.toSeq.sorted.mkString(", ")}; stale: " +
           s"${stale.toSeq.sorted.mkString(", ")}")
     }
+    // per-query build attribution (r11 verdict item 8): the artifact must
+    // carry the map (possibly empty-valued for a fully-warm run), every
+    // named query must be live, and each row's build_s must equal the sum
+    // of its itemized builds — the consumer-side contract that lets an
+    // inflated rep-1 row be read as ingest cost, not regression.
+    assert(root.has("per_query_build"),
+      "BENCH_DETAIL.json lacks 'per_query_build' - regenerate via " +
+        "tools/bench_detail.py from a graft.Bench run")
+    val pqb = root.get("per_query_build")
+    val pqbNames = { val it = pqb.fieldNames(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result() }
+    assert((pqbNames -- live).isEmpty,
+      s"per_query_build names non-live queries: ${(pqbNames -- live).toSeq.sorted}")
+    pqbNames.foreach { q =>
+      val row = pqb.get(q)
+      val bit = row.get("builds").fields()
+      var sum = 0.0
+      while (bit.hasNext) sum += bit.next().getValue.asDouble()
+      assert(math.abs(row.get("build_s").asDouble() - sum) < 5e-3,
+        s"$q: build_s != sum of itemized builds")
+    }
     // every query's rep array is non-empty and its converged time is the
     // min over the post-warmup reps (the artifact's own definition)
     val reps = root.get("per_query_reps")

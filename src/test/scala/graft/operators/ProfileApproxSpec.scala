@@ -37,6 +37,38 @@ class ProfileApproxSpec extends SparkSpec {
     check(Tables.lineitem(spark, sfDir))
   }
 
+  test("portable-HLL profile: corrected estimates inside the envelope, exact stats identical") {
+    val df = Tables.lineitem(spark, sfDir)
+    val exact = byCol(Profile.profile(df))
+    val hll = Profile.profileHll(df).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2),
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))),
+        r.getLong(7), r.getDouble(9))
+    }.toMap
+    assert(exact.keySet == hll.keySet)
+    exact.foreach { case (c, (nRows, nNulls, nd, mnn, mxn, mns, mxs)) =>
+      val (aRows, aNulls, mm, nz, raw) = hll(c)
+      assert((aRows, aNulls) == (nRows, nNulls), s"$c row/null counts")
+      assert(mm == ((mnn, mxn, mns, mxs)), s"$c min/max")
+      // the gate hash-pins the RAW estimate (cross-engine-exact); accuracy
+      // is asserted here on the small-range-CORRECTED estimate — linear
+      // counting below 2.5m (Flajolet et al. 2007 / HLL++'s regime switch),
+      // where ln() can't ride a hash gate
+      val m = 64.0
+      val est = if (raw <= 2.5 * m && nz > 0) m * math.log(m / nz) else raw
+      val tol = math.max(3.0 * (1.04 / math.sqrt(m)) * nd, 2.0)
+      assert(math.abs(est - nd) <= tol,
+        s"$c portable estimate $est (raw $raw, zeros $nz) outside 3*rsd of exact $nd")
+    }
+  }
+
+  test("portable-HLL profile plans no distinct aggregation anywhere") {
+    val plan = Profile.profileHll(Tables.lineitem(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("distinct"),
+      "the 100 TB profile path must not pay any exact-distinct pass:\n" + plan)
+  }
+
   test("approx mode plans ONE aggregate job (no per-column distinct jobs)") {
     val plan = Profile.profile(Tables.orders(spark, sfDir),
       approxDistinct = true).queryExecution.executedPlan.toString

@@ -152,6 +152,53 @@ class WarcV2SourceSpec extends SparkSpec {
         "container bytes — not bounded")
   }
 
+  test("CDX range scan reads index + contiguous spans in ONE run per container") {
+    import graft.sources.v2.WarcReadStats
+    val (lo, hi) = (graft.operators.Warc.RangeLo, graft.operators.Warc.RangeHi)
+    WarcReadStats.reset()
+    // no orderBy: a sort's range-partitioner sampling would re-run the scan
+    val got = warc.filter(col("record_id") >= lo && col("record_id") <= hi)
+      .select("record_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    val lookups = WarcReadStats.rangeLookups.get()
+    assert(lookups >= 1, "range scan never took the CDX path")
+    // exact bytes-read bound, recomputed from the CDX files themselves
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
+    val cdxFiles =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.toString).filter(_.endsWith(".cdx")).toSeq
+      finally listing.close()
+    var expected = 0L
+    var containersWithHit = 0L
+    cdxFiles.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      val spans = new String(bytes, "UTF-8").split("\n").iterator
+        .filter(_.nonEmpty).map(_.split(" "))
+        .filter { a => val id = a(0).toLong; id >= lo && id <= hi }
+        .map(_(2).toLong).toSeq
+      // only containers surviving file-range pruning are opened at all
+      if (spans.nonEmpty) {
+        expected += bytes.length + spans.sum
+        containersWithHit += 1
+      }
+    }
+    assert(lookups == containersWithHit,
+      s"CDX range path ran $lookups times for $containersWithHit containers")
+    assert(WarcReadStats.rangeBytesRead.get() == expected,
+      s"range scan touched ${WarcReadStats.rangeBytesRead.get()} bytes, " +
+        s"expected exactly $expected (cdx + selected spans)")
+    // contiguous ids occupy contiguous bytes: the whole interval must
+    // coalesce to exactly one seek+read per surviving container
+    assert(WarcReadStats.rangeRuns.get() == containersWithHit,
+      s"${WarcReadStats.rangeRuns.get()} read runs for $containersWithHit " +
+        "containers — span coalescing regressed")
+  }
+
   test("container layout: file names carry exact disjoint id ranges") {
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(containerDir))
     val ranges =

@@ -374,6 +374,42 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-batch parity: streaming simhash64 near-dedup finds exactly the " +
+      "batch banded pairs on the real documents table") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.Dedup.queries("dedup_simhash64_pairs")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(batch.nonEmpty, "batch simhash64 found no pairs — parity test is vacuous")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // all docs inside one TTL horizon (batch compares every pair, so the
+    // replay must too); 1 ms apart keeps in-bucket processing deterministic
+    val rows = docs.zipWithIndex.map { case ((id, text), i) =>
+      (id, new Timestamp(1000L * 3600 * 24 + i), text)
+    }
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingPipelines.simhash64NearDup(
+        in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sh64dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // toMap collapses the per-shared-band duplicate emissions (documented)
+      val streamed = spark.table("sh64dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed.keySet -- batch.keySet} " +
+          s"only-batch=${batch.keySet -- streamed.keySet}")
+    } finally q.stop()
+  }
+
   test("sessionize closes an idle session via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

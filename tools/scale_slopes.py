@@ -19,12 +19,24 @@ from collections import defaultdict
 SUPERLINEAR = 20.0   # 2x the 10x data ratio
 MIN_SF1_SEC = 2.0    # ignore ratio noise on sub-2s sf1 queries
 
-# Round 7 emptied this set: the three former exhaustive baselines
-# (dedup_embedding_cosine, dedup_substring_pairs, dedup_semantic) now ship
-# with fixed probe/representative bounds, so their plans are linear in
-# corpus size and they are measured like every other query. The unbounded
-# equivalence proofs live in BoundedBaselineSpec at gate scale.
-BASELINES = {}
+# Round 7 emptied this set — the three then-baselines
+# (dedup_embedding_cosine, dedup_substring_pairs, dedup_semantic) got fixed
+# probe/representative bounds, their unbounded equivalence proofs living in
+# BoundedBaselineSpec at gate scale. Round 12 re-opens it for ONE entry,
+# per the r11 verdict's declare-or-bound ruling: the 32-bit simhash pairs
+# query is the declared exhaustive baseline of its 64-bit production twin.
+BASELINES = {
+    "dedup_simhash_pairs":
+        "DECLARED exhaustive baseline of dedup_simhash64_pairs: the "
+        "32-bit/8-bit-band path keeps an n^2/256 cross-bucket candidate "
+        "term by design (band width must track corpus size - Manku "
+        "WWW'07); the production twin runs the identical contract at "
+        "64-bit/16-bit bands (bucket n/65536, measured 8.8x on 10x "
+        "data) and is what a larger corpus deploys. The 32-bit query "
+        "stays gated at both scales as the banding-losslessness witness "
+        "the narrow-band literature recipe is judged against, exactly "
+        "like the round-7 exhaustive twins.",
+}
 
 # Queries whose INPUT grows superlinearly under ScaleUp's replication:
 # events keeps its (k, hour) bucket domain fixed while users scale 10x, so
@@ -74,12 +86,10 @@ RERUN_T1_TOL = 1.5
 # profile 19.0 -> 2.3 s), so those reruns no longer describe the
 # shipped plans and keeping them could only mask a new regression.
 RERUNS = {
-    "dedup_simhash_pairs":
-        (19.07, 23.35,
-         "isolated min-of-3 (reps: 25.59/19.07/20.46) -> slope 17.3x, "
-         "under the 20x gate; the banded candidate join densifies with "
-         "10x rows per band bucket but the Hamming-verify stage bounds "
-         "it below quadratic"),
+    # (dedup_simhash_pairs' round-8 rerun entry removed in round 12: the
+    # query is now a DECLARED baseline — see BASELINES — so it is exempt
+    # from flagging and an adjudication row could only mask a regression
+    # in a query whose slope is declared, not defended.)
     "agg_ols_trend":
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
