@@ -74,20 +74,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), expr(bucketSql).as("bucket"))
   }
 
-  /** Top-10 exact cosine neighbors for query vectors vec_id 0..9. */
-  def topkExact(spark: SparkSession, dir: String): DataFrame = {
-    val emb = normed(spark, dir)
-    val q = emb.filter(col("vec_id") <= 9)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qnrm"))
-    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), pairSim.as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= 10)
+  /** Top-10 exact cosine neighbors for query vectors vec_id 0..9 —
+    * served from [[exactNeighbors]]' cached table (vec_id 0..9 sit
+    * inside the classifier probe set; cached sims round-trip parquet
+    * bit-exactly, so the gated doubles are unchanged). */
+  def topkExact(spark: SparkSession, dir: String): DataFrame =
+    exactNeighbors(spark, dir)
+      .filter(col("query_id") <= 9)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
       .orderBy("query_id", "rank")
-  }
 
   /** Top-5 cosine neighbors within each query's quantizer bucket (label),
     * for a BOUNDED query batch (vec_id < 2000 — the whole corpus at gate
@@ -178,9 +173,14 @@ object Similarity {
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 5)
+        .filter(col("rank") <= GroundTruthK)
     }
   }
+
+  /** Cached ground-truth depth: 10 covers every consumer ([[topkExact]]
+    * reads the full 10, the vote/recall family takes rank ≤ 5 / ≤ 3
+    * prefixes of the same ordering). */
+  val GroundTruthK = 10
 
   /** The recall-sample slice of [[exactNeighbors]]: exact top-3 (query_id,
     * vec_id) pairs for the vec_id % 5 = 0, < 1000 probe set. */
@@ -1102,7 +1102,7 @@ object Similarity {
     * logic unchanged. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val votes = exactNeighbors(spark, dir)
-      .filter(col("query_id") < KnnProbeN)
+      .filter(col("query_id") < KnnProbeN && col("rank") <= 5)
       .groupBy(col("query_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
     votes
@@ -1212,7 +1212,7 @@ object Similarity {
     // (same pairSim, same (sim DESC, vec_id) tie-break), so the vote
     // stage consumes its rows directly
     val exactPred = exactNeighbors(spark, dir)
-      .filter(col("query_id") < KnnProbeN)
+      .filter(col("query_id") < KnnProbeN && col("rank") <= 5)
       .groupBy(col("query_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vr", row_number().over(
