@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(array<bigint>, array<bigint>) - intersection cardinality of sorted distinct arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("zvalue2"),
+      info("zvalue2", "zvalue2(bigint, bigint) - 32-bit Morton interleave of two 16-bit dims"),
+      (exprs: Seq[Expression]) => ZValue2(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(array<string>[, suffix[, width]]) - h60 of every word n-gram in one pass"),

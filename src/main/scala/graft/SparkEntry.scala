@@ -46,6 +46,8 @@ object SparkEntry {
       (TrainingPipeline.queries, TrainingPipeline.oracle),
       (Profile.queries, Profile.oracle),
       (Diagnostics.queries, Diagnostics.oracle),
+      (Sampling.queries, Sampling.oracle),
+      (LayoutPlanning.queries, LayoutPlanning.oracle),
       (Warc.queries, Warc.oracle)
     )
 

@@ -143,5 +143,7 @@ object Registry {
       "char_window_hashes", exprs => CharWindowHashes.fromArgs(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_hashes", exprs => WinnowHashes.fromArgs(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "zvalue2", exprs => ZValue2(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -1202,6 +1202,60 @@ object AdvancedAggs {
       .orderBy("type_a", "type_b")
   }
 
+  /** KMV set-DIFFERENCE estimate |A\B| and |B\A| per event-type pair —
+    * the third leg of the sketch set algebra next to
+    * [[kmvDistinct]] (cardinality) and [[kmvJaccard]] (intersection
+    * ratio): Beyer et al., SIGMOD 2007 §5 again — the K minimum hashes
+    * of A∪B are a uniform sample of the union, so the fraction of them
+    * in A-only estimates |A\B|/|A∪B|, scaled by the union cardinality
+    * estimate from the same sketch's K-th minimum. The answer a mix
+    * planner wants from two corpus snapshots' sketches ("how many docs
+    * did source A add that B lacks?") without a distinct-join.
+    *
+    * Exactness discipline: the estimator is integer arithmetic end to
+    * end — union_est is the [[kmvDistinct]] floor-division estimate,
+    * the difference estimate is one DECIMAL(38,0) multiply before an
+    * integral divide (≤2^67 intermediate, far inside decimal range),
+    * and the exact differences ride alongside so the gate pins both.
+    * Small unions (n_union < K) degrade to the exact count exactly as
+    * in kmvDistinct — the sketch IS the set there. */
+  def kmvDifference(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uh = kmvHashes(spark, dir)
+    val tp = uh.select(col("event_type")).distinct()
+    val pairs = tp.select(col("event_type").as("type_a"))
+      .crossJoin(tp.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val mem = uh.join(broadcast(pairs),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy("type_a", "type_b", "h")
+      .agg(
+        max(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("ina"),
+        max(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("inb"))
+    val w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    mem.withColumn("rn", row_number().over(w))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("ina") * (lit(1L) - col("inb"))).as("aminusb_exact"),
+        sum(col("inb") * (lit(1L) - col("ina"))).as("bminusa_exact"),
+        sum(when(col("rn") <= KmvK, col("ina") * (lit(1L) - col("inb")))
+          .otherwise(0L)).as("a_only_s"),
+        sum(when(col("rn") <= KmvK, col("inb") * (lit(1L) - col("ina")))
+          .otherwise(0L)).as("b_only_s"),
+        max(when(col("rn") === KmvK, col("h"))).as("kth"))
+      .withColumn("union_est",
+        when(col("n_union") < KmvK, col("n_union"))
+          .otherwise(expr(
+            s"cast(${KmvK - 1} as decimal(38,0)) * 1152921504606846976 div kth")))
+      .select(col("type_a"), col("type_b"), col("n_union"),
+        col("aminusb_exact"), col("bminusa_exact"),
+        expr(s"cast(a_only_s as decimal(38,0)) * union_est div least(n_union, ${KmvK}L)")
+          .as("aminusb_kmv"),
+        expr(s"cast(b_only_s as decimal(38,0)) * union_est div least(n_union, ${KmvK}L)")
+          .as("bminusa_kmv"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Theil-Sen robust trend estimator (Theil 1950, Sen 1968) over the
     * monthly order-volume series: the median of all pairwise slopes
     * (c_j − c_i)/(m_j − m_i) — the estimator that tolerates up to ~29%
@@ -1543,6 +1597,7 @@ object AdvancedAggs {
     "agg_theil_sen" -> (theilSen _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_kmv_jaccard" -> (kmvJaccard _),
+    "sketch_kmv_difference" -> (kmvDifference _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
     "agg_chi2_independence" -> (chi2Independence _),
     "agg_argmax" -> (argExtremes _),
@@ -1856,6 +1911,36 @@ object AdvancedAggs {
          |  CAST(1000000 * SUM(CASE WHEN rn <= $KmvK THEN ina * inb ELSE 0 END)
          |       // LEAST(COUNT(*), $KmvK) AS BIGINT) AS jacc_kmv_micro
          |FROM rn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sketch_kmv_difference" ->
+      s"""WITH $kmvCte,
+         |tp AS (SELECT DISTINCT event_type FROM uh),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |          FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |mem AS (SELECT p.type_a, p.type_b, u.h,
+         |    MAX(CASE WHEN u.event_type = p.type_a THEN 1 ELSE 0 END) AS ina,
+         |    MAX(CASE WHEN u.event_type = p.type_b THEN 1 ELSE 0 END) AS inb
+         |  FROM pairs p JOIN uh u ON u.event_type IN (p.type_a, p.type_b)
+         |  GROUP BY 1, 2, 3),
+         |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+         |                                    ORDER BY h) AS rn FROM mem),
+         |agg AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_union,
+         |    CAST(SUM(ina * (1 - inb)) AS BIGINT) AS aminusb_exact,
+         |    CAST(SUM(inb * (1 - ina)) AS BIGINT) AS bminusa_exact,
+         |    SUM(CASE WHEN rn <= $KmvK THEN ina * (1 - inb) ELSE 0 END) AS a_only_s,
+         |    SUM(CASE WHEN rn <= $KmvK THEN inb * (1 - ina) ELSE 0 END) AS b_only_s,
+         |    MAX(CASE WHEN rn = $KmvK THEN h END) AS kth
+         |  FROM rn GROUP BY 1, 2),
+         |est AS (SELECT *,
+         |    CASE WHEN n_union < $KmvK THEN n_union
+         |         ELSE CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976 // kth
+         |         END AS union_est
+         |  FROM agg)
+         |SELECT type_a, type_b, n_union, aminusb_exact, bminusa_exact,
+         |  CAST(CAST(a_only_s AS HUGEINT) * union_est
+         |       // LEAST(n_union, $KmvK) AS BIGINT) AS aminusb_kmv,
+         |  CAST(CAST(b_only_s AS HUGEINT) * union_est
+         |       // LEAST(n_union, $KmvK) AS BIGINT) AS bminusa_kmv
+         |FROM est ORDER BY 1, 2""".stripMargin,
     "agg_bootstrap_ci" ->
       s"""WITH ev AS (SELECT event_type, event_id,
          |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents

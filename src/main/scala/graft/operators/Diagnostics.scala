@@ -113,13 +113,80 @@ object Diagnostics {
       .orderBy("check_name")
   }
 
+  /** Rows-per-task budget the salt advisor plans against. Small on
+    * purpose at gate scale so the advisor actually recommends salts on
+    * the test corpus; a cluster deployment sets this to the shuffle
+    * partition's comfortable row budget (e.g. 10^7). */
+  val SaltTargetRowsPerTask = 500L
+
+  /** Hard cap on the recommended salt factor — salting multiplies the
+    * build side of the treated join by the factor, so the advisor never
+    * recommends more ways than a stage has tasks. */
+  val SaltMaxFactor = 32L
+
+  /** Skew diagnosis → treatment plan: for each hot key, the exact skew
+    * evidence ([[keySkew]]'s max/mean shape) plus the two decisions a
+    * planner acts on — `skewed` (hottest key > 4× the mean — the AQE
+    * skew-split shape of spark.sql.adaptive.skewJoin's 5× default,
+    * tightened to this corpus) and `salt_factor`, the number of ways the
+    * hottest key must split so no task exceeds [[SaltTargetRowsPerTask]]
+    * rows (ceil via (a + b − 1) div b in exact integers, capped at
+    * [[SaltMaxFactor]]). `join_salted_skew` / `agg_salted_top_users` are
+    * the treatments this report prescribes the factor for.
+    *
+    * Scale shape: one hash aggregation per table → a 3-row report; the
+    * per-key count relation never leaves the executors. */
+  def saltAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def advise(df: DataFrame, table: String, key: String): DataFrame =
+      df.select(col(key).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_per_key"))
+        .select(
+          lit(table).as("table_name"),
+          lit(key).as("key_name"),
+          col("n_rows"), col("n_keys"), col("max_per_key"),
+          // skewed ⇔ max > 4·mean ⇔ max·n_keys > 4·n_rows: exact integers,
+          // no double ratio crossing an engine boundary.
+          (col("max_per_key") * col("n_keys") > col("n_rows") * 4L).as("skewed"),
+          least(
+            greatest(
+              expr(s"(max_per_key + ${SaltTargetRowsPerTask - 1}) div $SaltTargetRowsPerTask"),
+              lit(1L)),
+            lit(SaltMaxFactor)).as("salt_factor"))
+    advise(Tables.orders(spark, dir), "orders", "o_custkey")
+      .unionAll(advise(Tables.lineitem(spark, dir), "lineitem", "l_partkey"))
+      .unionAll(advise(Tables.events(spark, dir), "events", "user_id"))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diag_key_skew" -> (keySkew _),
     "diag_column_profile" -> (columnProfile _),
-    "diag_constraints" -> (constraintAudit _)
+    "diag_constraints" -> (constraintAudit _),
+    "diag_salt_advisor" -> (saltAdvisor _)
   )
 
   val oracle: Map[String, String] = Map(
+    "diag_salt_advisor" ->
+      s"""WITH p AS (
+        |  SELECT 'orders' AS table_name, 'o_custkey' AS key_name,
+        |    COUNT(*) AS c FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_partkey', COUNT(*) FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', COUNT(*) FROM events GROUP BY user_id)
+        |SELECT table_name, key_name,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_per_key,
+        |  MAX(c) * COUNT(*) > SUM(c) * 4 AS skewed,
+        |  CAST(LEAST(GREATEST((MAX(c) + ${SaltTargetRowsPerTask - 1}) // $SaltTargetRowsPerTask, 1),
+        |    $SaltMaxFactor) AS BIGINT) AS salt_factor
+        |FROM p GROUP BY table_name, key_name
+        |ORDER BY table_name""".stripMargin,
     "diag_constraints" ->
       """WITH u(check_name, n_violations) AS (
         |  SELECT 'orders_pk_unique' AS check_name,
