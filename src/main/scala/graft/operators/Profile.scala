@@ -141,7 +141,18 @@ object Profile {
     * Scale shape vs the exact profiler: 2 scans and a ≤ cols·64-row
     * shuffle total, independent of row count — no per-column distinct
     * jobs anywhere on the plan, which is exactly the swap the exact
-    * profiler's scaladoc documents for cluster scale. */
+    * profiler's scaladoc documents for cluster scale.
+    *
+    * Honest cost accounting (SCALE r12: 4.8s → 47.8s, a LINEAR 10.0x,
+    * vs the exact profiler's 1.2s → 10.5s): the approx path trades
+    * shuffle volume for map-side CPU — one portable md5 per (row ×
+    * column) cell (~66M digests at sf1) vs the exact plan's EXPAND of
+    * n·cols rows through the shuffle. On single-node local[32] there is
+    * no network, so the md5 constant dominates and the exact plan wins;
+    * on a cluster the ≤ cols·64-row exchange is the scalable side. The
+    * md5 is the cross-engine gate discipline, not a production choice —
+    * a deployment swaps in xxhash64 (≥10x cheaper per digest) without
+    * touching the plan shape. */
   def profileHll(df: DataFrame): DataFrame = {
     graft.functions.Registry.register(df.sparkSession)
     val fields = df.schema.fields

@@ -18,7 +18,13 @@ import graft.core.Tables
   * ORDER BY so row order is deterministic too.
   *
   * Scale discipline: filters sit directly on scans (pushed into parquet),
-  * dimension joins are `broadcast(...)`, and aggregates run partial→final.
+  * FIXED-SIZE dimension joins (nation: 25 rows, region: 5 — constant at
+  * every sf) are `broadcast(...)`; sf-PROPORTIONAL tables (part, supplier,
+  * customer, orders) are never force-broadcast — the planner's size
+  * statistics plus AQE pick broadcast while a projected side is actually
+  * small and degrade to shuffled joins when it isn't (a hard hint on a
+  * table that grows with the corpus is an OOM at 100 TB). Aggregates run
+  * partial→final.
   */
 object Relational {
 
@@ -93,7 +99,7 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       // customer is sf-proportional (billions of rows at 100 TB) — never
       // force-broadcast it; shuffle on the join key and let AQE decide.
@@ -130,12 +136,19 @@ object Relational {
       .limit(20)
   }
 
-  /** Broadcast-join demo: revenue by part brand (fact ⋈ broadcast dim). */
+  /** Broadcast-join demo: revenue by part brand (fact ⋈ dim). The
+    * broadcast is DECIDED BY SIZE, not hinted: `part` is sf-proportional
+    * (unlike nation/region), so a hard `broadcast()` hint would OOM the
+    * build side on a corpus where part outgrows executor memory — the
+    * planner's size-statistics threshold (plus AQE's runtime re-check)
+    * picks BroadcastHashJoin while the 2-column projection is small and
+    * degrades to a shuffled join when it isn't. PLANS.md still shows
+    * BroadcastHashJoin at gate scale, now chosen instead of forced. */
   def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         sum(discounted(col("l_extendedprice"), col("l_discount")))

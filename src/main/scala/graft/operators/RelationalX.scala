@@ -72,7 +72,7 @@ object RelationalX {
               col("l_shipdate") < ts("1998-01-01"))
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
         "l_shipdate")
-    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
@@ -105,8 +105,8 @@ object RelationalX {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-    val vol = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val vol = li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(natC), col("c_nationkey") === col("cn_nk"))
@@ -139,8 +139,8 @@ object RelationalX {
     val amount =
       discounted(col("l_extendedprice"), col("l_discount")) -
         money(col("p_retailprice")) * money(col("l_quantity")) * rate(lit(0.5))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
@@ -171,7 +171,7 @@ object RelationalX {
       .filter(col("l_shipdate") >= ts("1996-03-01") &&
               col("l_shipdate") < ts("1996-04-01"))
       .select("l_partkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         sum(when(col("p_type") === "PROMO",
             discounted(col("l_extendedprice"), col("l_discount")))
@@ -193,7 +193,7 @@ object RelationalX {
         .cast("double").as("total_revenue"))
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -207,11 +207,11 @@ object RelationalX {
       .filter(col("p_brand") === "Brand#5").select("p_partkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice")
-    val avgQty = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey").as("a_partkey"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
         .as("qty_threshold"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
@@ -244,7 +244,7 @@ object RelationalX {
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
           col("l_quantity").between(1, 11)) ||
@@ -374,8 +374,8 @@ object RelationalX {
     val nation = Tables.nation(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val offers = Tables.lineitem(spark, dir)
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
@@ -415,7 +415,7 @@ object RelationalX {
     val supp = Tables.supplier(spark, dir)
       .filter(col("s_nationkey") === 3).select("s_suppkey")
     val pv = Tables.lineitem(spark, dir)
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
         .as("value_dec"))
@@ -440,7 +440,7 @@ object RelationalX {
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey")
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -507,7 +507,7 @@ object RelationalX {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
     lateAgg.join(suppCnt, col("orderkey") === col("l_orderkey"))
-      .join(broadcast(supp), col("lone_supp") === col("s_suppkey"))
+      .join(supp, col("lone_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -158,6 +158,9 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
         f"sf1 = {b['value']:.1f}s over {len(common)} shared queries "
         f"-> overall slope {b['value']/a['value']:.1f}x on 10x data. "
         f"Failed queries: sf0.1={a['failed']}, sf1={b['failed']}.\n")
+    if a.get("provenance") or b.get("provenance"):
+        lines.append(
+            f"Provenance: {a.get('provenance', b.get('provenance'))}\n")
     lines.append("## Per-family slopes (median ratio, 10x data)\n")
     lines.append("| family | queries | median slope | max slope | max query |")
     lines.append("|---|---|---|---|---|")
