@@ -45,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(array<bigint>, array<bigint>) - intersection cardinality of sorted distinct arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("zvalue2"),
-      info("zvalue2", "zvalue2(bigint, bigint) - 32-bit Morton interleave of two 16-bit dims"),
+      info("zvalue2", "zvalue2(bigint, bigint) - 62-bit Morton interleave of two 31-bit dims"),
       (exprs: Seq[Expression]) => ZValue2(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",

@@ -65,8 +65,20 @@ object Sampling {
     override def zero: List[(Long, String)] = Nil
     override def reduce(b: List[(Long, String)], r: DocRow): List[(Long, String)] =
       insert(b, (r._3, r._2))
-    override def merge(a: List[(Long, String)], b: List[(Long, String)]): List[(Long, String)] =
-      b.foldLeft(a)(insert)
+    // Both buffers arrive sorted ascending, so merge is ONE linear
+    // merge-and-truncate — O(k), not the O(k²) per-element insertion fold
+    // (fine at K=5, a hot spot once a real corpus raises k).
+    override def merge(a: List[(Long, String)], b: List[(Long, String)]): List[(Long, String)] = {
+      val out = List.newBuilder[(Long, String)]
+      var (x, y, n) = (a, b, 0)
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && lt(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
     override def finish(b: List[(Long, String)]): Seq[(Long, String, Int)] =
       b.zipWithIndex.map { case ((h, doc), i) => (h, doc, i + 1) }
     override def bufferEncoder: Encoder[List[(Long, String)]] =
@@ -108,7 +120,23 @@ object Sampling {
     * resolution against 4-digit weights. Smallest-priority-first with
     * (h, doc_id) tie-breaks makes the selection a total order → exact
     * hash gate. sort+limit → TakeOrderedAndProject (bounded heaps, no
-    * global sort); the oracle is the same ORDER BY ... LIMIT. */
+    * global sort); the oracle is the same ORDER BY ... LIMIT.
+    *
+    * RESOLUTION LIMIT (explicit, by design): the half-bit log yields only
+    * 41 distinct neg_log_halfbits values, and the exponential law of
+    * -log2(u) concentrates mass in the low bands — band b carries
+    * probability 2^(-(b-1)/2) − 2^(-b/2), so band 1 alone holds
+    * 1 − 2^(-1/2) ≈ 29% of docs. Inside one band the divided priority
+    * ties across equal weights and selection falls back to the
+    * (priority, doc_id) total order — i.e. within-band selection is
+    * weight-then-id, statistically coarser than continuous-key ES. That
+    * is the price of the exact-integer discipline (a float u^(1/w) key
+    * can never hash-gate across engines): finer quantization in exact
+    * BIGINTs means quarter-bits via length(bin(u⁴)) on a ≤15-bit slice
+    * (u⁴ ≤ 2^60), trading hash entropy for a 16% top band — same shape,
+    * one band finer. The gate corpus keeps half-bits; the estimator is
+    * deterministic and gate-consistent either way, and the coarseness
+    * only softens WEIGHTING fidelity, never reproducibility. */
   def weightedPriority(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.register(spark)
     Tables.documents(spark, dir)
