@@ -123,6 +123,24 @@ object Profile {
   /** 2^55 — the zero-register term of the exact harmonic numerator. */
   private val Pow55 = 36028797018963968L
 
+  /** The GATE sketch hash: the repo-wide md5-portable 60-bit hash, which
+    * DuckDB rebuilds digest-for-digest (the cross-engine discipline). */
+  val PortableHash60: Column => Column = c =>
+    call_function("portable_hash60", c)
+
+  /** THE PRODUCTION sketch hash (r12 verdict item 1, now executed code,
+    * not scaladoc): Spark's codegen xxhash64 masked to the same 60-bit
+    * domain, so the register/rank split arithmetic is shared verbatim
+    * with the gate path. One xxhash64 is ≥10× cheaper than one md5
+    * digest — at sf1 the md5 gate pays ~66M digests (the suite-slowest
+    * row, 48.8s in SCALE r12); this swap is the deployment's knob and
+    * changes NOTHING about the plan shape (ProfileFastHashSpec pins
+    * that). It cannot hash-gate in DuckDB (xxhash64 is Spark-private),
+    * so `profile_lineitem_approx_fast` gates it through exact base
+    * stats + an estimate-vs-exact envelope boolean instead. */
+  val XxHash60: Column => Column = c =>
+    xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+
   /** THE 100 TB PROFILE (r11 verdict item 3, gated as
     * `profile_lineitem_approx`): every exact statistic of [[profile]]
     * (nulls, typed min/max, n_rows — the single global aggregate) plus a
@@ -152,8 +170,10 @@ object Profile {
     * on a cluster the ≤ cols·64-row exchange is the scalable side. The
     * md5 is the cross-engine gate discipline, not a production choice —
     * a deployment swaps in xxhash64 (≥10x cheaper per digest) without
-    * touching the plan shape. */
-  def profileHll(df: DataFrame): DataFrame = {
+    * touching the plan shape — [[XxHash60]], exercised by
+    * `profile_lineitem_approx_fast` and ProfileFastHashSpec. */
+  def profileHll(df: DataFrame,
+      sketchHash: Column => Column = PortableHash60): DataFrame = {
     graft.functions.Registry.register(df.sparkSession)
     val fields = df.schema.fields
     def statCols(f: StructField): (Column, Column, Column, Column) = {
@@ -195,7 +215,8 @@ object Profile {
       .select(col("a.col_name").as("col_name"), col("a.v").as("v"))
       .filter(col("v").isNotNull)
       .select(col("col_name"),
-        expr("portable_hash60(concat('pf:', col_name, ':', v))").as("h"))
+        sketchHash(concat(lit("pf:"), col("col_name"), lit(":"), col("v")))
+          .as("h"))
       .select(col("col_name"),
         expr("h div 18014398509481984").as("register"),
         expr("h % 18014398509481984").as("rem"))
@@ -221,10 +242,47 @@ object Profile {
   def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame =
     profileHll(Tables.lineitem(spark, dir))
 
+  /** The PRODUCTION-HASH profile, gated (r12 verdict item 1): the same
+    * 2-scan / ≤cols·64-row-shuffle sketch plan as
+    * `profile_lineitem_approx` but hashing with codegen [[XxHash60]]
+    * instead of the md5 gate hash — the swap the md5 twin's scaladoc
+    * names, now a measured query (sf1: the md5 digest constant was the
+    * whole suite's slowest row). xxhash64 digests are Spark-private, so
+    * the DuckDB gate rides (a) the exact base stats, (b) the exact
+    * per-column distinct counts, and (c) `nd_in_envelope` — the
+    * small-range-corrected xxhash64 estimate landing within the HLL
+    * 3·rsd envelope (rsd = 1.04/√64) of the exact count, TRUE for every
+    * column in the oracle. The boolean genuinely depends on the
+    * production sketch (a broken hash or split fails the gate), and the
+    * exact-distinct arm exists ONLY as the gate harness — the deployment
+    * plan is the pure sketch, whose shape ProfileFastHashSpec pins
+    * against the md5 twin (2 scans, no distinct aggregation anywhere). */
+  def profileLineitemApproxFast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val fast = profileHll(li, XxHash60)
+    val exactNd = li.schema.fields.toSeq.map(f =>
+      li.agg(countDistinct(col(f.name)).as("n_distinct"))
+        .select(lit(f.name).as("col_name"), col("n_distinct")))
+      .reduce(_.unionAll(_))
+    fast.join(broadcast(exactNd), "col_name")
+      .withColumn("nd_corrected",
+        when(col("nd_estimate") <= 2.5 * 64.0 && col("n_zero_regs") > 0L,
+          lit(64.0) * log(lit(64.0) / col("n_zero_regs").cast("double")))
+          .otherwise(col("nd_estimate")))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        (abs(col("nd_corrected") - col("n_distinct").cast("double")) <=
+          greatest(lit(3.0 * 1.04 / 8.0) * col("n_distinct").cast("double"),
+            lit(2.0))).as("nd_in_envelope"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "profile_lineitem" -> (profileLineitem _),
-    "profile_lineitem_approx" -> (profileLineitemApprox _)
+    "profile_lineitem_approx" -> (profileLineitemApprox _),
+    "profile_lineitem_approx_fast" -> (profileLineitemApproxFast _)
   )
 
   /** One UNION ALL arm per column, mirroring the typed min/max routing. */
@@ -309,6 +367,16 @@ object Profile {
     "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
 
   val oracle: Map[String, String] = Map(
+    // The production-hash gate: exact stats + exact distincts are
+    // recomputed; the envelope boolean must come back TRUE for every
+    // column (the Spark side computes it from the real xxhash64 sketch).
+    "profile_lineitem_approx_fast" -> (
+      LineitemKinds.map { case (c, k) =>
+        arm("lineitem", c, if (k == "dbl") "num" else k) +
+          "\n" // append the envelope column inside each arm via wrapper
+      }.zipWithIndex.map { case (a, i) =>
+        s"SELECT *, TRUE AS nd_in_envelope FROM (${a.trim}) arm_$i"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     "profile_lineitem_approx" -> (
       "WITH " + LineitemKinds.map { case (c, k) => sketchCte("lineitem", c, k) }
         .mkString(",\n") + "\n" +
