@@ -94,18 +94,27 @@ object AdvancedAggs {
     * (user_id, salt) so a hot user's rows spread across `salts` reducers,
     * stage 2 merges the partials per user. Decimal partials make the
     * result bit-equal to the direct single-stage aggregation (which the
-    * oracle computes) — salting changes the plan, never the answer. */
-  def saltedTopUsers(spark: SparkSession, dir: String): DataFrame = {
-    val salts = 8
+    * oracle computes) — salting changes the plan, never the answer
+    * (SaltedTreatmentSpec proves it at ANY factor). The gated entry
+    * consumes [[Diagnostics.advisedSaltFactor]] for the aggregation's
+    * actual key (events.user_id) instead of a hard-coded width — the
+    * diagnosis→treatment bridge — and emits the applied factor, which
+    * the oracle re-derives with the same formula. */
+  def saltedTopUsersWith(spark: SparkSession, dir: String,
+      salts: Long): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), (col("event_id") % salts).as("salt"))
       .agg(sum(dec(col("value"))).as("pv"), count(lit(1)).as("pn"))
       .groupBy(col("user_id"))
       .agg(sum(col("pv")).cast("double").as("total_value"),
         sum(col("pn")).as("n_events"))
+      .withColumn("salt_factor", lit(salts))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(20)
-  }
+
+  def saltedTopUsers(spark: SparkSession, dir: String): DataFrame =
+    saltedTopUsersWith(spark, dir,
+      Diagnostics.advisedSaltFactor(spark, dir, "events", "user_id"))
 
   /** Skew-proof fact⋈dim join via salting — the join-side counterpart of
     * [[saltedTopUsers]]: the fact side gets a deterministic salt from a
@@ -2222,9 +2231,10 @@ object AdvancedAggs {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_salted_top_users" ->
-      """SELECT user_id,
+      s"""SELECT user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value,
-        |  COUNT(*) AS n_events
+        |  COUNT(*) AS n_events,
+        |  ${Diagnostics.advisedSaltFactorSql("events", "user_id")} AS salt_factor
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
     "join_salted_skew" ->

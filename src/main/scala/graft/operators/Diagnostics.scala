@@ -162,6 +162,42 @@ object Diagnostics {
       .orderBy("table_name")
   }
 
+  /** The diagnosis→treatment bridge (r12 verdict item 4): the advisor's
+    * capped salt factor for one (table, key), as a value a treatment
+    * query consumes — `joinx_salted_skew` salts the customer⋈orders join
+    * and `agg_salted_top_users` the per-user aggregation with THIS factor
+    * instead of a hard-coded width. One hash aggregation collapsing to a
+    * single row; the `.head()` is a bounded 1-row model-metadata collect
+    * (the adaptiveCap discipline), memoized per (dir, table, key) so
+    * repeated treatments don't re-scan. The formula is exactly
+    * [[saltAdvisor]]'s, so the gated advisor report and the factor the
+    * treatments apply can never drift. */
+  def advisedSaltFactor(
+      spark: SparkSession, dir: String,
+      table: String, key: String): Long =
+    graft.core.ModelMemo.cached(s"saltf:$dir:$table:$key") {
+      val df = table match {
+        case "orders" => Tables.orders(spark, dir)
+        case "lineitem" => Tables.lineitem(spark, dir)
+        case "events" => Tables.events(spark, dir)
+      }
+      val mx = df.select(col(key).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_per_key")).head().getLong(0)
+      java.lang.Long.valueOf(
+        math.min(
+          math.max((mx + SaltTargetRowsPerTask - 1) / SaltTargetRowsPerTask, 1L),
+          SaltMaxFactor))
+    }.longValue()
+
+  /** DuckDB twin of [[advisedSaltFactor]] — a scalar subquery treatments'
+    * oracles embed so both engines derive the same applied factor. */
+  def advisedSaltFactorSql(table: String, key: String): String =
+    s"""(SELECT CAST(LEAST(GREATEST(
+       |    (MAX(c) + ${SaltTargetRowsPerTask - 1}) // $SaltTargetRowsPerTask, 1),
+       |    $SaltMaxFactor) AS BIGINT)
+       |  FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diag_key_skew" -> (keySkew _),
     "diag_column_profile" -> (columnProfile _),

@@ -513,38 +513,48 @@ object RelationalX {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
-  /** Number of salt replicas for [[saltedSkewJoin]] — small here; a real
-    * skew mitigation sizes it to the hottest key's row share. */
-  val SaltFactor = 8
-
   /** SALTED skew join — the manual mitigation for a shuffle join whose
     * key distribution concentrates on a few hot keys (the pre-AQE
     * technique, still required when AQE's skew thresholds don't trigger
     * or the build side must stay a shuffle join): replicate the dimension
-    * side SaltFactor ways with a salt column, spread the fact side across
+    * side saltFactor ways with a salt column, spread the fact side across
     * salts with a deterministic per-row salt, and join on (key, salt) —
-    * each hot key's rows now land on SaltFactor reducers instead of one.
+    * each hot key's rows now land on saltFactor reducers instead of one.
     * Every fact row still matches EXACTLY one replica, so the join result
     * — per-segment order counts and revenue — is identical to the plain
-    * join the oracle runs; the gate proves the rewrite is semantics-free.
+    * join the oracle runs; the gate proves the rewrite is semantics-free
+    * (SaltedTreatmentSpec proves it at ANY factor).
     *
-    * Scale shape: dimension inflation is SaltFactor× (bounded, and only
-    * on the smaller side); the fact side's salt is computed map-side from
+    * THE FACTOR IS ADVISED, NOT HARD-CODED (r12 verdict item 4): the
+    * gated entry consumes [[Diagnostics.advisedSaltFactor]] for the
+    * join's actual key (orders.o_custkey) — the diagnosis→treatment loop
+    * closed in code — and emits the applied factor as `salt_factor`,
+    * which the oracle re-derives with the same capped-ceiling formula.
+    *
+    * Scale shape: dimension inflation is saltFactor× (bounded by the
+    * advisor's [[Diagnostics.SaltMaxFactor]] cap, and only on the
+    * smaller side); the fact side's salt is computed map-side from
     * o_orderkey, adding no shuffle of its own. */
-  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+  def saltedSkewJoinWith(spark: SparkSession, dir: String,
+      saltFactor: Long): DataFrame = {
     val salted = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-      .withColumn("salt", explode(expr(s"sequence(0, ${SaltFactor - 1})")))
+      .withColumn("salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("fsalt", (col("o_orderkey") % SaltFactor).cast("int"))
+      .withColumn("fsalt", (col("o_orderkey") % saltFactor).cast("int"))
       .join(salted, col("o_custkey") === col("c_custkey") &&
         col("salt") === col("fsalt"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .withColumn("salt_factor", lit(saltFactor))
       .orderBy("c_mktsegment")
   }
+
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedSkewJoinWith(spark, dir,
+      Diagnostics.advisedSaltFactor(spark, dir, "orders", "o_custkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "joinx_salted_skew" -> (saltedSkewJoin _),
@@ -576,10 +586,13 @@ object RelationalX {
 
   val oracle: Map[String, String] = Map(
     // The oracle runs the PLAIN join: the salted rewrite must be
-    // observationally identical to it, which is the whole point.
+    // observationally identical to it, which is the whole point. The
+    // applied factor is re-derived by the advisor's formula so the gate
+    // also pins WHICH width the treatment consumed.
     "joinx_salted_skew" ->
-      """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
+        |  ${Diagnostics.advisedSaltFactorSql("orders", "o_custkey")} AS salt_factor
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q11_important_parts" ->
