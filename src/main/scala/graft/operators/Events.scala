@@ -522,17 +522,64 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Ladder of candidate bucket widths (seconds) for the session-overlap
+    * join, and the linear candidate budget the width is chosen under —
+    * the [[graft.operators.Graph]] adaptiveCap discipline applied to this
+    * query's quadratic valve. */
+  val OverlapBucketLadder: Seq[Long] = Seq(900L, 1800L, 3600L, 7200L, 14400L)
+  val OverlapPairBudgetPerSession = 8L
+
+  /** DENSITY-ADAPTIVE bucket width (r12 verdict item 2): for each ladder
+    * width, the candidate-pair mass is Σ_buckets n_b·(n_b−1)/2 where n_b
+    * counts the (≥2-event) sessions overlapping bucket b — the exact
+    * number of per-bucket join candidates [[sessionOverlap]] would
+    * generate at that width. The chosen width is the LARGEST whose mass
+    * fits the linear budget [[OverlapPairBudgetPerSession]]·n_sessions
+    * (widest = least bucket replication, and the budget caps the
+    * quadratic term), falling back to the narrowest ladder width when
+    * concurrency is so dense nothing fits (the narrowest is then also
+    * the least-work width). Sessions are aggregated metadata (≪ events),
+    * the per-width histogram collapses to ≤|ladder| rows, and the driver
+    * reads one tiny map — the adaptiveCap bounded-collect discipline,
+    * memoized per corpus dir. The oracle re-derives the same choice in
+    * SQL, so the knob is a hash-gated artifact, not driver prose. */
+  private[operators] def adaptiveOverlapBucket(
+      spark: SparkSession, dir: String): Long =
+    graft.core.ModelMemo.cached(s"ovbw:$dir") {
+      val s = sessionize(spark, dir)
+        .filter(col("n_events") >= 2)
+        .select(col("session_start").cast("long").as("st"),
+          col("session_end").cast("long").as("en"))
+      val nSessions = s.count()
+      val mass = s
+        .withColumn("w", explode(array(OverlapBucketLadder.map(lit): _*)))
+        .withColumn("bucket", explode(expr("sequence(st div w, en div w)")))
+        .groupBy("w", "bucket").agg(count(lit(1)).as("n"))
+        .groupBy("w").agg(sum(expr("n * (n - 1) div 2")).as("pairs"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val budget = OverlapPairBudgetPerSession * nSessions
+      val fitting = OverlapBucketLadder
+        .filter(w => mass.getOrElse(w, 0L) <= budget)
+      java.lang.Long.valueOf(
+        if (fitting.nonEmpty) fitting.max else OverlapBucketLadder.min)
+    }.longValue()
+
   /** Session co-activity pairs — the interval-INTERVAL overlap join that
     * completes [[rangeJoinSessions]]'s point-in-interval shape: pairs of
     * users whose (≥2-event) sessions overlap in wall-clock time, with the
     * overlap count and total overlapping seconds. Scale shape: sessions
-    * explode to the hour buckets they span, candidates join per bucket
+    * explode to the time buckets they span, candidates join per bucket
     * (equi-join on one long — never a full interval cross product), and
     * each qualifying pair is emitted EXACTLY once, in the bucket holding
     * the later session start (the standard dedup-free emit rule for
-    * bucketed interval joins — no global distinct pass). At cluster scale
-    * the bucket width tunes candidate fanout exactly like the Graph hub
-    * cap.
+    * bucketed interval joins — no global distinct pass). The bucket
+    * width is CHOSEN FROM MEASURED CONCURRENCY under a linear pair
+    * budget ([[adaptiveOverlapBucket]]) — the knob SCALE.md named as
+    * "the production knob", now turned in code like the graph hub cap —
+    * and the applied width is emitted (and oracle-re-derived) as
+    * `bucket_s`. The RESULT is width-invariant (OverlapAdaptiveSpec
+    * proves it across the whole ladder); only the candidate fanout
+    * changes.
     *
     * OUTPUT is bounded by contract, because unbounded co-activity pairs
     * themselves grow quadratically as concurrency densifies (the per-pair
@@ -543,7 +590,11 @@ object Events {
     * overlap, then lead-order user id) — so output is ≤ TopPartners rows
     * per user, linear in users, whatever the concurrency. Both bounds are
     * mirrored verbatim in the oracle. */
-  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame =
+    sessionOverlapAt(spark, dir, adaptiveOverlapBucket(spark, dir))
+
+  private[operators] def sessionOverlapAt(
+      spark: SparkSession, dir: String, bucketS: Long): DataFrame = {
     val s = sessionize(spark, dir)
       .filter(col("n_events") >= 2)
       .select(col("user_id"), col("session_id"),
@@ -552,11 +603,11 @@ object Events {
     def side(p: String): DataFrame = s.select(
       col("user_id").as(s"u$p"), col("st").as(s"st$p"), col("en").as(s"en$p"))
       .withColumn("bucket",
-        explode(sequence(expr(s"st$p div 3600"), expr(s"en$p div 3600"))))
+        explode(sequence(expr(s"st$p div $bucketS"), expr(s"en$p div $bucketS"))))
     side("1").join(side("2"), Seq("bucket"))
       .filter(col("u1") < col("u2") &&
         col("st1") <= col("en2") && col("st2") <= col("en1") &&
-        expr("greatest(st1, st2) div 3600") === col("bucket"))
+        expr(s"greatest(st1, st2) div $bucketS") === col("bucket"))
       .groupBy("u1", "u2")
       .agg(count(lit(1)).as("n_overlaps"),
         sum(least(col("en1"), col("en2")) - greatest(col("st1"), col("st2")))
@@ -566,6 +617,7 @@ object Events {
         Window.partitionBy(col("u1")).orderBy(col("overlap_s").desc, col("u2"))))
       .filter(col("rk") <= TopPartners)
       .drop("rk")
+      .withColumn("bucket_s", lit(bucketS))
       .orderBy("u1", "u2")
   }
 
@@ -781,7 +833,7 @@ object Events {
         |FROM cum JOIN tot USING (event_type)
         |GROUP BY event_type, n1, n2 ORDER BY event_type""".stripMargin,
     "evt_session_overlap" ->
-      """WITH marked AS (
+      s"""WITH marked AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR CAST(floor(epoch(ts)) AS BIGINT)
@@ -800,6 +852,22 @@ object Events {
         |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS st,
         |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS en
         |  FROM sess GROUP BY user_id, session_id HAVING COUNT(*) >= 2),
+        |bm AS (
+        |  SELECT ws.w, COALESCE(SUM(n * (n - 1) // 2), 0) AS pairs_mass
+        |  FROM (VALUES ${OverlapBucketLadder.map(w => s"($w)").mkString(",")}) ws(w)
+        |  LEFT JOIN (
+        |    SELECT w, bucket, COUNT(*) AS n FROM (
+        |      SELECT ws2.w AS w,
+        |        unnest(generate_series(st // ws2.w, en // ws2.w)) AS bucket
+        |      FROM iv CROSS JOIN
+        |        (VALUES ${OverlapBucketLadder.map(w => s"($w)").mkString(",")}) ws2(w))
+        |    GROUP BY 1, 2) h ON h.w = ws.w
+        |  GROUP BY 1),
+        |chosen AS (
+        |  SELECT CAST(COALESCE(
+        |    (SELECT MAX(w) FROM bm WHERE pairs_mass
+        |       <= $OverlapPairBudgetPerSession * (SELECT COUNT(*) FROM iv)),
+        |    ${OverlapBucketLadder.min}) AS BIGINT) AS bucket_s),
         |pairs AS (
         |  SELECT a.user_id AS u1, b.user_id AS u2,
         |    CAST(COUNT(*) AS BIGINT) AS n_overlaps,
@@ -808,7 +876,8 @@ object Events {
         |  FROM iv a JOIN iv b
         |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
         |  GROUP BY 1, 2 HAVING overlap_s >= 60)
-        |SELECT u1, u2, n_overlaps, overlap_s FROM (
+        |SELECT u1, u2, n_overlaps, overlap_s,
+        |  (SELECT bucket_s FROM chosen) AS bucket_s FROM (
         |  SELECT *, row_number() OVER (PARTITION BY u1
         |    ORDER BY overlap_s DESC, u2) AS rk FROM pairs)
         |WHERE rk <= 20 ORDER BY u1, u2""".stripMargin,
