@@ -804,6 +804,75 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** 128-bit perceptual fingerprint: aHash(64) ++ dHash(64), both
+    * computed from ONE decode pass (the decode is the expensive half of
+    * any image pipeline — never pay it per hash family). */
+  case class PHash128Record(doc_id: Long,
+      ahash_hi: Long, ahash_lo: Long, dhash_hi: Long, dhash_lo: Long)
+
+  private def imagePhash128s(
+      spark: SparkSession, dir: String): Dataset[PHash128Record] = {
+    val spark2 = spark
+    import spark2.implicits._
+    imageMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          val (ahi, alo) = AHash.halves(img)
+          val (dhi, dlo) = DHash.halves(img)
+          PHash128Record(r.doc_id, ahi, alo, dhi, dlo)
+        }
+      }
+    }
+  }
+
+  /** THE PRODUCTION-WIDTH image near-dup twin (r12 verdict item 6 — the
+    * text family's simhash64 move applied to images): Hamming ≤ 3 pairs
+    * over the 128-bit aHash++dHash fingerprint via FOUR 32-BIT bands.
+    * [[ahashDedup]]'s 4×16-bit banding collides random non-dup pairs at
+    * n²/2^16 per band — the visible n²/65536 term SCALE.md tracked at
+    * 9.7× on 10× data; at 32-bit bands the same pigeonhole argument
+    * (≤ 3 flipped bits cannot touch all 4 bands) holds with collision
+    * mass n²/2^32 — 65536× fewer spurious candidates, the width that
+    * survives a 100 TB image corpus. The four bands ARE the four packed
+    * 32-bit halves, so banding costs zero bit-slicing; candidates are 4
+    * equality joins and verification is exact bit_count(xor) Hamming
+    * over all 128 bits. The oracle runs the naive all-pairs comparison —
+    * the gate proves the wide banding lossless; the 64-bit
+    * [[ahashDedup]] stays gated as the narrow-band baseline (and shows
+    * the extra false-candidate mass the production width removes). */
+  def phash128Dedup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = imagePhash128s(spark, dir).toDF()
+    val banded = hs.select(col("doc_id"),
+      col("ahash_hi"), col("ahash_lo"), col("dhash_hi"), col("dhash_lo"),
+      explode(expr(
+        """array(
+          |  named_struct('band', 0, 'v', ahash_lo),
+          |  named_struct('band', 1, 'v', ahash_hi),
+          |  named_struct('band', 2, 'v', dhash_lo),
+          |  named_struct('band', 3, 'v', dhash_hi))""".stripMargin)).as("b"))
+      .select(col("doc_id"),
+        col("ahash_hi"), col("ahash_lo"), col("dhash_hi"), col("dhash_lo"),
+        col("b.band").as("band"), col("b.v").as("v"))
+    val right = banded.select(col("band"), col("v"),
+      col("doc_id").as("doc_b"), col("ahash_hi").as("ahi_b"),
+      col("ahash_lo").as("alo_b"), col("dhash_hi").as("dhi_b"),
+      col("dhash_lo").as("dlo_b"))
+    banded
+      .join(right, Seq("band", "v"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        (expr("bit_count(ahash_lo ^ alo_b)") +
+          expr("bit_count(ahash_hi ^ ahi_b)") +
+          expr("bit_count(dhash_lo ^ dlo_b)") +
+          expr("bit_count(dhash_hi ^ dhi_b)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("doc_a", "doc_b")
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-clip silence-run detection over REALLY-decoded PCM samples —
     * the segmentation primitive every audio pipeline needs (VAD-style
     * trimming, clip splitting): a sample is quiet iff |s| < 512
@@ -1118,6 +1187,7 @@ object Multimodal {
     "mm_audio_resample" -> (audioResample _),
     "mm_ahash" -> (imageAhash _),
     "mm_ahash_dedup" -> (ahashDedup _),
+    "mm_phash128_dedup" -> (phash128Dedup _),
     "mm_scene_change" -> (sceneChange _),
     "mm_media_stats" -> (mediaStats _),
     "mm_audio_stats" -> (audioStats _),
@@ -1198,6 +1268,38 @@ object Multimodal {
       |                       THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
       |                       ELSE 0 END) AS BIGINT) AS dhash_lo
       |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** Combined 128-bit fingerprint CTE: [[ahashCte]]'s chain (p, gx, …,
+    * hh) plus the dHash chain with its ci/bits stages renamed (dci,
+    * dbits) so both hashes derive from the SAME p/gx pixel relations,
+    * joined into one ph row per image. */
+  private val phash128Cte: String =
+    ahashCte + ",\n" +
+      """dci AS (SELECT doc_id, w, h, r.i, CAST(SUM(g) AS BIGINT) AS sgi,
+        |         ((i+1)*w)//9 - (i*w)//9 AS wi
+        |       FROM gx, UNNEST(range(0, 9)) AS r(i)
+        |       WHERE x >= (i*w)//9 AND x < ((i+1)*w)//9
+        |       GROUP BY 1, 2, 3, 4),
+        |dbits AS (SELECT cl.doc_id, rj.j * 8 + cl.i AS k,
+        |           CASE WHEN cl.sgi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+        |                     * cr.wi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+        |                   > cr.sgi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+        |                     * cl.wi * (((rj.j+1)*cl.h)//8 - (rj.j*cl.h)//8)
+        |                THEN 1 ELSE 0 END AS b
+        |         FROM dci cl JOIN dci cr
+        |           ON cl.doc_id = cr.doc_id AND cr.i = cl.i + 1,
+        |           UNNEST(range(0, 8)) AS rj(j)
+        |         WHERE cl.i < 8),
+        |dh AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN b = 1 AND k >= 32
+        |                       THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)
+        |                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |         CAST(SUM(CASE WHEN b = 1 AND k < 32
+        |                       THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+        |                       ELSE 0 END) AS BIGINT) AS dhash_lo
+        |       FROM dbits GROUP BY 1),
+        |ph AS (SELECT hh.doc_id, ahash_hi, ahash_lo, dhash_hi, dhash_lo
+        |       FROM hh JOIN dh USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_resize_pixels" ->
@@ -1281,6 +1383,23 @@ object Multimodal {
          |SELECT h.doc_id, CAST(p.w AS INTEGER) AS width,
          |  CAST(p.h AS INTEGER) AS height, h.ahash_hi, h.ahash_lo
          |FROM hh h JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The all-pairs oracle proves the 4×32-bit banding lossless; each
+    // bit_count casts to BIGINT before the 4-way add (DuckDB bit_count
+    // is TINYINT — 96+32 overflows it).
+    "mm_phash128_dedup" ->
+      s"""WITH $phash128Cte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         |    + CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+         |    + CAST(bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+         |    + CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) AS BIGINT)
+         |    AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+         |    + CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+         |    + CAST(bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+         |    + CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) AS BIGINT) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_ahash_dedup" ->
       s"""WITH $ahashCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
