@@ -612,6 +612,58 @@ object StreamingPipelines {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class BkState(entries: List[(Long, String)], seen: Long)
+  /** One row per sampled doc after a trigger; readers take the rows with
+    * the stratum's max `stratum_seen`. */
+  case class BkRow(lang: String, rn: Int, doc_id: String, h: Long,
+      stratum_seen: Long)
+
+  /** Streaming per-stratum bottom-k-by-hash sample — the streaming twin
+    * of [[graft.operators.Sampling.bottomKStratified]] (r12 verdict item
+    * 7). Bottom-k-by-hash is MERGEABLE state (the KMV sampling view: the
+    * k smallest hashes of a union are the k smallest of the parts'
+    * bottom-ks), so maintenance is exact under ANY arrival order or
+    * chunking: after replaying a corpus the streaming sample IS the
+    * batch sample, row for row with identical in-stratum ranks
+    * (StreamingPipelinesSpec proves it on the real documents table,
+    * replayed in reversed order). State is O(k) (hash, doc_id) pairs per
+    * stratum — independent of stream length — and arriving docs that
+    * hash above the stratum's current k-th never touch state, which is
+    * what makes the sample maintainable on an open-ended firehose. Each
+    * trigger re-emits the stratum's current sample (Update mode). */
+  def bottomKSample(docs: DataFrame, k: Int = graft.operators.Sampling.K): Dataset[BkRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def update(lang: String, it: Iterator[(String, String)],
+        state: GroupState[BkState]): Iterator[BkRow] = {
+      val ord = implicitly[Ordering[(Long, String)]]
+      val set = scala.collection.mutable.TreeSet.empty[(Long, String)](ord)
+      var seen = 0L
+      state.getOption.foreach { s => set ++= s.entries; seen = s.seen }
+      for ((_, doc) <- it) {
+        seen += 1
+        val e = (graft.functions.HashUtil.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString("samp:" + doc)),
+          doc)
+        if (set.size < k) set += e
+        else if (ord.lt(e, set.last)) {
+          set += e; if (set.size > k) set -= set.last
+        }
+      }
+      state.update(BkState(set.toList, seen))
+      set.iterator.zipWithIndex.map { case ((h, d), i) =>
+        BkRow(lang, i + 1, d, h, seen)
+      }
+    }
+
+    docs.select(col("lang").cast("string"), col("doc_id").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class MgSummary(counts: Map[String, Long], processed: Long)
   /** One summary row per (shard, surviving token) after a trigger. */
   case class MgRow(shard: Int, token: String, mg_count: Long, shard_processed: Long)

@@ -709,4 +709,44 @@ class StreamingPipelinesSpec extends SparkSpec {
         s"expected eviction to forget key 5's last-kept time, got $kept")
     } finally q.stop()
   }
+
+  test("stream-batch parity: streaming bottom-k sample equals the batch " +
+    "per-stratum sample after replaying real documents in reversed order") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.Registry.register(spark)
+    val batch = graft.operators.Sampling.bottomKStratified(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).map { case (l, rs) => l -> rs.sortBy(_._2).toSeq }
+    // reversed arrival order ≠ any batch scan order — bottom-k
+    // maintenance must not care
+    val rows = graft.core.Tables.documents(spark, dir)
+      .selectExpr("lang", "cast(doc_id as string) as doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).reverse
+    val in = MemoryStream[(String, String)]
+    val q = StreamingPipelines.bottomKSample(
+        in.toDF().toDF("lang", "doc_id"))
+      .writeStream.format("memory").queryName("bksample")
+      .outputMode(OutputMode.Update).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val latest = spark.table("bksample").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+          r.getLong(4)))
+        .groupBy(_._1).map { case (l, rs) =>
+          val maxSeen = rs.map(_._5).max
+          l -> rs.filter(_._5 == maxSeen).sortBy(_._2)
+            .map(t => (t._1, t._2, t._3, t._4)).toSeq
+        }
+      assert(latest.keySet == batch.keySet)
+      latest.foreach { case (l, sample) =>
+        assert(sample == batch(l),
+          s"$l: stream sample $sample != batch ${batch(l)}")
+      }
+    } finally q.stop()
+  }
 }
