@@ -41,6 +41,7 @@ object SparkEntry {
       (Features.queries, Features.oracle),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracle),
       (AdvancedAggs.queries, AdvancedAggs.oracle),
+      (Kll.queries, Kll.oracle),
       (graft.agg.TopK.queries, graft.agg.TopK.oracle),
       (graft.plans.NativeTopK.queries, graft.plans.NativeTopK.oracle),
       (TrainingPipeline.queries, TrainingPipeline.oracle),
