@@ -90,6 +90,24 @@ object Bench {
       } => r.name
     }
 
+  /** A calibration checkpoint at or above this multiple of the run's
+    * MEDIAN checkpoint marks the WHOLE artifact steal-polluted (r12
+    * verdict item 8): the headline then carries `"steal_polluted":true`
+    * and downstream tools (tools/scale_slopes.py) refuse to treat the
+    * run as clean without the stamp — validity is machine-carried, not
+    * prose provenance. Median-anchored like [[calibSuspectQueries]]
+    * (worst-of-N-threads sampling reads max/min ≈ 1.6 on a CLEAN host,
+    * so the historical max/min ratio cannot be the stamp); 2.0x is
+    * comfortably above the measured clean spread (max/median ≈ 1.4)
+    * and below the r9 burst (2.79). */
+  private[graft] val StealPollutedRatio = 2.0
+
+  private[graft] def stealPolluted(calibs: IndexedSeq[Double]): Boolean = {
+    if (calibs.isEmpty || calibs.min <= 0) return false
+    val median = calibs.sorted.apply(calibs.length / 2)
+    calibs.exists(_ >= StealPollutedRatio * median)
+  }
+
   /** Queries bracketed by a polluted calibration window: query index qi
     * runs between checkpoint qi/calibEvery and the next one (checkpoint 0
     * precedes the first query; one is emitted after every `calibEvery`
@@ -184,7 +202,7 @@ object Bench {
       s"""{"metric":"per_query_first","queries":$qsFirst}""",
       s"""{"metric":"per_query_build","queries":$perQueryBuild}""",
       f"""{"metric":"cache_builds","total_build_s":$buildsTotal%.3f,"builds":$buildsJson}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"ingest_build_s":$buildsTotal%.3f,"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"ingest_build_s":$buildsTotal%.3f,"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"steal_polluted":${stealPolluted(calibs)},"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {

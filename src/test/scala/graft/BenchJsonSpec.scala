@@ -131,6 +131,21 @@ class BenchJsonSpec extends AnyFunSuite {
       .asDouble() - 8.25) < 1e-6)
   }
 
+  test("steal stamp: a 2x-median calibration checkpoint marks the headline " +
+    "polluted, the clean scheduling tail does not") {
+    // clean spread measured on this host: 0.30-0.49 (max/median ~1.4)
+    val clean = IndexedSeq(0.30, 0.35, 0.38, 0.49, 0.33)
+    assert(!Bench.stealPolluted(clean), "clean tail must not stamp")
+    // the r9 burst shape: one checkpoint at 2.79x the median
+    val burst = IndexedSeq(0.33, 0.35, 0.98, 0.36, 0.34)
+    assert(Bench.stealPolluted(burst), "a 2x+ burst must stamp")
+    val rs = Seq(Bench.QRes("q", Vector(1.0, 1.0), ok = true))
+    val cleanLine = Bench.renderLines(rs, clean, 1, "/sf").last
+    val burstLine = Bench.renderLines(rs, burst, 1, "/sf").last
+    assert(mapper.readTree(cleanLine).get("steal_polluted").asBoolean() == false)
+    assert(mapper.readTree(burstLine).get("steal_polluted").asBoolean() == true)
+  }
+
   test("multi-thread calibration spin returns a plausible worst-thread time") {
     // Not a steal assertion (CI noise) — just that the parallel spin runs,
     // returns positive seconds, and the worst thread >= a single-thread run

@@ -129,6 +129,22 @@ def family(name: str) -> str:
 def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
     a = json.load(open(sf01_path))
     b = json.load(open(sf1_path))
+    # r12 verdict item 8: validity is machine-carried. Every input must
+    # carry Bench's steal_polluted stamp; a stamp-less artifact predates
+    # the gate and must be regenerated, not hand-vouched in prose.
+    for path, d in ((sf01_path, a), (sf1_path, b)):
+        if "steal_polluted" not in d:
+            print(f"ERROR: {path} lacks the steal_polluted stamp - "
+                  "regenerate with the current graft.Bench", file=sys.stderr)
+            return 2
+    stamp_note = []
+    for path, d in ((sf01_path, a), (sf1_path, b)):
+        if d["steal_polluted"]:
+            stamp_note.append(
+                f"`{path}` is STAMPED steal_polluted=true (a calibration "
+                f"checkpoint read >= 2.0x the run median) - slopes from it "
+                f"are suspect; adjudicate flags with isolated BenchOne "
+                f"reruns before trusting this report")
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     rows = [(n, qa[n], qb[n], (qb[n] / qa[n]) if qa[n] > 0 else float("inf"))
@@ -158,6 +174,13 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
         f"sf1 = {b['value']:.1f}s over {len(common)} shared queries "
         f"-> overall slope {b['value']/a['value']:.1f}x on 10x data. "
         f"Failed queries: sf0.1={a['failed']}, sf1={b['failed']}.\n")
+    lines.append(
+        "Validity stamps: sf0.1 steal_polluted=%s, sf1 steal_polluted=%s "
+        "(Bench's median-anchored calibration gate; see Bench.scala "
+        "StealPollutedRatio).\n"
+        % (str(a["steal_polluted"]).lower(), str(b["steal_polluted"]).lower()))
+    for note in stamp_note:
+        lines.append(f"**WARNING**: {note}\n")
     if a.get("provenance") or b.get("provenance"):
         lines.append(
             f"Provenance: {a.get('provenance', b.get('provenance'))}\n")
