@@ -33,6 +33,10 @@ def merge_headline(acc: dict, obj: dict) -> dict:
             acc[k] = acc.get(k, []) + obj[k]
     if "top20_queries" in obj:
         acc.setdefault("top20_queries", {}).update(obj["top20_queries"])
+    # a shard merge is polluted if ANY shard is (OR, never last-wins)
+    if "steal_polluted" in obj:
+        acc["steal_polluted"] = bool(
+            acc.get("steal_polluted", False) or obj["steal_polluted"])
     if acc.get("calib_s"):
         cs = sorted(acc["calib_s"])
         acc["calib_median_s"] = cs[len(cs) // 2]

@@ -36,6 +36,19 @@ BASELINES = {
         "stays gated at both scales as the banding-losslessness witness "
         "the narrow-band literature recipe is judged against, exactly "
         "like the round-7 exhaustive twins.",
+    # Round 13: the image family gets the same treatment the text family
+    # got in round 12 (the r12 verdict's extend-or-declare ruling, both
+    # halves done): mm_phash128_dedup is the production twin.
+    "mm_ahash_dedup":
+        "DECLARED narrow-band baseline of mm_phash128_dedup: the "
+        "64-bit/16-bit-band aHash path carries an n^2/65536 per-band "
+        "candidate term by design (SCALE tracked it at ~9.7x on 10x "
+        "data); the round-13 production twin hashes 128 bits "
+        "(aHash++dHash, one decode pass) and bands at 4x32 bits - "
+        "candidate mass n^2/2^32, 65536x lower - under the identical "
+        "band-then-verify contract and all-pairs losslessness oracle. "
+        "The 64-bit query stays gated at both scales as the "
+        "banding-losslessness witness at the classic pHash width.",
 }
 
 # Queries whose INPUT grows superlinearly under ScaleUp's replication:
@@ -105,11 +118,10 @@ RERUNS = {
          "isolated min-of-3 (reps: 3.55/2.54/1.58) -> slope ~3.7x, "
          "matching the r10 probe's 4.4x; the sharded-run rep was a "
          "steal burst"),
-    "mm_ahash_dedup":
-        (8.27, 16.96,
-         "isolated min-of-3 (reps: 14.14/8.75/8.27) -> slope ~11x, "
-         "matching the r10 probe's 9.8x (pair verify within pHash "
-         "bucket family); the sharded-run rep was a steal burst"),
+    # (mm_ahash_dedup's round-10 rerun entry removed in round 13: the
+    # query is now a DECLARED baseline of mm_phash128_dedup — see
+    # BASELINES — same reasoning as the round-12 dedup_simhash_pairs
+    # removal.)
     "mm_audio_silence":
         (3.33, 20.23,
          "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
