@@ -34,6 +34,7 @@ object SparkEntry {
       (Graph.queries, Graph.oracle),
       (SubstringDedup.queries, SubstringDedup.oracle),
       (Bpe.queries, Bpe.oracle),
+      (WordPiece.queries, WordPiece.oracle),
       (Unigram.queries, Unigram.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),

@@ -1179,7 +1179,108 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One clip's acoustic fingerprint: MSB-first packed sign-of-energy-
+    * delta bits over fixed 32-sample windows of the really-decoded PCM. */
+  case class AudioFpRecord(doc_id: Long, sample_rate: Long, n_samples: Long,
+      n_windows: Long, n_bits: Long, fp: Long)
+
+  /** Per-clip acoustic fingerprints (Haitsma & Kalker, "A highly robust
+    * audio fingerprint system", ISMIR 2002 — their energy-difference sign
+    * bits, here over time-domain window energies since the corpus clips
+    * are synthetic PCM): the clip splits into fixed 32-sample windows,
+    * E_w = Σ s² exactly in int64, and bit w = [E_{w+1} > E_w], packed
+    * MSB-first. Clips are 200..800 samples → 6..25 windows → 5..24 bits;
+    * a production system runs the identical per-clip shape with 256-bit
+    * blocks over overlapping spectral bands. Computed INSIDE the batched
+    * partition-local decode ([[audioExtract]]'s bounded-memory shape):
+    * samples never enter a shuffle, so at 100 TB this is a pure map stage
+    * over the media column. The oracle recomputes every energy and bit
+    * analytically from the synth closed form — one mis-decoded frame or a
+    * wrong window boundary anywhere flips a bit and fails the hash. */
+  private def audioFpTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[AudioFpRecord] = {
+    val spark2 = spark
+    import spark2.implicits._
+    audioMedia(spark, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          import javax.sound.sampled._
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / (2 * fmt.getChannels)
+          val nw = n / 32
+          val e = new Array[Long](nw)
+          var w = 0
+          while (w < nw) {
+            var acc = 0L
+            var i = w * 32
+            while (i < w * 32 + 32) {
+              val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
+              acc += s * s
+              i += 1
+            }
+            e(w) = acc
+            w += 1
+          }
+          var fp = 0L
+          w = 0
+          while (w < nw - 1) {
+            fp = (fp << 1) | (if (e(w + 1) > e(w)) 1L else 0L)
+            w += 1
+          }
+          AudioFpRecord(r.doc_id, fmt.getSampleRate.toLong, n.toLong,
+            nw.toLong, (nw - 1).toLong, fp)
+        }
+      }
+    }
+  }
+
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFpTable(spark, dir).toDF().orderBy("doc_id")
+
+  /** Excerpt window offset (in windows) and pattern width (in bits) for
+    * [[audioFpLookup]]. 15-bit patterns keep random collisions at the
+    * n²/2^15 mass the image banding families already carry. */
+  private val FpPatternBits = 15
+  private val fpPatternMask = (1L << FpPatternBits) - 1
+
+  /** Content-based audio retrieval over the fingerprint corpus — the
+    * canonical fingerprint deployment (Wang, "An industrial-strength
+    * audio search algorithm", ISMIR 2003; Haitsma & Kalker's lookup
+    * table): a 16-window EXCERPT of each clip (offset doc_id % 4 windows)
+    * is matched back against an inverted index of every 15-bit fingerprint
+    * window of every clip. Every excerpt finds its own source at its
+    * offset (the guaranteed hit), plus any genuine 15-bit acoustic
+    * collisions. This is the [[graft.operators.SubstringDedup]]
+    * window-hash-index discipline at the audio modality: index build is
+    * one scan emitting ≤ n_bits−14 ≈ 10 keys per clip, lookups join on an
+    * 8-byte key — expected bucket n/2^15, zero all-pairs work. */
+  def audioFpLookup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = audioFpTable(spark, dir).toDF()
+    val idx = fps.filter(col("n_bits") >= FpPatternBits)
+      .select(col("doc_id").as("match_doc"), col("n_bits"), col("fp"))
+      .withColumn("match_pos",
+        explode(expr(s"sequence(cast(0 as bigint), n_bits - $FpPatternBits)")))
+      .select(col("match_doc"), col("match_pos"),
+        expr(s"shiftright(fp, cast(n_bits - match_pos - $FpPatternBits as int))" +
+          s" & $fpPatternMask").as("pattern"))
+    val ex = fps.withColumn("excerpt_pos", col("doc_id") % 4)
+      .filter(col("n_bits") >= col("excerpt_pos") + FpPatternBits)
+      .select(col("doc_id").as("query_doc"), col("excerpt_pos"),
+        expr(s"shiftright(fp, cast(n_bits - excerpt_pos - $FpPatternBits as int))" +
+          s" & $fpPatternMask").as("pattern"))
+    ex.join(idx, Seq("pattern"))
+      .select(col("query_doc"), col("excerpt_pos"), col("match_doc"),
+        col("match_pos"), col("pattern"))
+      .orderBy("query_doc", "match_doc", "match_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint" -> (audioFingerprint _),
+    "mm_audio_fp_lookup" -> (audioFpLookup _),
     "mm_resize_pixels" -> (resizePixels _),
     "mm_jpeg_stats" -> (jpegStats _),
     "mm_dhash" -> (imageDhash _),
@@ -1203,6 +1304,27 @@ object Multimodal {
   /** Shared analytic aHash CTE: recomputes the hash halves in SQL from
     * the synthesized pixel formula (pixels are column-constant, so cell
     * sums factor into per-column gray sums × row counts). */
+  /** Shared analytic fingerprint CTE: window energies from the synth
+    * sample closed form, delta-sign bits via lead(), MSB-first integer
+    * shift packing — `fpt(doc_id, rate, n, nw, fp)`. */
+  private val audioFpCte: String =
+    """p AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate,
+      |        doc_id % 601 + 200 AS n, (doc_id % 997) * 7 AS base
+      |      FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (SELECT doc_id, rate, n, u.i // 32 AS w,
+      |        (u.i * 31 + base) % 4096 - 2048 AS s
+      |      FROM p, UNNEST(range(0, (n // 32) * 32)) AS u(i)),
+      |en AS (SELECT doc_id, rate, n, w, SUM(CAST(s AS BIGINT) * s) AS e
+      |      FROM sm GROUP BY 1, 2, 3, 4),
+      |bt AS (SELECT doc_id, rate, n, n // 32 AS nw, w,
+      |        CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY w) > e
+      |             THEN 1 ELSE 0 END AS b
+      |      FROM en),
+      |fpt AS (SELECT doc_id, rate, n, MIN(nw) AS nw,
+      |        CAST(SUM(CAST(b AS BIGINT) << CAST(nw - 2 - w AS INTEGER))
+      |             AS BIGINT) AS fp
+      |      FROM bt WHERE w < nw - 1 GROUP BY 1, 2, 3)""".stripMargin
+
   private val ahashCte: String =
     """p AS (SELECT doc_id, CAST(doc_id % 49 + 16 AS BIGINT) AS w,
       |         CAST((doc_id * 3) % 41 + 12 AS BIGINT) AS h,
@@ -1456,6 +1578,31 @@ object Multimodal {
         |  CAST(MIN(y) AS BIGINT) AS out_min,
         |  CAST(MAX(y) AS BIGINT) AS out_max
         |FROM ys GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
+    // Acoustic fingerprints: the oracle predicts every window energy and
+    // delta-sign bit analytically from the synth closed form, packing
+    // MSB-first with integer shifts (no float anywhere).
+    "mm_audio_fingerprint" ->
+      s"""WITH $audioFpCte
+         |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(n AS BIGINT) AS n_samples, CAST(nw AS BIGINT) AS n_windows,
+         |  CAST(nw - 1 AS BIGINT) AS n_bits, fp
+         |FROM fpt ORDER BY doc_id""".stripMargin,
+    "mm_audio_fp_lookup" ->
+      s"""WITH $audioFpCte,
+         |idx AS (SELECT doc_id AS match_doc, u.q AS match_pos,
+         |    (fp >> CAST(nw - 1 - u.q - $FpPatternBits AS INTEGER))
+         |      & $fpPatternMask AS pattern
+         |  FROM fpt, UNNEST(range(0, nw - $FpPatternBits)) AS u(q)
+         |  WHERE nw - 1 >= $FpPatternBits),
+         |ex AS (SELECT doc_id AS query_doc, doc_id % 4 AS excerpt_pos,
+         |    (fp >> CAST(nw - 1 - (doc_id % 4) - $FpPatternBits AS INTEGER))
+         |      & $fpPatternMask AS pattern
+         |  FROM fpt WHERE nw - 1 >= doc_id % 4 + $FpPatternBits)
+         |SELECT query_doc, CAST(excerpt_pos AS BIGINT) AS excerpt_pos,
+         |  match_doc, CAST(match_pos AS BIGINT) AS match_pos,
+         |  CAST(pattern AS BIGINT) AS pattern
+         |FROM ex JOIN idx USING (pattern)
+         |ORDER BY query_doc, match_doc, match_pos""".stripMargin,
     "mm_audio_stats" ->
       """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
         |p AS (SELECT doc_id,

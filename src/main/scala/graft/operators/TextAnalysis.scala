@@ -212,6 +212,61 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Probe-sample size for [[sparseCosineTopk]] — the bounded-probe
+    * discipline of Similarity's exact baselines: the probe side is fixed,
+    * so the postings join stays one corpus scan at any corpus size. */
+  private val SparseProbeDocs = 200
+
+  /** Sparse TF-IDF cosine top-k via an INVERTED-INDEX postings join — the
+    * classic text-similarity scale shape (Bayardo, Ma & Srikant, "Scaling
+    * up all pairs similarity search", WWW 2007): documents are compared
+    * only through the terms they share, never pairwise over the corpus.
+    * Weights are exact integers w = tf·(N div df) (the [[tfidf]] family's
+    * division-free idf — integer idf keeps the dot products exactly
+    * checkable; log-idf is monotone-equivalent for ranking within a
+    * fixed df), dot products and squared norms are exact integer sums,
+    * and the final cosine performs the only float ops — one multiply,
+    * one sqrt, one divide, all IEEE correctly rounded, so both engines
+    * rank bit-identically.
+    *
+    * Scale shape: explode → (doc, term) tf aggregation, a df join, one
+    * postings self-join restricted to the fixed probe sample (expected
+    * work Σ_t df_t·probes_t — at production scale the hot-term tail is
+    * df-capped exactly like [[heavyHitters]] bounds its candidates), a
+    * (probe, doc) dot aggregation, and a per-probe top-5 window. */
+  def sparseCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val w = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * expr("nd div df")).as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val probes = w.filter(col("doc_id") < SparseProbeDocs)
+      .select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
+    val dots = probes
+      .join(w.select(col("doc_id").as("doc_b"), col("token"),
+        col("w").as("wb")), "token")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+      .withColumn("sim", col("dot").cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_a"))
+          .orderBy(col("sim").desc, col("doc_b"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_a"), col("rnk"), col("doc_b"), col("dot"), col("sim"))
+      .orderBy("doc_a", "rnk")
+  }
+
   /** Per-partition Misra-Gries candidate generation: with k counters, any
     * item whose partition frequency exceeds n_p/k survives, so the union
     * over partitions is a guaranteed SUPERSET of every item with global
@@ -988,6 +1043,7 @@ object TextAnalysis {
     "ta_token_stats" -> (tokenStats _),
     "ta_fingerprint" -> (fingerprint _),
     "ta_tfidf" -> (tfidf _),
+    "ta_sparse_cosine_topk" -> (sparseCosineTopk _),
     "ta_heavy_hitters" -> (heavyHitters _),
     "ta_trigram_coverage" -> (trigramCoverage _),
     "ta_sentence_dedup" -> (sentenceDedup _)
@@ -1385,6 +1441,32 @@ object TextAnalysis {
          |  FROM tf JOIN dfreq USING (tk), n)
          |SELECT doc_id, rnk, token, tf, score
          |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "ta_sparse_cosine_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
+         |tok AS (SELECT doc_id, u.tk AS token FROM toks, UNNEST(t) AS u(tk)
+         |        WHERE u.tk <> ''),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |w AS (SELECT doc_id, token, CAST(tf * (nd // df) AS BIGINT) AS w
+         |      FROM tf JOIN dfreq USING (token), n),
+         |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+         |      FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |      FROM w a JOIN w b USING (token)
+         |      WHERE a.doc_id < $SparseProbeDocs AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2),
+         |scored AS (SELECT doc_a, doc_b, dot,
+         |        CAST(dot AS DOUBLE)
+         |          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim
+         |      FROM dots JOIN norms na ON na.doc_id = doc_a
+         |                JOIN norms nb ON nb.doc_id = doc_b),
+         |rnkd AS (SELECT doc_a, doc_b, dot, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_a
+         |          ORDER BY sim DESC, doc_b) AS rnk FROM scored)
+         |SELECT doc_a, CAST(rnk AS BIGINT) AS rnk, doc_b, dot, sim
+         |FROM rnkd WHERE rnk <= 5 ORDER BY doc_a, rnk""".stripMargin,
     "ta_heavy_hitters" ->
       s"""WITH toks AS (SELECT doc_id, $dToks AS t FROM documents),
          |tok AS (SELECT u.tk AS token FROM toks, UNNEST(t) AS u(tk) WHERE u.tk <> ''),
