@@ -1197,43 +1197,48 @@ object Multimodal {
     * over the media column. The oracle recomputes every energy and bit
     * analytically from the synth closed form — one mis-decoded frame or a
     * wrong window boundary anywhere flips a bit and fails the hash. */
-  private def audioFpTable(spark: SparkSession, dir: String)
+  /** One clip's fingerprint from its RIFF/WAVE bytes — shared by the
+    * batch table and the streaming catalog matcher
+    * ([[graft.streaming.StreamingPipelines.audioFpMatch]]). */
+  private[graft] def fingerprintOne(docId: Long, media: Array[Byte]): AudioFpRecord = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(media))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    ais.close()
+    val n = pcm.length / (2 * fmt.getChannels)
+    val nw = n / 32
+    val e = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      var acc = 0L
+      var i = w * 32
+      while (i < w * 32 + 32) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
+        acc += s * s
+        i += 1
+      }
+      e(w) = acc
+      w += 1
+    }
+    var fp = 0L
+    w = 0
+    while (w < nw - 1) {
+      fp = (fp << 1) | (if (e(w + 1) > e(w)) 1L else 0L)
+      w += 1
+    }
+    AudioFpRecord(docId, fmt.getSampleRate.toLong, n.toLong,
+      nw.toLong, (nw - 1).toLong, fp)
+  }
+
+  private[graft] def audioFpTable(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[AudioFpRecord] = {
     val spark2 = spark
     import spark2.implicits._
     audioMedia(spark, dir).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
-        batch.iterator.map { r =>
-          import javax.sound.sampled._
-          val ais = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.media))
-          val fmt = ais.getFormat
-          val pcm = ais.readAllBytes()
-          ais.close()
-          val n = pcm.length / (2 * fmt.getChannels)
-          val nw = n / 32
-          val e = new Array[Long](nw)
-          var w = 0
-          while (w < nw) {
-            var acc = 0L
-            var i = w * 32
-            while (i < w * 32 + 32) {
-              val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
-              acc += s * s
-              i += 1
-            }
-            e(w) = acc
-            w += 1
-          }
-          var fp = 0L
-          w = 0
-          while (w < nw - 1) {
-            fp = (fp << 1) | (if (e(w + 1) > e(w)) 1L else 0L)
-            w += 1
-          }
-          AudioFpRecord(r.doc_id, fmt.getSampleRate.toLong, n.toLong,
-            nw.toLong, (nw - 1).toLong, fp)
-        }
+        batch.iterator.map(r => fingerprintOne(r.doc_id, r.media))
       }
     }
   }
@@ -1244,8 +1249,20 @@ object Multimodal {
   /** Excerpt window offset (in windows) and pattern width (in bits) for
     * [[audioFpLookup]]. 15-bit patterns keep random collisions at the
     * n²/2^15 mass the image banding families already carry. */
-  private val FpPatternBits = 15
-  private val fpPatternMask = (1L << FpPatternBits) - 1
+  private[graft] val FpPatternBits = 15
+  private[graft] val fpPatternMask = (1L << FpPatternBits) - 1
+
+  /** The inverted index over a fingerprint table: one row per 15-bit
+    * fingerprint window per clip — `(pattern, match_doc, match_pos)`.
+    * Shared by [[audioFpLookup]] and the streaming catalog matcher. */
+  private[graft] def fpIndex(fps: DataFrame): DataFrame =
+    fps.filter(col("n_bits") >= FpPatternBits)
+      .select(col("doc_id").as("match_doc"), col("n_bits"), col("fp"))
+      .withColumn("match_pos",
+        explode(expr(s"sequence(cast(0 as bigint), n_bits - $FpPatternBits)")))
+      .select(col("match_doc"), col("match_pos"),
+        expr(s"shiftright(fp, cast(n_bits - match_pos - $FpPatternBits as int))" +
+          s" & $fpPatternMask").as("pattern"))
 
   /** Content-based audio retrieval over the fingerprint corpus — the
     * canonical fingerprint deployment (Wang, "An industrial-strength
@@ -1260,13 +1277,7 @@ object Multimodal {
     * 8-byte key — expected bucket n/2^15, zero all-pairs work. */
   def audioFpLookup(spark: SparkSession, dir: String): DataFrame = {
     val fps = audioFpTable(spark, dir).toDF()
-    val idx = fps.filter(col("n_bits") >= FpPatternBits)
-      .select(col("doc_id").as("match_doc"), col("n_bits"), col("fp"))
-      .withColumn("match_pos",
-        explode(expr(s"sequence(cast(0 as bigint), n_bits - $FpPatternBits)")))
-      .select(col("match_doc"), col("match_pos"),
-        expr(s"shiftright(fp, cast(n_bits - match_pos - $FpPatternBits as int))" +
-          s" & $fpPatternMask").as("pattern"))
+    val idx = fpIndex(fps)
     val ex = fps.withColumn("excerpt_pos", col("doc_id") % 4)
       .filter(col("n_bits") >= col("excerpt_pos") + FpPatternBits)
       .select(col("doc_id").as("query_doc"), col("excerpt_pos"),

@@ -824,4 +824,42 @@ object StreamingPipelines {
           .when(col("best").isNotNull, "drop_near")
           .otherwise("keep").as("decision"))
   }
+
+  /** Streaming audio-catalog retrieval — the streaming form of
+    * [[graft.multimodal.Multimodal.audioFpLookup]], deployed the way a
+    * fingerprint service actually runs (Wang ISMIR'03): the CATALOG index
+    * is a static batch table (built once per catalog snapshot — the
+    * 15-bit-window inverted index over every reference clip's
+    * fingerprint) and QUERIES stream in as raw clip bytes. Per stream row:
+    * one real RIFF/WAVE decode + fingerprint
+    * ([[graft.multimodal.Multimodal.fingerprintOne]] — the identical code
+    * path the batch table uses), the excerpt pattern extracted with the
+    * same shift arithmetic, then ONE stream-static equi-join on the 8-byte
+    * pattern key. ZERO streaming state (stateless append mode, no
+    * watermark): memory is bounded by index bucket fan-in only, so the
+    * matcher survives an open-ended query firehose — and a replay of the
+    * corpus emits exactly the batch lookup's rows
+    * (StreamingPipelinesSpec). */
+  def audioFpMatch(clips: DataFrame, catalogDir: String): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    val idx = graft.multimodal.Multimodal.fpIndex(
+      graft.multimodal.Multimodal.audioFpTable(spark, catalogDir).toDF())
+    val bits = graft.multimodal.Multimodal.FpPatternBits
+    val mask = graft.multimodal.Multimodal.fpPatternMask
+    val q = clips.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (docId, media) =>
+        val r = graft.multimodal.Multimodal.fingerprintOne(docId, media)
+        (r.doc_id, r.doc_id % 4, r.n_bits, r.fp)
+      }
+      .toDF("query_doc", "excerpt_pos", "n_bits", "fp")
+      .filter(col("n_bits") >= col("excerpt_pos") + bits)
+      .select(col("query_doc"), col("excerpt_pos"),
+        expr(s"shiftright(fp, cast(n_bits - excerpt_pos - $bits as int))" +
+          s" & $mask").as("pattern"))
+    q.join(idx, Seq("pattern"))
+      .select(col("query_doc"), col("excerpt_pos"), col("match_doc"),
+        col("match_pos"), col("pattern"))
+  }
 }

@@ -749,4 +749,34 @@ class StreamingPipelinesSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("stream-batch parity: streaming audio catalog matcher emits exactly " +
+    "the batch lookup's rows after replaying the corpus clips in reversed " +
+    "order") {
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.01 is the smallest scale with clips long enough for the 15-bit
+    // index (see AudioFpSpec)
+    val dir = "/root/testdata/sf0.01"
+    val batch = graft.multimodal.Multimodal.audioFpLookup(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val clips = graft.multimodal.Multimodal.audioMedia(spark, dir)
+      .collect().map(m => (m.doc_id, m.media)).reverse
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPipelines.audioFpMatch(
+        in.toDF().toDF("doc_id", "media"), dir)
+      .writeStream.format("memory").queryName("fpmatch")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clips.grouped(math.max(1, clips.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("fpmatch").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got.nonEmpty && got == batch)
+    } finally q.stop()
+  }
 }
