@@ -1184,6 +1184,15 @@ object Multimodal {
   case class AudioFpRecord(doc_id: Long, sample_rate: Long, n_samples: Long,
       n_windows: Long, n_bits: Long, fp: Long)
 
+  /** [[AudioFpRecord]] plus the raw window-energy sequence the landmark
+    * index hashes ([[audioFpLookup]]) — decode-internal, not a gated
+    * output schema. */
+  case class AudioFpFull(doc_id: Long, sample_rate: Long, n_samples: Long,
+      n_windows: Long, n_bits: Long, fp: Long, energies: Seq[Long]) {
+    def record: AudioFpRecord =
+      AudioFpRecord(doc_id, sample_rate, n_samples, n_windows, n_bits, fp)
+  }
+
   /** Per-clip acoustic fingerprints (Haitsma & Kalker, "A highly robust
     * audio fingerprint system", ISMIR 2002 — their energy-difference sign
     * bits, here over time-domain window energies since the corpus clips
@@ -1200,7 +1209,7 @@ object Multimodal {
   /** One clip's fingerprint from its RIFF/WAVE bytes — shared by the
     * batch table and the streaming catalog matcher
     * ([[graft.streaming.StreamingPipelines.audioFpMatch]]). */
-  private[graft] def fingerprintOne(docId: Long, media: Array[Byte]): AudioFpRecord = {
+  private[graft] def fingerprintOne(docId: Long, media: Array[Byte]): AudioFpFull = {
     import javax.sound.sampled._
     val ais = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(media))
@@ -1228,12 +1237,12 @@ object Multimodal {
       fp = (fp << 1) | (if (e(w + 1) > e(w)) 1L else 0L)
       w += 1
     }
-    AudioFpRecord(docId, fmt.getSampleRate.toLong, n.toLong,
-      nw.toLong, (nw - 1).toLong, fp)
+    AudioFpFull(docId, fmt.getSampleRate.toLong, n.toLong,
+      nw.toLong, (nw - 1).toLong, fp, e.toSeq)
   }
 
-  private[graft] def audioFpTable(spark: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[AudioFpRecord] = {
+  private[graft] def audioFpFullTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[AudioFpFull] = {
     val spark2 = spark
     import spark2.implicits._
     audioMedia(spark, dir).mapPartitions { it =>
@@ -1243,49 +1252,86 @@ object Multimodal {
     }
   }
 
+  private[graft] def audioFpTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[AudioFpRecord] = {
+    val spark2 = spark
+    import spark2.implicits._
+    audioFpFullTable(spark, dir).map(_.record)
+  }
+
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
     audioFpTable(spark, dir).toDF().orderBy("doc_id")
 
-  /** Excerpt window offset (in windows) and pattern width (in bits) for
-    * [[audioFpLookup]]. 15-bit patterns keep random collisions at the
-    * n²/2^15 mass the image banding families already carry. */
-  private[graft] val FpPatternBits = 15
-  private[graft] val fpPatternMask = (1L << FpPatternBits) - 1
+  /** Landmark width (windows) for [[audioFpLookup]]: each index key
+    * hashes 4 consecutive RAW window energies (128 samples of context).
+    * Value-based landmarks — not the compact delta-sign bits — because
+    * sign bits carry ~zero entropy on quasi-periodic signals: on this
+    * synth corpus the 15-bit delta-sign patterns collapsed to 30
+    * distinct values with four ~n/3-sized hot buckets, turning the index
+    * join quadratic (the round-13 probe flagged it at 41x). Hashing the
+    * energy VALUES is what production systems do for exactly this reason
+    * (Wang ISMIR'03 hashes spectral-peak constellations, not trend
+    * bits); same-content windows still collide exactly, unrelated clips
+    * collide with probability ~2^-60. */
+  private[graft] val FpLandmarkWindows = 4
 
-  /** The inverted index over a fingerprint table: one row per 15-bit
-    * fingerprint window per clip — `(pattern, match_doc, match_pos)`.
-    * Shared by [[audioFpLookup]] and the streaming catalog matcher. */
-  private[graft] def fpIndex(fps: DataFrame): DataFrame =
-    fps.filter(col("n_bits") >= FpPatternBits)
-      .select(col("doc_id").as("match_doc"), col("n_bits"), col("fp"))
+  /** The landmark string both engines hash: `afp:E_q:E_{q+1}:E_{q+2}:
+    * E_{q+3}` (decimal int64s). Scala twin of the SQL concat_ws. */
+  private[graft] def landmarkKey(e: Seq[Long], q: Int): String =
+    s"afp:${e(q)}:${e(q + 1)}:${e(q + 2)}:${e(q + 3)}"
+
+  /** The inverted landmark index over a fingerprint table (needs the
+    * `energies` column): one row per 4-window landmark per clip —
+    * `(landmark, match_doc, match_pos)`. Shared by [[audioFpLookup]] and
+    * the streaming catalog matcher. */
+  private[graft] def fpIndex(fps: DataFrame): DataFrame = {
+    graft.functions.Registry.register(fps.sparkSession)
+    fps.filter(col("n_windows") >= FpLandmarkWindows)
+      .select(col("doc_id").as("match_doc"), col("n_windows"), col("energies"))
       .withColumn("match_pos",
-        explode(expr(s"sequence(cast(0 as bigint), n_bits - $FpPatternBits)")))
+        explode(expr(s"sequence(cast(0 as bigint), n_windows - $FpLandmarkWindows)")))
       .select(col("match_doc"), col("match_pos"),
-        expr(s"shiftright(fp, cast(n_bits - match_pos - $FpPatternBits as int))" +
-          s" & $fpPatternMask").as("pattern"))
+        expr("portable_hash60(concat_ws(':', 'afp', " +
+          "cast(element_at(energies, cast(match_pos + 1 as int)) as string), " +
+          "cast(element_at(energies, cast(match_pos + 2 as int)) as string), " +
+          "cast(element_at(energies, cast(match_pos + 3 as int)) as string), " +
+          "cast(element_at(energies, cast(match_pos + 4 as int)) as string)))")
+          .as("landmark"))
+  }
 
   /** Content-based audio retrieval over the fingerprint corpus — the
     * canonical fingerprint deployment (Wang, "An industrial-strength
     * audio search algorithm", ISMIR 2003; Haitsma & Kalker's lookup
-    * table): a 16-window EXCERPT of each clip (offset doc_id % 4 windows)
-    * is matched back against an inverted index of every 15-bit fingerprint
-    * window of every clip. Every excerpt finds its own source at its
-    * offset (the guaranteed hit), plus any genuine 15-bit acoustic
-    * collisions. This is the [[graft.operators.SubstringDedup]]
-    * window-hash-index discipline at the audio modality: index build is
-    * one scan emitting ≤ n_bits−14 ≈ 10 keys per clip, lookups join on an
-    * 8-byte key — expected bucket n/2^15, zero all-pairs work. */
+    * table): a 4-window EXCERPT of each clip (offset doc_id % 4 windows)
+    * is matched back against an inverted index of every 4-window energy
+    * LANDMARK of every clip (see [[FpLandmarkWindows]] for why landmarks
+    * hash values, not delta-sign bits). Every excerpt finds its own
+    * source at its offset (the guaranteed hit) plus genuinely identical
+    * audio (same synth base ⇒ identical PCM stream ⇒ equal landmarks at
+    * aligned windows — the ScaleUp corpus's planted same-content pairs).
+    * This is the [[graft.operators.SubstringDedup]] window-hash-index
+    * discipline at the audio modality: index build is one scan emitting
+    * ≤ n_windows−3 ≈ 22 keys per clip, lookups join on an 8-byte hash —
+    * bucket size = true same-content multiplicity, zero all-pairs work.
+    * (The synth's fixed 997-value base domain makes same-content class
+    * size grow ∝ corpus size — an input-densification artifact, like the
+    * events bucket domain; real corpora grow distinct recordings.) */
   def audioFpLookup(spark: SparkSession, dir: String): DataFrame = {
-    val fps = audioFpTable(spark, dir).toDF()
+    val fps = audioFpFullTable(spark, dir).toDF()
     val idx = fpIndex(fps)
+    graft.functions.Registry.register(spark)
     val ex = fps.withColumn("excerpt_pos", col("doc_id") % 4)
-      .filter(col("n_bits") >= col("excerpt_pos") + FpPatternBits)
+      .filter(col("n_windows") >= col("excerpt_pos") + FpLandmarkWindows)
       .select(col("doc_id").as("query_doc"), col("excerpt_pos"),
-        expr(s"shiftright(fp, cast(n_bits - excerpt_pos - $FpPatternBits as int))" +
-          s" & $fpPatternMask").as("pattern"))
-    ex.join(idx, Seq("pattern"))
+        expr("portable_hash60(concat_ws(':', 'afp', " +
+          "cast(element_at(energies, cast(excerpt_pos + 1 as int)) as string), " +
+          "cast(element_at(energies, cast(excerpt_pos + 2 as int)) as string), " +
+          "cast(element_at(energies, cast(excerpt_pos + 3 as int)) as string), " +
+          "cast(element_at(energies, cast(excerpt_pos + 4 as int)) as string)))")
+          .as("landmark"))
+    ex.join(idx, Seq("landmark"))
       .select(col("query_doc"), col("excerpt_pos"), col("match_doc"),
-        col("match_pos"), col("pattern"))
+        col("match_pos"), col("landmark"))
       .orderBy("query_doc", "match_doc", "match_pos")
   }
 
@@ -1598,21 +1644,28 @@ object Multimodal {
          |  CAST(n AS BIGINT) AS n_samples, CAST(nw AS BIGINT) AS n_windows,
          |  CAST(nw - 1 AS BIGINT) AS n_bits, fp
          |FROM fpt ORDER BY doc_id""".stripMargin,
+    // Landmark lookup: 4-window raw-energy hashes (see audioFpLookup's
+    // scaladoc), the dh60 hash definition shared with the text dedup
+    // oracles — concat_ws casts BIGINTs to the same decimal strings the
+    // Scala landmarkKey builds.
     "mm_audio_fp_lookup" ->
       s"""WITH $audioFpCte,
-         |idx AS (SELECT doc_id AS match_doc, u.q AS match_pos,
-         |    (fp >> CAST(nw - 1 - u.q - $FpPatternBits AS INTEGER))
-         |      & $fpPatternMask AS pattern
-         |  FROM fpt, UNNEST(range(0, nw - $FpPatternBits)) AS u(q)
-         |  WHERE nw - 1 >= $FpPatternBits),
-         |ex AS (SELECT doc_id AS query_doc, doc_id % 4 AS excerpt_pos,
-         |    (fp >> CAST(nw - 1 - (doc_id % 4) - $FpPatternBits AS INTEGER))
-         |      & $fpPatternMask AS pattern
-         |  FROM fpt WHERE nw - 1 >= doc_id % 4 + $FpPatternBits)
+         |led AS (SELECT doc_id, w, e,
+         |    lead(e, 1) OVER win AS e1, lead(e, 2) OVER win AS e2,
+         |    lead(e, 3) OVER win AS e3
+         |  FROM en WINDOW win AS (PARTITION BY doc_id ORDER BY w)),
+         |lmk AS (SELECT doc_id, w AS q,
+         |    ${graft.operators.Dedup.dh60(
+                 "concat_ws(':', 'afp', e, e1, e2, e3)")} AS landmark
+         |  FROM led WHERE e3 IS NOT NULL),
+         |exq AS (SELECT f.doc_id AS query_doc,
+         |    f.doc_id % 4 AS excerpt_pos, l.landmark
+         |  FROM fpt f JOIN lmk l
+         |    ON l.doc_id = f.doc_id AND l.q = f.doc_id % 4)
          |SELECT query_doc, CAST(excerpt_pos AS BIGINT) AS excerpt_pos,
-         |  match_doc, CAST(match_pos AS BIGINT) AS match_pos,
-         |  CAST(pattern AS BIGINT) AS pattern
-         |FROM ex JOIN idx USING (pattern)
+         |  i.doc_id AS match_doc, CAST(i.q AS BIGINT) AS match_pos,
+         |  CAST(landmark AS BIGINT) AS landmark
+         |FROM exq JOIN lmk i USING (landmark)
          |ORDER BY query_doc, match_doc, match_pos""".stripMargin,
     "mm_audio_stats" ->
       """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),

@@ -692,7 +692,7 @@ object Dedup {
   //   list_reduce(list_transform(range(1,16), k ->
   //     CAST(strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1 AS BIGINT)),
   //     (a,b) -> a*16+b)
-  private[operators] def dh60(x: String): String =
+  private[graft] def dh60(x: String): String =
     s"list_reduce(list_transform(range(1,16), k -> CAST(strpos('0123456789abcdef', substr(md5($x), k, 1)) - 1 AS BIGINT)), (a,b) -> a*16+b)"
 
   private[operators] val shCte: String =

@@ -829,37 +829,37 @@ object StreamingPipelines {
     * [[graft.multimodal.Multimodal.audioFpLookup]], deployed the way a
     * fingerprint service actually runs (Wang ISMIR'03): the CATALOG index
     * is a static batch table (built once per catalog snapshot — the
-    * 15-bit-window inverted index over every reference clip's
-    * fingerprint) and QUERIES stream in as raw clip bytes. Per stream row:
-    * one real RIFF/WAVE decode + fingerprint
+    * 4-window energy-landmark inverted index over every reference clip)
+    * and QUERIES stream in as raw clip bytes. Per stream row: one real
+    * RIFF/WAVE decode + window energies
     * ([[graft.multimodal.Multimodal.fingerprintOne]] — the identical code
-    * path the batch table uses), the excerpt pattern extracted with the
-    * same shift arithmetic, then ONE stream-static equi-join on the 8-byte
-    * pattern key. ZERO streaming state (stateless append mode, no
-    * watermark): memory is bounded by index bucket fan-in only, so the
-    * matcher survives an open-ended query firehose — and a replay of the
-    * corpus emits exactly the batch lookup's rows
-    * (StreamingPipelinesSpec). */
+    * path the batch table uses), the excerpt landmark hashed with the
+    * identical key string ([[graft.multimodal.Multimodal.landmarkKey]]),
+    * then ONE stream-static equi-join on the 8-byte hash. ZERO streaming
+    * state (stateless append mode, no watermark): memory is bounded by
+    * index bucket fan-in only, so the matcher survives an open-ended
+    * query firehose — and a replay of the corpus emits exactly the batch
+    * lookup's rows (StreamingPipelinesSpec). */
   def audioFpMatch(clips: DataFrame, catalogDir: String): DataFrame = {
     val spark = clips.sparkSession
     import spark.implicits._
     val idx = graft.multimodal.Multimodal.fpIndex(
-      graft.multimodal.Multimodal.audioFpTable(spark, catalogDir).toDF())
-    val bits = graft.multimodal.Multimodal.FpPatternBits
-    val mask = graft.multimodal.Multimodal.fpPatternMask
+      graft.multimodal.Multimodal.audioFpFullTable(spark, catalogDir).toDF())
+    val lw = graft.multimodal.Multimodal.FpLandmarkWindows
     val q = clips.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
-      .map { case (docId, media) =>
+      .flatMap { case (docId, media) =>
         val r = graft.multimodal.Multimodal.fingerprintOne(docId, media)
-        (r.doc_id, r.doc_id % 4, r.n_bits, r.fp)
+        val o = (r.doc_id % 4).toInt
+        if (r.n_windows >= o + lw)
+          Some((r.doc_id, o.toLong, graft.functions.HashUtil.hash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              graft.multimodal.Multimodal.landmarkKey(r.energies, o)))))
+        else None
       }
-      .toDF("query_doc", "excerpt_pos", "n_bits", "fp")
-      .filter(col("n_bits") >= col("excerpt_pos") + bits)
-      .select(col("query_doc"), col("excerpt_pos"),
-        expr(s"shiftright(fp, cast(n_bits - excerpt_pos - $bits as int))" +
-          s" & $mask").as("pattern"))
-    q.join(idx, Seq("pattern"))
+      .toDF("query_doc", "excerpt_pos", "landmark")
+    q.join(idx, Seq("landmark"))
       .select(col("query_doc"), col("excerpt_pos"), col("match_doc"),
-        col("match_pos"), col("pattern"))
+        col("match_pos"), col("landmark"))
   }
 }

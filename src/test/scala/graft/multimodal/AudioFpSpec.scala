@@ -32,26 +32,29 @@ class AudioFpSpec extends SparkSpec {
   }
 
   test("every qualifying excerpt retrieves its own source at its offset " +
-    "(the guaranteed self-hit of the inverted-index lookup)") {
-    // sf0.001's doc ids (< 50) all synthesize clips under 16 windows, so
-    // the 15-bit index is empty there; the smallest scale with qualifying
-    // clips is sf0.01 (ids ≥ 312 reach 512+ samples).
+    "(the guaranteed self-hit of the landmark-index lookup)") {
     val dir = "/root/testdata/sf0.01"
     val rows = Multimodal.audioFpLookup(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(0)))
     assert(rows.nonEmpty)
     val fps = Multimodal.audioFingerprint(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(4))).toMap // doc -> n_bits
+      .map(r => (r.getLong(0), r.getLong(3))).toMap // doc -> n_windows
     val selfHits = rows.collect {
       case (epos, mdoc, mpos, _, qdoc) if qdoc == mdoc && mpos == epos => qdoc
     }.toSet
     val expected = fps.collect {
-      case (doc, bits) if bits >= doc % 4 + 15 => doc
+      case (doc, nw) if nw >= doc % 4 + Multimodal.FpLandmarkWindows => doc
     }.toSet
     assert(expected.nonEmpty && selfHits == expected)
-    // patterns in the output really are the excerpt's 15 fingerprint bits
-    rows.foreach { case (_, _, _, pattern, _) =>
-      assert(pattern >= 0 && pattern < (1L << 15))
+    // landmarks are 60-bit portable hashes
+    rows.foreach { case (_, _, _, landmark, _) =>
+      assert(landmark >= 0 && landmark < (1L << 60))
     }
+    // value-based landmarks must not collapse: distinct landmark count is
+    // ~excerpt count (the delta-sign formulation degenerated to 30 keys)
+    val distinctLandmarks = rows.map(_._4).distinct.length
+    assert(distinctLandmarks > expected.size / 2,
+      s"landmark entropy collapsed: $distinctLandmarks keys for " +
+        s"${expected.size} excerpts")
   }
 }

@@ -53,7 +53,12 @@ class OperatorsSpec extends SparkSpec {
       "ta_quality_filter", "pipeline_kfold", "fn_url",
       "mm_resize_stats", "mm_frame_dedup",
       "sim_ivf_kmeans", "sim_topk_ivf_trained", "agg_dispersion_qty",
-      "evt_dau_wau", "ta_lang_confusion")
+      "evt_dau_wau", "ta_lang_confusion",
+      // round 13: documents-derived, structurally nonempty at every sf
+      // (mm_audio_fp_lookup deliberately absent - its 15-bit index is
+      // empty below sf0.01 clip lengths)
+      "text_wordpiece_train", "text_wordpiece_encode",
+      "mm_audio_fingerprint", "ta_sparse_cosine_topk")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")

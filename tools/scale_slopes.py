@@ -122,6 +122,18 @@ RERUNS = {
     # query is now a DECLARED baseline of mm_phash128_dedup — see
     # BASELINES — same reasoning as the round-12 dedup_simhash_pairs
     # removal.)
+    # Round 13 (the r12 verdict's item 3): NOT a steal artifact — isolated
+    # min-of-3 at sf1 reproduces the bench time (7.04/4.37/4.26 vs bench
+    # 4.35), but the isolated sf0.1 min-of-3 is 0.77s (3.28/0.94/0.77), so
+    # the isolated-pair slope is 4.26/0.77 = 5.5x — LINEAR. The >10x
+    # bench-pair ratio is fixed per-query overhead on a 0.36s suite-warm
+    # base, not super-linear work: the query is one scan + per-doc
+    # regexp_extract_all (no explode, no join), pure-linear by plan shape.
+    "ta_token_stats":
+        (4.26, 4.35,
+         "isolated min-of-3 at sf1: 7.04/4.37/4.26 (bench 4.35 "
+         "confirmed); isolated sf0.1 min-of-3 0.77 -> isolated slope "
+         "5.5x, linear; plan is a single scan with per-doc regex work"),
     "mm_audio_silence":
         (3.33, 20.23,
          "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
@@ -225,6 +237,27 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
         for n, t0, t1, r, tr, note in adjudicated:
             lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {tr:.2f}s "
                          f"| {tr / t0:.1f}x | {note} |")
+    # RERUNS entries for queries that are NOT over the flag threshold:
+    # verdict-requested investigations of worst-in-family slopes. Render
+    # them (while the recorded bench time still describes the shipped
+    # code, same tolerance as flag adjudications) so the investigation is
+    # a SCALE.md record, not a tool-internal comment.
+    # both-sided tolerance: the record must describe the CURRENT bench
+    # rep (old flag adjudications whose steal burst didn't recur have
+    # current t1 far below their recorded burst time - skip those)
+    sub = [(n, t0, t1, r, RERUNS[n][0], RERUNS[n][2])
+           for n, t0, t1, r in rows
+           if n in RERUNS and (n, t0, t1, r) not in flagged_all
+           and t1 <= RERUNS[n][1] * RERUN_T1_TOL
+           and t1 >= RERUNS[n][1] / RERUN_T1_TOL]
+    if sub:
+        lines.append("\n## Sub-threshold adjudications (worst-in-family "
+                     "slopes investigated by isolated min-of-3, no flag)\n")
+        lines.append("| query | sf0.1 | sf1 | slope | isolated min | note |")
+        lines.append("|---|---|---|---|---|---|")
+        for n, t0, t1, r, tr, note in sorted(sub, key=lambda x: -x[3]):
+            lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x "
+                         f"| {tr:.2f}s | {note} |")
     lines.append("\n## Input-densified (superlinear INPUT growth under "
                  "ScaleUp, measured)\n")
     lines.append(
