@@ -172,6 +172,54 @@ object Profile {
     * a deployment swaps in xxhash64 (≥10x cheaper per digest) without
     * touching the plan shape — [[XxHash60]], exercised by
     * `profile_lineitem_approx_fast` and ProfileFastHashSpec. */
+  /** One column's finished sketch: the exact-BIGINT estimator inputs. */
+  case class HllOut(n_zero_regs: Long, harmonic_num: Long)
+
+  /** Mergeable 64-register HLL aggregator over pre-hashed 60-bit values
+    * (input −1 = null cell, skipped — the hash expressions coalesce
+    * nulls to it). Buffer = 64 bytes storing (max rank + 1) per register
+    * (0 = empty); merge is element-wise max, so the state is exactly as
+    * mergeable as the register table it replaces. The arithmetic mirrors
+    * the SQL register formulation bit for bit — register = h div 2^54,
+    * rank = 55 − bitlen(rem) (55 when rem = 0) — so
+    * (n_zero_regs, harmonic_num) is IDENTICAL to the unpivot group-by's
+    * output and every existing gate holds unchanged. */
+  object HllRegAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Byte], HllOut] {
+    def zero: Array[Byte] = new Array[Byte](64)
+    def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      if (h >= 0L) {
+        val reg = (h / 18014398509481984L).toInt
+        val rem = h % 18014398509481984L
+        val rnk =
+          if (rem == 0L) 55
+          else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        if (rnk + 1 > b(reg)) b(reg) = (rnk + 1).toByte
+      }
+      b
+    }
+    def merge(a: Array[Byte], c: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < 64) { if (c(i) > a(i)) a(i) = c(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): HllOut = {
+      var zeros = 0L
+      var harm = 0L
+      var i = 0
+      while (i < 64) {
+        if (b(i) == 0) zeros += 1
+        else harm += 1L << (55 - (b(i) - 1))
+        i += 1
+      }
+      HllOut(zeros, harm + zeros * Pow55)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[HllOut] =
+      org.apache.spark.sql.Encoders.product[HllOut]
+  }
+
   def profileHll(df: DataFrame,
       sketchHash: Column => Column = PortableHash60): DataFrame = {
     graft.functions.Registry.register(df.sparkSession)
@@ -207,27 +255,30 @@ object Profile {
       expr(s"stack(${fields.length}, $stacked) AS " +
         "(col_name, n_nulls, min_num, max_num, min_str, max_str)"),
       col("n_rows"))
-    // the sketch pass: map-side unpivot → 60-bit portable hash → (column,
-    // register, max rank) partial agg — the shuffle carries ≤ cols·64 rows
-    val arms = fields.toSeq.map(f =>
-      struct(lit(f.name).as("col_name"), canonCol(f).as("v")))
-    val sketch = df.select(explode(array(arms: _*)).as("a"))
-      .select(col("a.col_name").as("col_name"), col("a.v").as("v"))
-      .filter(col("v").isNotNull)
-      .select(col("col_name"),
-        sketchHash(concat(lit("pf:"), col("col_name"), lit(":"), col("v")))
-          .as("h"))
-      .select(col("col_name"),
-        expr("h div 18014398509481984").as("register"),
-        expr("h % 18014398509481984").as("rem"))
-      .select(col("col_name"), col("register"),
-        when(col("rem") === 0L, lit(55))
-          .otherwise(lit(55) - length(bin(col("rem")))).cast("int").as("rnk"))
-      .groupBy("col_name", "register").agg(max(col("rnk")).as("mr"))
-      .groupBy("col_name").agg(
-        (lit(64L) - count(lit(1))).as("n_zero_regs"),
-        (sum(expr("shiftleft(cast(1 as bigint), cast(55 - mr as int))"))
-          + (lit(64L) - count(lit(1))) * lit(Pow55)).as("harmonic_num"))
+    // The sketch pass: per-column 64-register HLL AGGREGATORS in one
+    // aggregation — each input row feeds every column's mergeable 64-byte
+    // register state ([[HllRegAgg]]); no unpivot, no per-cell rows, no
+    // (column, register) shuffle. The first formulation exploded the
+    // table into n·cols (column, value) rows before a register group-by —
+    // at sf1 that 66M-row explode (codegen string building + shuffle-side
+    // machinery per CELL) was 5x the cost of hashing itself; aggregator
+    // states cut the sketch to one scan whose only post-map traffic is
+    // cols · 64 bytes of partial state — the shape Spark's own
+    // approx_count_distinct (HLL++) plans, with OUR register arithmetic
+    // so the (n_zero_regs, harmonic_num) output still hash-gates.
+    val hllUdaf = org.apache.spark.sql.functions.udaf(
+      HllRegAgg, org.apache.spark.sql.Encoders.scalaLong)
+    val sketchAggs = fields.toSeq.map { f =>
+      val h = sketchHash(
+        concat(lit("pf:"), lit(f.name), lit(":"), canonCol(f)))
+      hllUdaf(coalesce(h, lit(-1L))).as(s"hll_${f.name}")
+    }
+    val sketchStacked = fields.map(f =>
+      s"'${f.name}', hll_${f.name}.n_zero_regs, hll_${f.name}.harmonic_num")
+      .mkString(", ")
+    val sketch = df.agg(sketchAggs.head, sketchAggs.tail: _*)
+      .select(expr(s"stack(${fields.length}, $sketchStacked) AS " +
+        "(col_name, n_zero_regs, harmonic_num)"))
     base.join(broadcast(sketch), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"),
@@ -260,10 +311,19 @@ object Profile {
   def profileLineitemApproxFast(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val fast = profileHll(li, XxHash60)
-    val exactNd = li.schema.fields.toSeq.map(f =>
-      li.agg(countDistinct(col(f.name)).as("n_distinct"))
-        .select(lit(f.name).as("col_name"), col("n_distinct")))
-      .reduce(_.unionAll(_))
+    // Gate harness only (the deployment plan is the pure sketch): ALL
+    // exact distincts in ONE multi-distinct aggregation — a single scan
+    // through Spark's Expand, the exact profiler's own shape — then
+    // unpivoted to (col_name, n_distinct) rows. The first cut ran one
+    // full-table aggregation PER column (16 scans); at sf1 that harness
+    // was 3x the sketch itself.
+    val fields = li.schema.fields
+    val ndAggs = fields.toSeq.map(f =>
+      countDistinct(col(f.name)).as(s"nd_${f.name}"))
+    val stacked = fields.map(f => s"'${f.name}', nd_${f.name}").mkString(", ")
+    val exactNd = li.agg(ndAggs.head, ndAggs.tail: _*)
+      .select(expr(
+        s"stack(${fields.length}, $stacked) AS (col_name, n_distinct)"))
     fast.join(broadcast(exactNd), "col_name")
       .withColumn("nd_corrected",
         when(col("nd_estimate") <= 2.5 * 64.0 && col("n_zero_regs") > 0L,
