@@ -198,14 +198,106 @@ object Diagnostics {
        |    $SaltMaxFactor) AS BIGINT)
        |  FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key))""".stripMargin
 
+  /** CMS width for [[joinSizeEstimate]] — the additive slack of the
+    * inner-product estimate is (n_a·n_b − J)/width per hash row, so
+    * width must track key cardinality: 1024 covers this corpus's user
+    * domain; a production deployment sizes 2^16+ and the plan is
+    * unchanged (the sketch is the shuffled object either way). */
+  private val JsWidth = 1024
+
+  /** JOIN-SIZE ESTIMATION without running the join — the classic
+    * planning sketch (Alon/Gibbons/Matias/Szegedy STOC'99 for the F₂
+    * view; Cormode & Muthukrishnan, J.Alg 2005 §4.2 for the count-min
+    * inner product): |A ⋈ B| = Σ_k c_A(k)·c_B(k) is estimated by
+    * min over hash rows of Σ_col cms_A[r][col]·cms_B[r][col]. Each side
+    * is a 4×[[JsWidth]] CMS over the join key — ONE scan per side,
+    * mergeable cell-wise (the 100 TB shape: sketches maintained per
+    * partition/day, the estimate read from 4·width integers without
+    * touching either table again). The estimate NEVER undercounts
+    * (every true pair lands in a shared cell) and overshoots by the
+    * collision mass — bounded here both ways as a gated boolean:
+    * est ≥ exact AND est − exact ≤ 3·(n_a·n_b − exact)/width (3× the
+    * expected slack, Markov). Demonstrated on the funnel join every
+    * attribution query pays — click events ⋈ purchase events on
+    * user_id, a genuinely skewed key — with the exact join size
+    * computed alongside as the gate's ground truth. The CMS is
+    * deterministic given the portable hash family, so every cell,
+    * every inner product, and the bound boolean hash-gate exactly. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    val ev = Tables.events(spark, dir)
+    def side(t: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .select(explode(expr(
+        s"""transform(sequence(0, 3), r -> named_struct(
+           |  'r', r,
+           |  'c', portable_hash60(concat('js', r, ':', cast(user_id as string))) % $JsWidth))"""
+          .stripMargin)).as("x"))
+      .groupBy(col("x.r").as("sketch_row"), col("x.c").as("sketch_col"))
+      .agg(count(lit(1)).as("cnt"))
+    val prods = side("click")
+      .join(side("purchase")
+        .select(col("sketch_row"), col("sketch_col"), col("cnt").as("cnt_b")),
+        Seq("sketch_row", "sketch_col"))
+      .groupBy("sketch_row")
+      .agg(sum(col("cnt") * col("cnt_b")).as("inner_product"))
+      .withColumn("sketch_row", col("sketch_row").cast("long"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("ua"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ub"))
+    val exact = clicks.join(purchases, col("ua") === col("ub"))
+      .agg(count(lit(1)).as("exact_size"))
+    val ns = ev.agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_b"))
+    val est = prods.agg(min(col("inner_product")).as("est_min"))
+    prods
+      .crossJoin(broadcast(est))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(ns))
+      .withColumn("within_bound",
+        col("est_min") >= col("exact_size") &&
+          (col("est_min") - col("exact_size")) <=
+            lit(3L) * expr(s"(n_a * n_b - exact_size) div $JsWidth"))
+      .select(col("sketch_row"), col("inner_product"), col("est_min"),
+        col("exact_size"), col("n_a"), col("n_b"), col("within_bound"))
+      .orderBy("sketch_row")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diag_key_skew" -> (keySkew _),
     "diag_column_profile" -> (columnProfile _),
     "diag_constraints" -> (constraintAudit _),
-    "diag_salt_advisor" -> (saltAdvisor _)
+    "diag_salt_advisor" -> (saltAdvisor _),
+    "diag_join_size_estimate" -> (joinSizeEstimate _)
   )
 
   val oracle: Map[String, String] = Map(
+    "diag_join_size_estimate" ->
+      s"""WITH cl AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         |pu AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         |sa AS (SELECT g.r AS sketch_row,
+         |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
+         |    COUNT(*) AS cnt
+         |  FROM cl CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+         |sb AS (SELECT g.r AS sketch_row,
+         |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
+         |    COUNT(*) AS cnt
+         |  FROM pu CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+         |prods AS (SELECT sa.sketch_row,
+         |    CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS inner_product
+         |  FROM sa JOIN sb USING (sketch_row, sketch_col) GROUP BY 1),
+         |est AS (SELECT CAST(MIN(inner_product) AS BIGINT) AS est_min FROM prods),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_size
+         |  FROM cl JOIN pu USING (user_id)),
+         |ns AS (SELECT CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_a,
+         |    CAST((SELECT COUNT(*) FROM pu) AS BIGINT) AS n_b)
+         |SELECT CAST(sketch_row AS BIGINT) AS sketch_row, inner_product,
+         |  est_min, exact_size, n_a, n_b,
+         |  (est_min >= exact_size AND est_min - exact_size
+         |     <= 3 * ((n_a * n_b - exact_size) // $JsWidth)) AS within_bound
+         |FROM prods, est, ex, ns ORDER BY sketch_row""".stripMargin,
     "diag_salt_advisor" ->
       s"""WITH p AS (
         |  SELECT 'orders' AS table_name, 'o_custkey' AS key_name,

@@ -58,7 +58,8 @@ class OperatorsSpec extends SparkSpec {
       // (mm_audio_fp_lookup deliberately absent - its 15-bit index is
       // empty below sf0.01 clip lengths)
       "text_wordpiece_train", "text_wordpiece_encode",
-      "mm_audio_fingerprint", "ta_sparse_cosine_topk")
+      "mm_audio_fingerprint", "ta_sparse_cosine_topk",
+      "diag_join_size_estimate")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
