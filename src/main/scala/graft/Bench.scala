@@ -273,7 +273,15 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Sweep checkpoint/persist blocks OUTSIDE the timed window so the
+        // next rep starts with an empty block manager — without this, rep
+        // N of a checkpoint-heavy query runs under rep 1..N-1's blocks
+        // and the suite's late queries under the whole run's (r13:
+        // louvain reps anti-converged 2.8→6.6 s and the TPC-H family
+        // drifted a uniform ~1.5× from exactly this accumulation).
+        graft.core.BlockHygiene.free(spark)
+        (dt, ok)
       }
       if ((qi + 1) % calibEvery == 0 || qi == qseq.length - 1)
         calibs += calibSpin(nCalibThreads)

@@ -39,6 +39,9 @@ object BenchOne {
       val suffix =
         if (delta.isEmpty) "" else delta.toSeq.sorted.mkString(" (builds: ", ", ", ")")
       println(f"[benchone] $name rep$r $dt%.2f s$suffix")
+      // Same between-rep block sweep as Bench: reps must not accumulate
+      // prior reps' checkpoint blocks (outside the timed window).
+      graft.core.BlockHygiene.free(spark)
     }
     spark.stop()
   }
