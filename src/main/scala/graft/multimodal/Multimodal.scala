@@ -1214,6 +1214,14 @@ object Multimodal {
     val ais = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(media))
     val fmt = ais.getFormat
+    // Fail fast on any format the mono little-endian 16-bit indexing
+    // below would silently mis-fingerprint (same guard as the sibling
+    // decoders; r13 advice — a stereo or big-endian WAV previously
+    // produced wrong fingerprints instead of an error).
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getChannels == 1,
+      s"unexpected WAV encoding $fmt")
     val pcm = ais.readAllBytes()
     ais.close()
     val n = pcm.length / (2 * fmt.getChannels)

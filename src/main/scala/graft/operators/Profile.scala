@@ -176,8 +176,9 @@ object Profile {
   case class HllOut(n_zero_regs: Long, harmonic_num: Long)
 
   /** Mergeable 64-register HLL aggregator over pre-hashed 60-bit values
-    * (input −1 = null cell, skipped — the hash expressions coalesce
-    * nulls to it). Buffer = 64 bytes storing (max rank + 1) per register
+    * (input −1 = null cell, skipped — [[profileHll]] sentinels null
+    * CELLS to it explicitly, independent of whether the hash fn
+    * propagates nulls). Buffer = 64 bytes storing (max rank + 1) per register
     * (0 = empty); merge is element-wise max, so the state is exactly as
     * mergeable as the register table it replaces. The arithmetic mirrors
     * the SQL register formulation bit for bit — register = h div 2^54,
@@ -269,9 +270,16 @@ object Profile {
     val hllUdaf = org.apache.spark.sql.functions.udaf(
       HllRegAgg, org.apache.spark.sql.Encoders.scalaLong)
     val sketchAggs = fields.toSeq.map { f =>
-      val h = sketchHash(
-        concat(lit("pf:"), lit(f.name), lit(":"), canonCol(f)))
-      hllUdaf(coalesce(h, lit(-1L))).as(s"hll_${f.name}")
+      val cc = canonCol(f)
+      val h = sketchHash(concat(lit("pf:"), lit(f.name), lit(":"), cc))
+      // Null skipping is explicit on the CELL, not delegated to the hash:
+      // portable_hash60 propagates nulls (so a coalesce-on-the-hash
+      // worked), but xxhash64 hashes a null child to a non-null
+      // seed-derived constant — on the fast-hash path a null cell would
+      // occupy a register as a phantom distinct (r13 advice; latent only
+      // because lineitem has no nulls).
+      hllUdaf(when(cc.isNull, lit(-1L)).otherwise(coalesce(h, lit(-1L))))
+        .as(s"hll_${f.name}")
     }
     val sketchStacked = fields.map(f =>
       s"'${f.name}', hll_${f.name}.n_zero_regs, hll_${f.name}.harmonic_num")

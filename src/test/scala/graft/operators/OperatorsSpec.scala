@@ -54,11 +54,13 @@ class OperatorsSpec extends SparkSpec {
       "mm_resize_stats", "mm_frame_dedup",
       "sim_ivf_kmeans", "sim_topk_ivf_trained", "agg_dispersion_qty",
       "evt_dau_wau", "ta_lang_confusion",
-      // round 13: documents-derived, structurally nonempty at every sf
-      // (mm_audio_fp_lookup deliberately absent - its 15-bit index is
-      // empty below sf0.01 clip lengths)
+      // round 13: documents-derived, structurally nonempty at every sf.
+      // mm_audio_fp_lookup qualifies too (r13 advice): clip length
+      // n = doc_id % 601 + 200 is sf-independent, so every clip has >= 6
+      // windows >= FpLandmarkWindows and the value-landmark lookup
+      // yields self-hits even at sf0.001.
       "text_wordpiece_train", "text_wordpiece_encode",
-      "mm_audio_fingerprint", "ta_sparse_cosine_topk",
+      "mm_audio_fingerprint", "mm_audio_fp_lookup", "ta_sparse_cosine_topk",
       "diag_join_size_estimate")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,

@@ -68,4 +68,28 @@ class ProfileFastHashSpec extends SparkSpec {
         s"column ${r.getString(0)} outside the envelope")
     }
   }
+
+  test("null cells never occupy a register on the fast-hash path " +
+    "(xxhash64 hashes a null child to a non-null constant; the sketch " +
+    "must sentinel the CELL, not trust the hash — r13 advice)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).toDF("id")
+      .withColumn("all_null", lit(null).cast("string"))
+      .withColumn("half_null",
+        when(col("id") % 2 === 0, concat(lit("v"), col("id"))))
+    for (hash <- Seq(Profile.PortableHash60, Profile.XxHash60)) {
+      val out = Profile.profileHll(df, hash).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(out("all_null").getLong(out("all_null").fieldIndex("n_zero_regs"))
+        == 64L, "an all-null column must leave every register empty")
+      assert(out("all_null").getLong(out("all_null").fieldIndex("n_nulls"))
+        == 10L)
+      // 5 distinct non-null values -> estimate far below the 10+ a
+      // phantom null-register would imply; exact small-range check:
+      val hn = out("half_null")
+      assert(hn.getLong(hn.fieldIndex("n_nulls")) == 5L)
+      assert(64L - hn.getLong(hn.fieldIndex("n_zero_regs")) <= 5L,
+        "half-null column occupied more registers than its distinct count")
+    }
+  }
 }
