@@ -316,22 +316,50 @@ object Profile {
     * exact-distinct arm exists ONLY as the gate harness — the deployment
     * plan is the pure sketch, whose shape ProfileFastHashSpec pins
     * against the md5 twin (2 scans, no distinct aggregation anywhere). */
+  /** Lineitem corpus fingerprint for the exact-distinct gate cache
+    * (memoized; the driver regenerates testdata between sessions, so a
+    * path alone is never a cache key). */
+  private def liFingerprint(spark: SparkSession, dir: String): String =
+    graft.core.ModelMemo.cached(s"lifp:$dir") {
+      val fp = Tables.lineitem(spark, dir)
+        .agg(count(lit(1)), max(col("l_orderkey")),
+          sum(col("l_quantity")).cast("long")).head()
+      graft.core.BucketedCache.fingerprint(
+        dir, fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    }
+
+  /** SHARED EXACT-DISTINCT GATE CACHE (r13 verdict item 5): the gate's
+    * exact per-column distincts, built ONCE per corpus fingerprint as a
+    * managed table and served to the `_fast` gate — the sim family's
+    * ground-truth-cache discipline. The exact-distinct arm is HARNESS
+    * (the DuckDB gate needs exact values to envelope-check the
+    * xxhash64 estimates), not deployment; before this cache the benched
+    * `_fast` query carried ~10 s of multi-distinct Expand at sf1, so
+    * the bench measured the scaffolding, not the sketch. Build cost is
+    * itemized in cache_builds (`table:graft_pfnd`) like every ingest
+    * artifact. One multi-distinct aggregation — a single scan through
+    * Spark's Expand — then unpivoted to (col_name, n_distinct); the
+    * first cut ran one full-table aggregation PER column (16 scans). */
+  private def exactDistincts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val fields = li.schema.fields
+    graft.core.BucketedCache.getOrBuild(
+      spark, "graft_pfnd", liFingerprint(spark, dir), 1,
+      "col_name", "col_name") {
+      val ndAggs = fields.toSeq.map(f =>
+        countDistinct(col(f.name)).as(s"nd_${f.name}"))
+      val stacked = fields.map(f => s"'${f.name}', nd_${f.name}")
+        .mkString(", ")
+      li.agg(ndAggs.head, ndAggs.tail: _*)
+        .select(expr(
+          s"stack(${fields.length}, $stacked) AS (col_name, n_distinct)"))
+    }
+  }
+
   def profileLineitemApproxFast(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val fast = profileHll(li, XxHash60)
-    // Gate harness only (the deployment plan is the pure sketch): ALL
-    // exact distincts in ONE multi-distinct aggregation — a single scan
-    // through Spark's Expand, the exact profiler's own shape — then
-    // unpivoted to (col_name, n_distinct) rows. The first cut ran one
-    // full-table aggregation PER column (16 scans); at sf1 that harness
-    // was 3x the sketch itself.
-    val fields = li.schema.fields
-    val ndAggs = fields.toSeq.map(f =>
-      countDistinct(col(f.name)).as(s"nd_${f.name}"))
-    val stacked = fields.map(f => s"'${f.name}', nd_${f.name}").mkString(", ")
-    val exactNd = li.agg(ndAggs.head, ndAggs.tail: _*)
-      .select(expr(
-        s"stack(${fields.length}, $stacked) AS (col_name, n_distinct)"))
+    val exactNd = exactDistincts(spark, dir)
     fast.join(broadcast(exactNd), "col_name")
       .withColumn("nd_corrected",
         when(col("nd_estimate") <= 2.5 * 64.0 && col("n_zero_regs") > 0L,
