@@ -223,10 +223,10 @@ object Diagnostics {
     * computed alongside as the gate's ground truth. The CMS is
     * deterministic given the portable hash family, so every cell,
     * every inner product, and the bound boolean hash-gate exactly. */
-  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+  /** One side's 4×[[JsWidth]] CMS over the events user_id key. */
+  private def cmsSide(spark: SparkSession, dir: String, t: String): DataFrame = {
     graft.functions.Registry.register(spark)
-    val ev = Tables.events(spark, dir)
-    def side(t: String): DataFrame = ev
+    Tables.events(spark, dir)
       .filter(col("event_type") === t)
       .select(explode(expr(
         s"""transform(sequence(0, 3), r -> named_struct(
@@ -235,13 +235,23 @@ object Diagnostics {
           .stripMargin)).as("x"))
       .groupBy(col("x.r").as("sketch_row"), col("x.c").as("sketch_col"))
       .agg(count(lit(1)).as("cnt"))
-    val prods = side("click")
-      .join(side("purchase")
+  }
+
+  /** Per-hash-row count-min inner products for the click ⋈ purchase
+    * user_id join — shared by [[joinSizeEstimate]] (the gated bound
+    * demonstration) and [[cmsJoinEstimate]] (the planning consumer). */
+  private def cmsProds(spark: SparkSession, dir: String): DataFrame =
+    cmsSide(spark, dir, "click")
+      .join(cmsSide(spark, dir, "purchase")
         .select(col("sketch_row"), col("sketch_col"), col("cnt").as("cnt_b")),
         Seq("sketch_row", "sketch_col"))
       .groupBy("sketch_row")
       .agg(sum(col("cnt") * col("cnt_b")).as("inner_product"))
       .withColumn("sketch_row", col("sketch_row").cast("long"))
+
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val prods = cmsProds(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("ua"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -265,30 +275,129 @@ object Diagnostics {
       .orderBy("sketch_row")
   }
 
+  /** The scalar the planner consumes: min over hash rows of the CMS
+    * inner product — never an undercount (every true pair shares a
+    * cell), memoized per corpus like every advisor scalar. */
+  def cmsJoinEstimate(spark: SparkSession, dir: String): Long =
+    graft.core.ModelMemo.cached(s"jsest:$dir") {
+      java.lang.Long.valueOf(
+        cmsProds(spark, dir).agg(min(col("inner_product"))).head().getLong(0))
+    }.longValue()
+
+  /** Strategy ladder thresholds for [[estimateDrivenJoin]] — demo-scaled
+    * (a production planner reads build-side BYTES for the broadcast rung
+    * and key-skew for the salt rung alongside the output estimate; the
+    * point gated here is the LOOP: sketch → decision → executed plan).
+    * On this corpus the rungs land one per scale: sf0.01 broadcast
+    * (est ≈ 30 k), sf0.1 shuffle (est ≈ 0.6 M), derived sf1 salted
+    * (est ≈ tens of M — CMS collision mass at width 1024 dominates
+    * there, which still never undercounts; production widths 2^16+
+    * tighten it). */
+  val EstBroadcastMax = 100000L
+  val EstSaltMin = 1000000L
+
+  /** ESTIMATE-DRIVEN JOIN (r13 verdict item 6 — the join-size sketch
+    * gets its consumer, closing diagnosis→treatment like the salt
+    * advisor): pick broadcast vs shuffle vs salted for the
+    * click ⋈ purchase user_id join FROM [[cmsJoinEstimate]], execute the
+    * chosen physical plan, and gate BOTH the decision and the result —
+    * `est_rows` and `strategy` ride the output hash, and the oracle
+    * re-derives them from its own independently built sketch, so a
+    * drifted estimate or a mis-applied rung fails the gate. All three
+    * rungs produce identical (user_id, n_pairs) rows
+    * (EstimateDrivenJoinSpec executes every rung on the real corpus);
+    * the hint in the shuffle rung and the explicit broadcast()/salt in
+    * the others make the decision visible in the physical plan, not
+    * just the output column. */
+  def estimateDrivenJoinWith(spark: SparkSession, dir: String,
+      strategy: String, est: Long, saltFactor: Long): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"))
+    val joined = strategy match {
+      case "broadcast" =>
+        clicks.join(broadcast(purchases), col("user_id") === col("pu"))
+      case "salted" =>
+        val salted = purchases
+          .withColumn("salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
+        clicks
+          .withColumn("fsalt", (col("event_id") % saltFactor).cast("int"))
+          .join(salted, col("user_id") === col("pu") &&
+            col("salt") === col("fsalt"))
+      case _ =>
+        clicks.join(purchases.hint("shuffle_hash"),
+          col("user_id") === col("pu"))
+    }
+    joined.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("user_id")).limit(20)
+      .select(col("user_id"), col("n_pairs"),
+        lit(est).as("est_rows"), lit(strategy).as("strategy"),
+        lit(if (strategy == "salted") saltFactor else 1L).as("salt_factor"))
+      .orderBy(col("n_pairs").desc, col("user_id"))
+  }
+
+  def estimateDrivenJoin(spark: SparkSession, dir: String): DataFrame = {
+    val est = cmsJoinEstimate(spark, dir)
+    val strategy =
+      if (est <= EstBroadcastMax) "broadcast"
+      else if (est >= EstSaltMin) "salted"
+      else "shuffle"
+    val saltFactor =
+      if (strategy == "salted") advisedSaltFactor(spark, dir, "events", "user_id")
+      else 1L
+    estimateDrivenJoinWith(spark, dir, strategy, est, saltFactor)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diag_key_skew" -> (keySkew _),
     "diag_column_profile" -> (columnProfile _),
     "diag_constraints" -> (constraintAudit _),
     "diag_salt_advisor" -> (saltAdvisor _),
-    "diag_join_size_estimate" -> (joinSizeEstimate _)
+    "diag_join_size_estimate" -> (joinSizeEstimate _),
+    "diag_estimate_driven_join" -> (estimateDrivenJoin _)
   )
 
+  /** Shared CMS CTE chain (sa, sb, prods, est) over pre-declared cl/pu
+    * selections — both sketch oracles derive the estimate identically. */
+  private def cmsCtesSql: String =
+    s"""sa AS (SELECT g.r AS sketch_row,
+       |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
+       |    COUNT(*) AS cnt
+       |  FROM cl CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+       |sb AS (SELECT g.r AS sketch_row,
+       |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
+       |    COUNT(*) AS cnt
+       |  FROM pu CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+       |prods AS (SELECT sa.sketch_row,
+       |    CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS inner_product
+       |  FROM sa JOIN sb USING (sketch_row, sketch_col) GROUP BY 1),
+       |est AS (SELECT CAST(MIN(inner_product) AS BIGINT) AS est_min FROM prods)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "diag_estimate_driven_join" ->
+      s"""WITH cl AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         |pu AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         |$cmsCtesSql,
+         |strat AS (SELECT est_min,
+         |    CASE WHEN est_min <= $EstBroadcastMax THEN 'broadcast'
+         |         WHEN est_min >= $EstSaltMin THEN 'salted'
+         |         ELSE 'shuffle' END AS strategy FROM est),
+         |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM cl JOIN pu USING (user_id) GROUP BY 1),
+         |top AS (SELECT user_id, n_pairs FROM g
+         |  ORDER BY n_pairs DESC, user_id LIMIT 20)
+         |SELECT user_id, n_pairs, est_min AS est_rows, strategy,
+         |  CAST(CASE WHEN strategy = 'salted'
+         |    THEN ${advisedSaltFactorSql("events", "user_id")}
+         |    ELSE 1 END AS BIGINT) AS salt_factor
+         |FROM top, strat ORDER BY n_pairs DESC, user_id""".stripMargin,
     "diag_join_size_estimate" ->
       s"""WITH cl AS (SELECT user_id FROM events WHERE event_type = 'click'),
          |pu AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
-         |sa AS (SELECT g.r AS sketch_row,
-         |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
-         |    COUNT(*) AS cnt
-         |  FROM cl CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
-         |sb AS (SELECT g.r AS sketch_row,
-         |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
-         |    COUNT(*) AS cnt
-         |  FROM pu CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
-         |prods AS (SELECT sa.sketch_row,
-         |    CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS inner_product
-         |  FROM sa JOIN sb USING (sketch_row, sketch_col) GROUP BY 1),
-         |est AS (SELECT CAST(MIN(inner_product) AS BIGINT) AS est_min FROM prods),
+         |$cmsCtesSql,
          |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_size
          |  FROM cl JOIN pu USING (user_id)),
          |ns AS (SELECT CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_a,
