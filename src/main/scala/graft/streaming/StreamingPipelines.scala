@@ -664,6 +664,101 @@ object StreamingPipelines {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class KllEntry(v: Double, uk: String, h: Long)
+  case class KllStreamState(levels: Seq[Seq[KllEntry]], chunks: Seq[Long],
+      seen: Long)
+  /** One retained sketch item after a trigger; readers take the rows
+    * with the max `seen` (the Update-mode snapshot discipline). */
+  case class KllOutRow(level: Long, slot: Long, doc_key: String, v: Double,
+      weight: Long, h: Long, seen: Long)
+
+  /** Streaming KLL quantile sketch — the stream twin of
+    * [[graft.operators.Kll]] (r13 verdict item 7), maintained as a
+    * SEQUENTIAL compactor in `flatMapGroupsWithState`: per-level buffers
+    * fill item by item; a buffer reaching K sorts by (v, h, uk), keeps
+    * the half selected by the hash coin for (level, completed-chunk
+    * counter) and promotes it to the next level with doubled weight —
+    * KLL's verbatim online form (Karnin–Lang–Liberty FOCS'16 §2), state
+    * O(K·levels), independent of stream length.
+    *
+    * EXACT batch parity, not just same-error-bound: the batch build's
+    * chunk c at level ℓ holds canonical positions [cK, (c+1)K), and a
+    * promoted item's next-level position is c·(K/2)+⌊idx/2⌋ — pure
+    * position arithmetic. Replay the corpus in canonical ascending
+    * (h, uk, v) order and the sequential compactor fills exactly those
+    * chunks in order: level-0 chunk c completes as the c-th compaction,
+    * promotions arrive at level ℓ+1 in K/2-quanta in chunk order, so
+    * every (level, chunk) compacts the SAME item set under the SAME
+    * coin portable_hash60('kllc:ℓ:c') % 2 — the final buffers equal the
+    * batch's retained partial chunks item for item (KllStreamSpec
+    * proves it on real lineitem). Under arbitrary arrival order the
+    * operator remains a valid KLL with the same per-compaction error
+    * bound — only the hash-gated CONTENT identity needs the canonical
+    * replay. Each update folds its micro-batch in canonical order
+    * (sorting its own chunk; cross-batch order is the feeder's
+    * contract, exactly the incremental-dedup twin's). The last level
+    * never compacts (the batch's MaxLevels cap), so weight conservation
+    * holds at any n. */
+  def kllQuantileStream(items: Dataset[(String, Double)]): Dataset[KllOutRow] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val K = graft.operators.Kll.K
+    val maxLevels = graft.operators.Kll.MaxLevels
+    // val, not def: a local def lifts onto the enclosing object and its
+    // capture makes the state-update task non-serializable
+    val h60: String => Long = s => graft.functions.HashUtil.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+    def update(key: Int, it: Iterator[(String, Double)],
+        state: GroupState[KllStreamState]): Iterator[KllOutRow] = {
+      val prev = state.getOption.getOrElse(
+        KllStreamState(Seq.fill(maxLevels)(Seq.empty),
+          Seq.fill(maxLevels)(0L), 0L))
+      val bufs = prev.levels
+        .map(l => scala.collection.mutable.ArrayBuffer[KllEntry](l: _*))
+        .toArray
+      val cnts = prev.chunks.toArray
+      var seen = prev.seen
+      val ord = Ordering.by[KllEntry, (Double, Long, String)](
+        e => (e.v, e.h, e.uk))
+      // fold THIS micro-batch in canonical order (the feeder delivers
+      // canonical-contiguous chunks; see scaladoc)
+      val arr = it.toArray.sortBy { case (uk, v) =>
+        (h60("kll:" + uk), uk, v)
+      }
+      for ((uk, v) <- arr) {
+        seen += 1
+        bufs(0) += KllEntry(v, uk, h60("kll:" + uk))
+        // compact each completed chunk, cascading upward (a nested
+        // recursive def here would lift onto the enclosing object and
+        // make the task non-serializable); levels ≥ 1 only fill in K/2
+        // promotion quanta, so == K is exact at every level
+        var l = 0
+        while (l < maxLevels - 1 && bufs(l).size == K) {
+          val sorted = bufs(l).sorted(ord)
+          val coin = (h60(s"kllc:$l:${cnts(l)}") % 2).toInt
+          bufs(l).clear()
+          var i = coin
+          while (i < K) { bufs(l + 1) += sorted(i); i += 2 }
+          cnts(l) += 1
+          l += 1
+        }
+      }
+      state.update(KllStreamState(bufs.map(_.toSeq).toSeq,
+        cnts.toSeq, seen))
+      bufs.iterator.zipWithIndex.flatMap { case (b, lvl) =>
+        b.sorted(ord).iterator.zipWithIndex.map { case (e, i) =>
+          KllOutRow(lvl.toLong, (i + 1).toLong, e.uk, e.v,
+            1L << lvl, e.h, seen)
+        }
+      }
+    }
+
+    items.groupByKey(_ => 0)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class MgSummary(counts: Map[String, Long], processed: Long)
   /** One summary row per (shard, surviving token) after a trigger. */
   case class MgRow(shard: Int, token: String, mg_count: Long, shard_processed: Long)
