@@ -46,6 +46,13 @@ def merge_headline(acc: dict, obj: dict) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
+    # --round=N stamps the artifact so per-query diffs across rounds need
+    # no git archaeology (r13 verdict item 8)
+    round_no = None
+    for a in list(args):
+        if a.startswith("--round="):
+            round_no = int(a.split("=", 1)[1])
+            args.remove(a)
     if not args:
         sys.exit(__doc__)
     if len(args) > 1 and not os.path.exists(args[-1]):
@@ -91,6 +98,8 @@ def main() -> None:
         top = sorted(t20.items(), key=lambda kv: -conv.get(kv[0], kv[1]))[:20]
         headline["top20_queries"] = dict(top)
         detail["headline"] = headline
+    if round_no is not None:
+        detail["round"] = round_no
     required = ["per_query_converged", "per_query_first", "per_query_reps"]
     missing = [k for k in required if k not in detail]
     if missing:

@@ -75,9 +75,25 @@ DENSIFIED = {
         "PAIRS grow ~100x; round 7 bounded the OUTPUT (min-overlap floor + "
         "per-user top-20) so consumers are safe, candidate work remains "
         "densification-bound and the hour-bucket width is the production knob",
+    "mm_phash128_dedup":
+        "the synth image universe is PERIODIC (doc_id mod 49/41/251), so its "
+        "4x32-bit band domain saturates at ~200 distinct values per band; "
+        "replicating images 10x multiplies bucket occupancy, measured "
+        "candidate rows 58,002 -> 5,824,544 (100.4x) and the TRUE hamming<=3 "
+        "pair output itself grows ~quadratically - work per candidate row is "
+        "flat (r14 accounting, the audio-lookup entropy-floor treatment). "
+        "With real 32-bit-entropy imagery collision mass is n^2/2^32 per "
+        "band (~0.26 expected rows at the same n); the decode stage stays "
+        "10x",
 }
 # (query -> input-work ratio basis used for the normalized column)
 DENSIFIED_WORK_RATIO = 61.0
+# per-query measured input-work ratios where they differ from the shared
+# co-presence edge ratio
+DENSIFIED_RATIO = {
+    "mm_phash128_dedup": 100.4,  # measured band-bucket candidate-row growth
+    "evt_session_overlap": 100.0,  # candidate pairs ~100x (see note)
+}
 
 # Isolated re-adjudication (graft.BenchOne, min of 3 reps on the same
 # derived sf1 data): the sf1 bench leg runs SPARK_GRAFT_BENCH_REPS=2,
@@ -270,8 +286,9 @@ def main(sf01_path: str, sf1_path: str, out_path: str) -> int:
     lines.append("| query | sf0.1 | sf1 | runtime slope | work slope | why |")
     lines.append("|---|---|---|---|---|---|")
     for n, t0, t1, r in sorted(densified, key=lambda x: -x[3]):
+        ratio = DENSIFIED_RATIO.get(n, DENSIFIED_WORK_RATIO)
         lines.append(f"| {n} | {t0:.2f}s | {t1:.2f}s | {r:.1f}x "
-                     f"| {r / DENSIFIED_WORK_RATIO:.2f}x | {DENSIFIED[n]} |")
+                     f"| {r / ratio:.2f}x | {DENSIFIED[n]} |")
     lines.append("\n## Declared exhaustive baselines (superlinear by design)\n")
     lines.append("| query | sf0.1 | sf1 | slope | why |")
     lines.append("|---|---|---|---|---|")
