@@ -270,15 +270,19 @@ object Profile {
     val hllUdaf = org.apache.spark.sql.functions.udaf(
       HllRegAgg, org.apache.spark.sql.Encoders.scalaLong)
     val sketchAggs = fields.toSeq.map { f =>
-      val cc = canonCol(f)
-      val h = sketchHash(concat(lit("pf:"), lit(f.name), lit(":"), cc))
+      val h = sketchHash(
+        concat(lit("pf:"), lit(f.name), lit(":"), canonCol(f)))
       // Null skipping is explicit on the CELL, not delegated to the hash:
       // portable_hash60 propagates nulls (so a coalesce-on-the-hash
       // worked), but xxhash64 hashes a null child to a non-null
       // seed-derived constant — on the fast-hash path a null cell would
       // occupy a register as a phantom distinct (r13 advice; latent only
-      // because lineitem has no nulls).
-      hllUdaf(when(cc.isNull, lit(-1L)).otherwise(coalesce(h, lit(-1L))))
+      // because lineitem has no nulls). The null test reads the RAW
+      // column (every canonCol form preserves nullness) — testing the
+      // canonical expression itself made Catalyst evaluate the string
+      // build twice per cell, +8 s at sf1 on the md5 twin.
+      hllUdaf(when(col(f.name).isNull, lit(-1L))
+          .otherwise(coalesce(h, lit(-1L))))
         .as(s"hll_${f.name}")
     }
     val sketchStacked = fields.map(f =>
