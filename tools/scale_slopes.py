@@ -84,7 +84,7 @@ DENSIFIED = {
         "flat (r14 accounting, the audio-lookup entropy-floor treatment). "
         "With real 32-bit-entropy imagery collision mass is n^2/2^32 per "
         "band (~0.26 expected rows at the same n); the decode stage stays "
-        "10x",
+        "10x. Isolated sf1 min-of-3 9.67/7.28/7.50 confirms the bench rep",
 }
 # (query -> input-work ratio basis used for the normalized column)
 DENSIFIED_WORK_RATIO = 61.0
@@ -119,6 +119,21 @@ RERUNS = {
     # query is now a DECLARED baseline — see BASELINES — so it is exempt
     # from flagging and an adjudication row could only mask a regression
     # in a query whose slope is declared, not defended.)
+    "agg_corr_price_qty":
+        (7.47, 11.03,
+         "isolated min-of-3 at sf1 9.97/7.92/7.47 and at sf0.1 "
+         "3.95/1.29/1.17 -> isolated slope 6.4x, linear in family with "
+         "the exact two-pass agg shapes; the 11.5x bench-pair ratio "
+         "divided a suite-warm 0.96s sf0.1 base into a suite-loaded "
+         "sf1 rep"),
+    "profile_lineitem_approx":
+        (24.39, 27.59,
+         "isolated min-of-3 at sf1 29.29/25.06/24.39 -> the remaining "
+         "constant is the md5 gate-portability digest cost (~66M md5 "
+         "cells in ONE register-aggregator pass); the xxhash64 "
+         "production twin runs the identical plan at 16.8s with its "
+         "exact-distinct gate harness served from the graft_pfnd "
+         "ingest cache since r14"),
     "agg_ols_trend":
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
