@@ -41,7 +41,7 @@ object BenchOne {
       println(f"[benchone] $name rep$r $dt%.2f s$suffix")
       // Same between-rep block sweep as Bench: reps must not accumulate
       // prior reps' checkpoint blocks (outside the timed window).
-      graft.core.BlockHygiene.free(spark)
+      graft.core.BlockHygiene.free(spark, blocking = true)
     }
     spark.stop()
   }

@@ -29,15 +29,22 @@ import org.apache.spark.sql.SparkSession
   * concurrent query's live checkpoint, so it deliberately does not sweep.
   *
   * On a real cluster the same call frees executor block memory between
-  * pipeline stages; `blocking = false` keeps the sweep off the measured
-  * path (removal is async on the block-manager endpoints). */
+  * pipeline stages. Blocking choice (r14 advice): the BENCH harnesses
+  * call `free(spark, blocking = true)` — their sweep sits OUTSIDE the
+  * timed window, and an async removal could bleed into the NEXT rep's
+  * timed window or the calibration spin, partially reintroducing the
+  * cross-rep interference the sweep exists to remove. Pipeline callers
+  * that sweep between stages keep the non-blocking default (removal
+  * cost overlaps the next stage's work). */
 object BlockHygiene {
 
-  /** Unpersist all persistent RDDs (non-blocking); returns how many were
-    * registered — 0 means the preceding query was already clean. */
-  def free(spark: SparkSession): Int = {
+  /** Unpersist all persistent RDDs; returns how many were registered —
+    * 0 means the preceding query was already clean. `blocking = true`
+    * waits for block removal to complete before returning (bench
+    * harnesses: each rep must start from a quiesced block manager). */
+  def free(spark: SparkSession, blocking: Boolean = false): Int = {
     val rdds = spark.sparkContext.getPersistentRDDs
-    rdds.valuesIterator.foreach(_.unpersist(blocking = false))
+    rdds.valuesIterator.foreach(_.unpersist(blocking = blocking))
     rdds.size
   }
 }

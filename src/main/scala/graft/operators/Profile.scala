@@ -48,7 +48,26 @@ object Profile {
     * the sketch of a FIXED input is itself deterministic. */
   val ApproxRsd = 0.05
 
-  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+  /** The shared global exact-stats pass (counts + typed min/max + n_rows,
+    * one row out), SPLIT so immutable-buffer aggregates can't drag the
+    * whole pass off codegen: a min/max whose buffer type HashAggregate
+    * can't hold in an UnsafeRow (strings, arrays — exactly
+    * `!UnsafeRow.isMutable`) forces Spark to plan the ENTIRE aggregation
+    * as interpreted SortAggregate, and at sf1 two 1-char string columns
+    * made the other 32 numeric buffers pay 5× (9.6 s vs 1.4 s measured).
+    * So: one codegen HashAggregate arm with every count + every
+    * mutable-buffer min/max, and — only when immutable-typed columns
+    * exist — a second arm carrying just their min/max, crossJoined
+    * (1 row × 1 row). Column pruning gives each arm the narrower scan;
+    * together they read each parquet page at most once, same total IO as
+    * the single-agg form at any scale.
+    *
+    * `extraMainAggs` ride the codegen arm (the approx mode's mergeable
+    * HLL++ sketches — buffers are binary but the functions are
+    * TypedImperative, which plan as ObjectHashAggregate-compatible and
+    * keep the single-pass shape). */
+  private def statsRow(df: DataFrame,
+      extraMainAggs: Seq[Column] = Nil): DataFrame = {
     val fields = df.schema.fields
     def statCols(f: StructField): (Column, Column, Column, Column) = {
       val c = col(f.name)
@@ -65,25 +84,43 @@ object Profile {
             min(c).cast("string"), max(c).cast("string"))
       }
     }
-    val aggs = fields.toSeq.flatMap { f =>
+    def mutableBuffer(f: StructField): Boolean =
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow.isMutable(f.dataType)
+    val mainAggs = fields.toSeq.flatMap { f =>
       val (mnn, mxn, mns, mxs) = statCols(f)
-      Seq(
-        count(col(f.name)).as(s"nn_${f.name}"),
-        mnn.as(s"mnn_${f.name}"), mxn.as(s"mxn_${f.name}"),
-        mns.as(s"mns_${f.name}"), mxs.as(s"mxs_${f.name}"))
-    } :+ count(lit(1)).as("n_rows")
+      count(col(f.name)).as(s"nn_${f.name}") +: (
+        if (mutableBuffer(f))
+          Seq(mnn.as(s"mnn_${f.name}"), mxn.as(s"mxn_${f.name}"),
+            mns.as(s"mns_${f.name}"), mxs.as(s"mxs_${f.name}"))
+        else
+          // immutable-buffer min/max move to the second arm; the null
+          // literals for the numeric slots stay here (no aggregate in them)
+          Seq(lit(null).cast("double").as(s"mnn_${f.name}"),
+            lit(null).cast("double").as(s"mxn_${f.name}")))
+    } ++ extraMainAggs :+ count(lit(1)).as("n_rows")
+    val strAggs = fields.toSeq.filterNot(mutableBuffer).flatMap { f =>
+      val (_, _, mns, mxs) = statCols(f)
+      Seq(mns.as(s"mns_${f.name}"), mxs.as(s"mxs_${f.name}"))
+    }
+    val main = df.agg(mainAggs.head, mainAggs.tail: _*)
+    if (strAggs.isEmpty) main
+    else main.crossJoin(df.agg(strAggs.head, strAggs.tail: _*))
+  }
+
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val fields = df.schema.fields
     val one =
       if (approxDistinct)
         // The 100 TB path: HLL++ sketches are mergeable, so every column's
         // distinct estimate joins the single stats aggregate — one scan,
         // one 1-row result, zero extra jobs.
-        df.agg(aggs.head, aggs.tail ++ fields.toSeq.map(f =>
-          approx_count_distinct(col(f.name), ApproxRsd).as(s"nd_${f.name}")): _*)
+        statsRow(df, fields.toSeq.map(f =>
+          approx_count_distinct(col(f.name), ApproxRsd).as(s"nd_${f.name}")))
       else
         // Per-column exact distincts: one single-distinct aggregate each
         // (no Expand — see the scale-design note above), 1-row results
         // broadcast-joined onto the base aggregate.
-        fields.foldLeft(df.agg(aggs.head, aggs.tail: _*)) { (acc, f) =>
+        fields.foldLeft(statsRow(df)) { (acc, f) =>
           acc.crossJoin(df.agg(countDistinct(col(f.name)).as(s"nd_${f.name}")))
         }
     val stacked = fields.map { f =>
@@ -140,6 +177,21 @@ object Profile {
     * stats + an estimate-vs-exact envelope boolean instead. */
   val XxHash60: Column => Column = c =>
     xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+
+  /** THE PRODUCTION cell hash (r14 verdict item 1, measured 4.6× on the
+    * sf1 sketch pass before shipping): hash the NATIVE column value
+    * through codegen xxhash64 — seeded by the column ordinal so equal
+    * values in different columns land in different registers (the role
+    * the `pf:{name}:` prefix plays on the portable path) — with no
+    * per-cell canonical-string materialization at all. The md5 gate twin
+    * keeps the canon string because DuckDB must rebuild the digest
+    * byte-for-byte; the production sketch doesn't need cross-engine
+    * strings, only a well-mixed 60-bit value, and building ~66M
+    * concat+format strings at sf1 cost 15.3 s where primitive hashing
+    * costs 3.3 s (commit e7bd90b's min-of-3 measurement). Register/rank
+    * split arithmetic is shared verbatim with the gate path. */
+  private def nativeCell60(f: StructField, i: Int): Column =
+    xxhash64(lit(i), col(f.name)).bitwiseAND(lit((1L << 60) - 1))
 
   /** THE 100 TB PROFILE (r11 verdict item 3, gated as
     * `profile_lineitem_approx`): every exact statistic of [[profile]]
@@ -221,33 +273,18 @@ object Profile {
       org.apache.spark.sql.Encoders.product[HllOut]
   }
 
+  /** @param nativeValues when true, each cell hashes its NATIVE column
+    *   value via [[nativeCell60]] (ordinal-seeded codegen xxhash64 — the
+    *   production path; `sketchHash` is unused) instead of the
+    *   canonical-string form the md5/DuckDB gate twin requires. Register
+    *   arithmetic, null sentinel and plan shape are identical either
+    *   way (ProfileFastHashSpec pins the shape). */
   def profileHll(df: DataFrame,
-      sketchHash: Column => Column = PortableHash60): DataFrame = {
+      sketchHash: Column => Column = PortableHash60,
+      nativeValues: Boolean = false): DataFrame = {
     graft.functions.Registry.register(df.sparkSession)
     val fields = df.schema.fields
-    def statCols(f: StructField): (Column, Column, Column, Column) = {
-      val c = col(f.name)
-      f.dataType match {
-        case _: NumericType =>
-          (min(c).cast("double"), max(c).cast("double"),
-            lit(null).cast("string"), lit(null).cast("string"))
-        case TimestampType =>
-          (lit(null).cast("double"), lit(null).cast("double"),
-            date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
-            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
-        case _ =>
-          (lit(null).cast("double"), lit(null).cast("double"),
-            min(c).cast("string"), max(c).cast("string"))
-      }
-    }
-    val aggs = fields.toSeq.flatMap { f =>
-      val (mnn, mxn, mns, mxs) = statCols(f)
-      Seq(
-        count(col(f.name)).as(s"nn_${f.name}"),
-        mnn.as(s"mnn_${f.name}"), mxn.as(s"mxn_${f.name}"),
-        mns.as(s"mns_${f.name}"), mxs.as(s"mxs_${f.name}"))
-    } :+ count(lit(1)).as("n_rows")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = statsRow(df)
     val stacked = fields.map { f =>
       s"'${f.name}', n_rows - nn_${f.name}, " +
         s"mnn_${f.name}, mxn_${f.name}, mns_${f.name}, mxs_${f.name}"
@@ -269,9 +306,11 @@ object Profile {
     // so the (n_zero_regs, harmonic_num) output still hash-gates.
     val hllUdaf = org.apache.spark.sql.functions.udaf(
       HllRegAgg, org.apache.spark.sql.Encoders.scalaLong)
-    val sketchAggs = fields.toSeq.map { f =>
-      val h = sketchHash(
-        concat(lit("pf:"), lit(f.name), lit(":"), canonCol(f)))
+    val sketchAggs = fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val h =
+        if (nativeValues) nativeCell60(f, i)
+        else sketchHash(
+          concat(lit("pf:"), lit(f.name), lit(":"), canonCol(f)))
       // Null skipping is explicit on the CELL, not delegated to the hash:
       // portable_hash60 propagates nulls (so a coalesce-on-the-hash
       // worked), but xxhash64 hashes a null child to a non-null
@@ -305,12 +344,13 @@ object Profile {
   def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame =
     profileHll(Tables.lineitem(spark, dir))
 
-  /** The PRODUCTION-HASH profile, gated (r12 verdict item 1): the same
-    * 2-scan / ≤cols·64-row-shuffle sketch plan as
-    * `profile_lineitem_approx` but hashing with codegen [[XxHash60]]
-    * instead of the md5 gate hash — the swap the md5 twin's scaladoc
-    * names, now a measured query (sf1: the md5 digest constant was the
-    * whole suite's slowest row). xxhash64 digests are Spark-private, so
+  /** The PRODUCTION-HASH profile, gated (r12 verdict item 1; r14 item 1
+    * shipped the native-value lever): the same 2-scan /
+    * ≤cols·64-row-shuffle sketch plan as `profile_lineitem_approx` but
+    * hashing NATIVE column values with ordinal-seeded codegen xxhash64
+    * ([[nativeCell60]]) — no md5 digest AND no per-cell canonical-string
+    * materialization (the canon concat alone was 4.6× the remaining
+    * sketch cost at sf1). xxhash64 digests are Spark-private, so
     * the DuckDB gate rides (a) the exact base stats, (b) the exact
     * per-column distinct counts, and (c) `nd_in_envelope` — the
     * small-range-corrected xxhash64 estimate landing within the HLL
@@ -362,7 +402,7 @@ object Profile {
 
   def profileLineitemApproxFast(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val fast = profileHll(li, XxHash60)
+    val fast = profileHll(li, nativeValues = true)
     val exactNd = exactDistincts(spark, dir)
     fast.join(broadcast(exactNd), "col_name")
       .withColumn("nd_corrected",

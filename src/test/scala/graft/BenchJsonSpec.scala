@@ -146,6 +146,80 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(mapper.readTree(burstLine).get("steal_polluted").asBoolean() == true)
   }
 
+  test("cross-round gate flags the uniformly-slow shape the within-run " +
+    "stamps cannot see (r14 agg_spearman replay)") {
+    // prior round's converged map: w_allreps was 1.0s; this round its
+    // EVERY rep reads ~9s (a state/allocation artifact spanning the whole
+    // window — rep-spread sees nothing, calib may read clean).
+    val prior = Map("a_clean" -> 0.45, "w_allreps" -> 1.0, "z_jitter" -> 0.001)
+    assert(Bench.crossRoundAnomalies(rs, prior) == Seq("w_allreps"))
+    // clean query at ~prior: not flagged; sub-floor jitter 10x: not
+    // flagged; b_spread (converged 0.6, no prior entry): not flagged
+    assert(Bench.crossRoundAnomalies(rs, Map.empty[String, Double]).isEmpty,
+      "no prior map (first round / sf mismatch) must disable the gate")
+    // a genuine regression also flags — the gate's job is to force the
+    // adjudication, not to presume the artifact reading
+    val regressed = Seq(Bench.QRes("q", Vector(8.0, 7.5, 7.8), ok = true))
+    assert(Bench.crossRoundAnomalies(regressed, Map("q" -> 2.0)) == Seq("q"))
+  }
+
+  test("adjudication reps join the rep vector: a run artifact self-heals, " +
+    "a genuine regression keeps its number") {
+    val artifact = Bench.Anomaly("w_allreps", 1.0, Vector(9.0, 9.5, 9.3),
+      Vector(1.2, 1.1, 1.05))
+    val genuine = Bench.Anomaly("r_real", 1.0, Vector(9.0, 9.5, 9.3),
+      Vector(9.4, 9.2, 9.6))
+    val rs2 = Seq(
+      Bench.QRes("w_allreps", Vector(9.0, 9.5, 9.3), ok = true),
+      Bench.QRes("r_real", Vector(9.0, 9.5, 9.3), ok = true),
+      Bench.QRes("untouched", Vector(1.0, 0.5), ok = true))
+    val healed = Bench.mergeAdjudications(rs2, Seq(artifact, genuine))
+      .map(r => r.name -> r.converged).toMap
+    assert(math.abs(healed("w_allreps") - 1.05) < 1e-9,
+      "fresh isolated reps must heal the artifact's converged")
+    assert(math.abs(healed("r_real") - 9.2) < 1e-9,
+      "a genuine regression must keep its slow converged")
+    assert(math.abs(healed("untouched") - 0.5) < 1e-9)
+    // an unadjudicated overflow record (empty reps) must not touch the query
+    val overflow = Bench.Anomaly("w_allreps", 1.0, Vector(9.0, 9.5), Vector.empty)
+    assert(math.abs(Bench.mergeAdjudications(rs2, Seq(overflow))
+      .find(_.name == "w_allreps").get.converged - 9.3) < 1e-9)
+  }
+
+  test("headline records cross_round_anomalies with prior, suite and " +
+    "adjudication reps") {
+    val anomalies = Seq(Bench.Anomaly("w_allreps", 2.49,
+      Vector(22.5, 22.4, 22.6), Vector(3.2, 3.16, 3.3)))
+    val line = Bench.renderLines(rs, calibs, 2, "/sf",
+      anomalies = anomalies).last
+    val node = mapper.readTree(line).get("cross_round_anomalies")
+    val a = node.get("w_allreps")
+    assert(math.abs(a.get("prior").asDouble() - 2.49) < 1e-9)
+    assert(a.get("suite_reps").size() == 3)
+    assert(math.abs(a.get("adjudication_reps").get(1).asDouble() - 3.16) < 1e-2)
+    // absent anomalies -> empty object, key always present
+    val clean = mapper.readTree(Bench.renderLines(rs, calibs, 2, "/sf").last)
+    assert(clean.get("cross_round_anomalies").size() == 0)
+  }
+
+  test("priorConverged reads BENCH_DETAIL-shaped files and refuses an sf " +
+    "mismatch or a garbled file") {
+    val f = java.io.File.createTempFile("bench_detail", ".json")
+    f.deleteOnExit()
+    val json = """{"round": 14, "headline": {"sf": "/root/testdata/sf0.1"},
+      "per_query_converged": {"agg_spearman": 2.49, "q1_agg": 0.31}}"""
+    java.nio.file.Files.write(f.toPath, json.getBytes)
+    val m = Bench.priorConverged(f.getPath, "/root/testdata/sf0.1")
+    assert(m == Map("agg_spearman" -> 2.49, "q1_agg" -> 0.31))
+    assert(Bench.priorConverged(f.getPath, "target/sf1").isEmpty,
+      "an sf1 probe must not adjudicate against sf0.1 priors")
+    assert(Bench.priorConverged("/nonexistent/x.json", "/sf").isEmpty)
+    val g = java.io.File.createTempFile("garbled", ".json")
+    g.deleteOnExit()
+    java.nio.file.Files.write(g.toPath, "{not json".getBytes)
+    assert(Bench.priorConverged(g.getPath, "/sf").isEmpty)
+  }
+
   test("multi-thread calibration spin returns a plausible worst-thread time") {
     // Not a steal assertion (CI noise) — just that the parallel spin runs,
     // returns positive seconds, and the worst thread >= a single-thread run

@@ -69,12 +69,23 @@ class ProfileApproxSpec extends SparkSpec {
       "the 100 TB profile path must not pay any exact-distinct pass:\n" + plan)
   }
 
-  test("approx mode plans ONE aggregate job (no per-column distinct jobs)") {
+  test("approx mode plans no per-column distinct jobs (at most the one " +
+    "string-arm join of the split stats pass)") {
     val plan = Profile.profile(Tables.orders(spark, sfDir),
       approxDistinct = true).queryExecution.executedPlan.toString
-    // the exact mode cross-joins one aggregate per column; the approx
-    // mode must contain no join at all — a single scan feeding a single
-    // two-level aggregate
-    assert(!plan.contains("Join"), "approx profile must be join-free:\n" + plan)
+    // the exact mode cross-joins one aggregate per column (6 joins on
+    // orders); the approx mode carries at most ONE join — the 1-row ×
+    // 1-row crossJoin of the split stats pass's string min/max arm
+    // (immutable agg buffers must not drag the main arm off codegen
+    // HashAggregate) — and never a shuffle join
+    val joins = plan.split("\n").count(_.contains("Join"))
+    assert(joins <= 1, s"approx profile planned $joins joins:\n" + plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the string-arm join must be a 1-row nested-loop, never a shuffle:\n" +
+        plan)
+    val scans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans <= 2, s"approx profile must not scan per column ($scans):\n" +
+      plan)
   }
 }
