@@ -240,14 +240,26 @@ object Diagnostics {
   /** Per-hash-row count-min inner products for the click ⋈ purchase
     * user_id join — shared by [[joinSizeEstimate]] (the gated bound
     * demonstration) and [[cmsJoinEstimate]] (the planning consumer). */
-  private def cmsProds(spark: SparkSession, dir: String): DataFrame =
-    cmsSide(spark, dir, "click")
+  private def cmsProds(spark: SparkSession, dir: String): DataFrame = {
+    val joined = cmsSide(spark, dir, "click")
       .join(cmsSide(spark, dir, "purchase")
         .select(col("sketch_row"), col("sketch_col"), col("cnt").as("cnt_b")),
         Seq("sketch_row", "sketch_col"))
       .groupBy("sketch_row")
       .agg(sum(col("cnt") * col("cnt_b")).as("inner_product"))
       .withColumn("sketch_row", col("sketch_row").cast("long"))
+    // Spine of ALL 4 hash rows (r14 advice): a hash row whose two sides
+    // share NO cells proves the true join is EMPTY — that row must
+    // contribute inner_product 0 to the min, not silently vanish from it
+    // (the min over joined rows alone both overstates the estimate and
+    // leaves the planner scalar to NPE on the all-rows-empty case). The
+    // left join is 4 rows against a ≤4-row aggregate — driver-trivial,
+    // and a no-op on any corpus where every row shares cells.
+    spark.range(4).select(col("id").as("sketch_row"))
+      .join(broadcast(joined), Seq("sketch_row"), "left")
+      .select(col("sketch_row"),
+        coalesce(col("inner_product"), lit(0L)).as("inner_product"))
+  }
 
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -224,8 +224,16 @@ object TextAnalysis {
 
   /** Driver-side bound on the head-term inventory (analytically
     * < [[SparseDfCapDenom]] · avg tokens per doc, independent of corpus
-    * size — see [[sparseCosineTopk]]); 1024 is ~30× this corpus's 31. */
-  val SparseHeadTermLimit = 1024
+    * size — see [[sparseCosineTopk]]); 256 is ~8× this corpus's 31 and,
+    * unlike the earlier 1024, stays comfortably inside codegen practice
+    * (r14 advice): the head pivot emits |head| conditional-sum aggregate
+    * columns plus a |head|-term multiply-add, and at 1024 terms that
+    * expression mass sits near Janino's 64 KB method ceiling — the
+    * documented headroom would have been headroom into interpreted
+    * fallback. A corpus that legitimately exceeds 256 head terms should
+    * raise [[SparseDfCapDenom]] (a higher cap moves terms back to the
+    * df-bounded tail arm, which scales) rather than widen the pivot. */
+  val SparseHeadTermLimit = 256
 
   /** Sparse TF-IDF cosine top-k via an INVERTED-INDEX postings join — the
     * classic text-similarity scale shape (Bayardo, Ma & Srikant, "Scaling
@@ -321,8 +329,14 @@ object TextAnalysis {
       val probeVecs = headVecs.filter(col("doc_id") < SparseProbeDocs)
         .select(col("doc_id").as("doc_a") +:
           headTerms.indices.map(i => col(s"h$i").as(s"p$i")): _*)
-      val fma = headTerms.indices
-        .map(i => col(s"h$i") * col(s"p$i")).reduce(_ + _)
+      // balanced-tree sum, not a left fold: depth log2(|head|) instead of
+      // |head|, so codegen and Catalyst's constraint propagation never see
+      // a 256-deep Add chain (r14 advice)
+      def balancedSum(cs: Seq[Column]): Column =
+        if (cs.length == 1) cs.head
+        else balancedSum(cs.grouped(2).map(_.reduce(_ + _)).toSeq)
+      val fma = balancedSum(headTerms.indices
+        .map(i => col(s"h$i") * col(s"p$i")))
       val headDots = headVecs.crossJoin(broadcast(probeVecs))
         .filter(col("doc_a") =!= col("doc_id"))
         .select(col("doc_a"), col("doc_id").as("doc_b"), fma.as("dot"))

@@ -67,10 +67,26 @@ class SparseCosineCapSpec extends SparkSpec {
     assert(dfs.count(_ <= cap) > 0, "no tail terms — the split is vacuous here")
   }
 
-  test("head arm probe side is hint-broadcast (no token-key shuffle possible)") {
-    val plan = TextAnalysis.sparseCosineTopk(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"expected a broadcast join in the head arm:\n$plan")
+  test("head arm probe side is hint-broadcast ON THE HEAD JOIN ITSELF " +
+    "(the scalar-nd crossJoin and norm joins must not satisfy this — " +
+    "r14 advice: the whole-plan string check was vacuously passable)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    val lp = TextAnalysis.sparseCosineTopk(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // the head join is the ONLY join with the dense probe-vector columns
+    // (p0, p1, ...) on one side; its probe side must carry the broadcast
+    // strategy hint so hot-token vectors can never shuffle at any scale
+    val headJoins = lp.collect {
+      case j: Join if j.right.output.exists(_.name == "p0") ||
+        j.left.output.exists(_.name == "p0") => j
+    }
+    assert(headJoins.nonEmpty,
+      s"no join with dense probe-vector columns found:\n$lp")
+    assert(headJoins.exists { j =>
+      (j.right.output.exists(_.name == "p0") &&
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))) ||
+      (j.left.output.exists(_.name == "p0") &&
+        j.hint.leftHint.exists(_.strategy.contains(BROADCAST)))
+    }, s"head join's probe-vector side lost its broadcast hint:\n$headJoins")
   }
 }

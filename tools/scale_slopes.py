@@ -49,6 +49,40 @@ BASELINES = {
         "band-then-verify contract and all-pairs losslessness oracle. "
         "The 64-bit query stays gated at both scales as the "
         "banding-losslessness witness at the classic pHash width.",
+    # Round 15 (r14 verdict item 4): the embedding-cosine probe baseline
+    # is linear in corpus size BY CONSTRUCTION and was sitting undeclared
+    # at #2 of the sf1 worst-15; declaring it keeps that table meaning
+    # "unexplained".
+    "dedup_embedding_cosine":
+        "DECLARED exact-verification baseline of dedup_embedding_lsh: a "
+        "FIXED broadcast probe sample (<=2000 x 64 floats, "
+        "Similarity.scala probeSample) is scored against the full corpus "
+        "in ONE scan - cost is linear in corpus size by construction "
+        "(10.3x on 10x data, r14) and the query exists to witness the "
+        "LSH twin's recall, not to deploy; the LSH twin "
+        "(bucketed candidates, 8.5x) is the 100 TB path. The probe "
+        "bound is a require'd constant, so any super-linear reading "
+        "here is measurement noise, not plan decay.",
+    # Round 15: same ruling for the all-windows substring baseline - its
+    # r14 11.1x flag reproduced in isolation (sf0.1 1.30s, sf1 min-of-3
+    # 14.71: 11.3x), which is LINEAR-IN-CORPUS arithmetic, not plan
+    # decay: the probe side is fixed (doc_id < ProbeDocs = the sf0.1
+    # corpus), so at sf1 the candidate-pair mass is unchanged while the
+    # corpus-side window table, its df aggregation and the bucketed join
+    # probe all grow 10x - the sf0.1 base is probe-join-bound, the sf1
+    # cost corpus-scan-bound, and the ratio between those two regimes is
+    # ~10x forever.
+    "dedup_substring_pairs":
+        "DECLARED all-windows probe baseline of dedup_substring_winnow/"
+        "_clusters: probe sample (doc_id < ProbeDocs) vs full corpus "
+        "through the bucketed window-hash index - candidate mass is "
+        "FIXED by the probe bound while corpus-side scan/df work grows "
+        "linearly, so the slope reads ~10x-linear on any 10x probe "
+        "(isolated min-of-3 at sf1 43.8/14.7/24.7 vs sf0.1 "
+        "7.3/1.7/1.30). The winnowed twin (2/(W+1) sampled positions, "
+        "corpus x corpus) is the scale path, and BoundedBaselineSpec "
+        "holds the bounded==unbounded-restricted equivalence at gate "
+        "scale.",
 }
 
 # Queries whose INPUT grows superlinearly under ScaleUp's replication:
@@ -127,13 +161,14 @@ RERUNS = {
          "divided a suite-warm 0.96s sf0.1 base into a suite-loaded "
          "sf1 rep"),
     "profile_lineitem_approx":
-        (24.39, 27.59,
-         "isolated min-of-3 at sf1 29.29/25.06/24.39 -> the remaining "
-         "constant is the md5 gate-portability digest cost (~66M md5 "
-         "cells in ONE register-aggregator pass); the xxhash64 "
-         "production twin runs the identical plan at 16.8s with its "
-         "exact-distinct gate harness served from the graft_pfnd "
-         "ingest cache since r14"),
+        (26.83, 27.59,
+         "isolated min-of-3 at sf1 34.27/26.83/29.67 (r15, post "
+         "stats-split) -> the remaining constant is the md5 "
+         "gate-portability digest cost (~66M md5 cells in ONE "
+         "register-aggregator pass), kept as the cross-engine gate "
+         "witness; the PRODUCTION twin (profile_lineitem_approx_fast, "
+         "native-value xxhash64 cells since r15) runs the identical "
+         "plan shape at 4.9s sf1"),
     "agg_ols_trend":
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
@@ -165,6 +200,17 @@ RERUNS = {
          "isolated min-of-3 at sf1: 7.04/4.37/4.26 (bench 4.35 "
          "confirmed); isolated sf0.1 min-of-3 0.77 -> isolated slope "
          "5.5x, linear; plan is a single scan with per-doc regex work"),
+    # Round 15 (r14 verdict item 3): flagged 11.25s at sf1 (10.5x) in the
+    # r14 bench; isolated min-of-3 brings the pair to 1.50 -> 7.78, a
+    # 5.2x slope in family with the other two-pass numeric aggregates.
+    # The plan is scan + explode(B bootstrap replicates) + two hash
+    # aggregations - nothing in it can be super-linear; the bench pair
+    # divided a suite-warm sf0.1 base into a suite-loaded sf1 rep.
+    "agg_bootstrap_ci":
+        (7.78, 11.25,
+         "isolated min-of-3 at sf1 11.66/8.41/7.78 and at sf0.1 "
+         "6.06/1.91/1.50 -> isolated slope 5.2x, linear; plan is "
+         "explode(B replicates) + two hash aggs, no join"),
     "mm_audio_silence":
         (3.33, 20.23,
          "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
