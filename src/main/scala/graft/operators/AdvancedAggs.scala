@@ -1386,39 +1386,38 @@ object AdvancedAggs {
     * integral) so every moment is exact; the moment sums run in
     * DECIMAL(38,0) (bounded: n·Σr² ≤ ~5e23 at sf1 — 24 digits).
     *
-    * Scale shape: ranks come from a window over the DISTINCT-VALUE
-    * histogram per flag (the [[histPercentiles]] trick — the window
-    * pass is value-domain-sized, not row-sized), joined back to rows on
-    * (flag, value); then one hash aggregation of five moments. The only
+    * Scale shape (r14 verdict item 6 — the r13 formulation ranked over
+    * a distinct-value histogram and joined BACK on (flag, value); with
+    * l_extendedprice near-unique the histogram is row-sized anyway, so
+    * the two join-backs and their exchanges were pure overhead): both
+    * ranks ride ONE hash exchange on the flag — two in-partition sorts,
+    * two window passes, zero join-backs — and the doubled average rank
+    * of a tie block comes from two counts sharing each sort: hi =
+    * cumulative count through the block (RANGE …CURRENT ROW includes
+    * peers), cc = peer count (RANGE CURRENT ROW..CURRENT ROW), so
+    * lo = hi−cc+1 and 2·avg = 2·hi−cc+1 — tie semantics identical to
+    * the histogram form, hash-pinned. The moment aggregation then needs
+    * no exchange at all (already partitioned on the flag). The only
     * doubles are the three final casts feeding one fixed IEEE
     * sqrt/divide expression, identical term-for-term in the oracle, so
     * rho_micro is bit-portable (int→double, ×, /, sqrt are all
     * correctly rounded IEEE ops). */
   def spearmanRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def rank2(values: DataFrame, vcol: String, out: String): DataFrame = {
-      val w = Window.partitionBy("l_returnflag").orderBy("v")
-      values.groupBy(col("l_returnflag"), col(vcol).as("v"))
-        .agg(count(lit(1)).as("cc"))
-        .withColumn("hi", sum(col("cc")).over(w))
-        // doubled average rank of a tie-block ending at cumulative
-        // position hi with cc members: lo = hi-cc+1, 2·avg = lo+hi
-        .select(col("l_returnflag"), col("v").as(vcol),
-          (col("hi") * 2 - col("cc") + 1).as(out))
-    }
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-    val rx = rank2(li.select(col("l_returnflag"), col("l_quantity").as("v")),
-      "v", "rx").withColumnRenamed("v", "l_quantity")
-    val ry = rank2(li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
-      "v", "ry").withColumnRenamed("v", "l_extendedprice")
     val d38 = DecimalType(38, 0)
-    val joined = li
-      .join(rx, Seq("l_returnflag", "l_quantity"))
-      .join(ry, Seq("l_returnflag", "l_extendedprice"))
+    def rank2(vcol: String): Column = {
+      val w = Window.partitionBy("l_returnflag").orderBy(vcol)
+      val hi = count(lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+      val cc = count(lit(1)).over(
+        w.rangeBetween(Window.currentRow, Window.currentRow))
+      (hi * 2 - cc + 1).cast(d38)
+    }
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .select(col("l_returnflag"),
-        col("rx").cast(d38).as("rx"), col("ry").cast(d38).as("ry"))
-    joined.groupBy("l_returnflag")
+        rank2("l_quantity").as("rx"), rank2("l_extendedprice").as("ry"))
+      .groupBy("l_returnflag")
       .agg(count(lit(1)).cast(d38).as("n"),
         sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
         sum(col("rx") * col("ry")).as("sxy"),

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -362,13 +363,98 @@ object Diagnostics {
     estimateDrivenJoinWith(spark, dir, strategy, est, saltFactor)
   }
 
+  /** Demo-scaled per-reducer hot-key budget for [[estimateDrivenAgg]]:
+    * above this estimated hottest-key row count the aggregation goes
+    * two-stage salted, with the factor sized so no reducer sees more
+    * than the budget (a production planner reads its shuffle-partition
+    * row target here). On this corpus the ladder lands one rung per
+    * scale: sf0.01 plain (est ≈ 144), sf0.1 salted ×2 (est ≈ 405),
+    * derived sf1 salted ×6 (est ≈ 1.7 k — CMS collision mass at width
+    * 1024 inflates the ~99 exact max, which still never undercounts;
+    * production widths tighten it). */
+  val AggHotKeyBudget = 300L
+
+  /** CMS hot-key estimate — the aggregation-strategy counterpart of
+    * [[cmsJoinEstimate]]: min over the 4 hash rows of the row's MAX
+    * cell. Every occurrence of any single key lands in one cell per
+    * row, so each row's max cell ≥ the hottest key's true count — the
+    * estimate NEVER undercounts, and the min over rows trims collision
+    * inflation. Same one-scan / 4×[[JsWidth]]-cell mergeable shape as
+    * the join sketch (at 100 TB the cells are maintained per ingest
+    * batch and the planner reads 4 integers); memoized per corpus like
+    * every advisor scalar. */
+  def cmsHotKeyEstimate(spark: SparkSession, dir: String): Long =
+    graft.core.ModelMemo.cached(s"haest:$dir") {
+      graft.functions.Registry.register(spark)
+      java.lang.Long.valueOf(
+        Tables.events(spark, dir)
+          .select(explode(expr(
+            s"""transform(sequence(0, 3), r -> named_struct(
+               |  'r', r,
+               |  'c', portable_hash60(concat('ha', r, ':', cast(user_id as string))) % $JsWidth))"""
+              .stripMargin)).as("x"))
+          .groupBy(col("x.r").as("r"), col("x.c").as("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("r").agg(max(col("cnt")).as("row_max"))
+          .agg(min(col("row_max"))).head().getLong(0))
+    }.longValue()
+
+  /** ESTIMATE-DRIVEN AGGREGATION (r14 verdict item 7 — the agg side of
+    * the estimate→execution loop; until now `agg_salted_top_users`
+    * applied its diagnosed factor unconditionally): choose plain
+    * single-stage hash aggregation vs two-stage salted aggregation for
+    * the per-user value rollup FROM [[cmsHotKeyEstimate]], size the salt
+    * factor off the same estimate (⌈est / budget⌉, capped at
+    * [[SaltMaxFactor]]), EXECUTE the choice, and gate decision + result
+    * together — `est_hot`, `strategy` and `salt_factor` ride the output
+    * hash and the oracle re-derives all three from its own independently
+    * built sketch. Both arms produce bit-identical (user_id,
+    * total_value, n_events) rows (decimal partials are
+    * order-independent — the SaltedTreatmentSpec invariance), so the
+    * gate proves the DECISION, and EstimateDrivenAggSpec executes both
+    * arms explicitly. */
+  def estimateDrivenAggWith(spark: SparkSession, dir: String,
+      strategy: String, est: Long, saltFactor: Long): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def dec(c: Column): Column = c.cast(DecimalType(15, 2))
+    val rolled = strategy match {
+      case "salted" =>
+        ev.groupBy(col("user_id"), (col("event_id") % saltFactor).as("salt"))
+          .agg(sum(dec(col("value"))).as("pv"), count(lit(1)).as("pn"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("pv")).cast("double").as("total_value"),
+            sum(col("pn")).as("n_events"))
+      case _ =>
+        ev.groupBy(col("user_id"))
+          .agg(sum(dec(col("value"))).cast("double").as("total_value"),
+            count(lit(1)).as("n_events"))
+    }
+    rolled
+      .orderBy(col("total_value").desc, col("user_id")).limit(20)
+      .select(col("user_id"), col("total_value"), col("n_events"),
+        lit(est).as("est_hot"), lit(strategy).as("strategy"),
+        lit(if (strategy == "salted") saltFactor else 1L).as("salt_factor"))
+      .orderBy(col("total_value").desc, col("user_id"))
+  }
+
+  def estimateDrivenAgg(spark: SparkSession, dir: String): DataFrame = {
+    val est = cmsHotKeyEstimate(spark, dir)
+    val strategy = if (est > AggHotKeyBudget) "salted" else "plain"
+    val saltFactor =
+      if (strategy == "salted")
+        math.min((est + AggHotKeyBudget - 1) / AggHotKeyBudget, SaltMaxFactor)
+      else 1L
+    estimateDrivenAggWith(spark, dir, strategy, est, saltFactor)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diag_key_skew" -> (keySkew _),
     "diag_column_profile" -> (columnProfile _),
     "diag_constraints" -> (constraintAudit _),
     "diag_salt_advisor" -> (saltAdvisor _),
     "diag_join_size_estimate" -> (joinSizeEstimate _),
-    "diag_estimate_driven_join" -> (estimateDrivenJoin _)
+    "diag_estimate_driven_join" -> (estimateDrivenJoin _),
+    "diag_estimate_driven_agg" -> (estimateDrivenAgg _)
   )
 
   /** Shared CMS CTE chain (sa, sb, prods, est) over pre-declared cl/pu
@@ -406,6 +492,28 @@ object Diagnostics {
          |    THEN ${advisedSaltFactorSql("events", "user_id")}
          |    ELSE 1 END AS BIGINT) AS salt_factor
          |FROM top, strat ORDER BY n_pairs DESC, user_id""".stripMargin,
+    "diag_estimate_driven_agg" ->
+      s"""WITH s AS (SELECT g.r AS sketch_row,
+         |    ${Dedup.dh60("'ha' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
+         |    COUNT(*) AS cnt
+         |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+         |est AS (SELECT CAST(MIN(row_max) AS BIGINT) AS est_hot
+         |  FROM (SELECT sketch_row, MAX(cnt) AS row_max FROM s GROUP BY 1)),
+         |strat AS (SELECT est_hot,
+         |    CASE WHEN est_hot > $AggHotKeyBudget THEN 'salted'
+         |         ELSE 'plain' END AS strategy,
+         |    CASE WHEN est_hot > $AggHotKeyBudget
+         |         THEN LEAST((est_hot + ${AggHotKeyBudget - 1}) // $AggHotKeyBudget,
+         |                    $SaltMaxFactor)
+         |         ELSE 1 END AS sf FROM est),
+         |g AS (SELECT user_id,
+         |    CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY user_id),
+         |top AS (SELECT * FROM g ORDER BY total_value DESC, user_id LIMIT 20)
+         |SELECT user_id, total_value, n_events, est_hot, strategy,
+         |  CAST(sf AS BIGINT) AS salt_factor
+         |FROM top, strat ORDER BY total_value DESC, user_id""".stripMargin,
     "diag_join_size_estimate" ->
       s"""WITH cl AS (SELECT user_id FROM events WHERE event_type = 'click'),
          |pu AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

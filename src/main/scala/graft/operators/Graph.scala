@@ -694,15 +694,11 @@ object Graph {
 
   /** General-form Q scorer of ANY labeling: (n_communities, q_micro) —
     * the same exact-integer contribution [[modularity]] gates. */
-  private def scoreQ(e: DataFrame, lab: DataFrame, deg: DataFrame,
-      m: DataFrame): DataFrame = {
-    val dc = deg.join(lab, Seq("v")).groupBy("lbl")
-      .agg(sum(col("deg")).as("d_c"))
-    val ec = e
-      .join(lab.select(col("v").as("u1"), col("lbl").as("l1")), "u1")
-      .join(lab.select(col("v").as("u2"), col("lbl").as("l2")), "u2")
-      .filter(col("l1") === col("l2"))
-      .groupBy(col("l1").as("lbl")).agg(count(lit(1)).as("e_c"))
+  /** The exact-integer Q arithmetic over already-aggregated per-community
+    * (d_c, e_c) relations — shared by the one-pass and two-level scorers
+    * so the micro-Q values can never drift between them. */
+  private def scoreQParts(dc: DataFrame, ec: DataFrame,
+      m: DataFrame): DataFrame =
     dc.join(ec, Seq("lbl"), "left")
       .select(col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
       .crossJoin(broadcast(m))
@@ -714,6 +710,17 @@ object Graph {
         .otherwise(-expr("((-num) * 1000000) div den")).as("contrib_micro"))
       .agg(count(lit(1)).as("n_communities"),
         sum(col("contrib_micro")).cast("long").as("q_micro"))
+
+  private def scoreQ(e: DataFrame, lab: DataFrame, deg: DataFrame,
+      m: DataFrame): DataFrame = {
+    val dc = deg.join(lab, Seq("v")).groupBy("lbl")
+      .agg(sum(col("deg")).as("d_c"))
+    val ec = e
+      .join(lab.select(col("v").as("u1"), col("lbl").as("l1")), "u1")
+      .join(lab.select(col("v").as("u2"), col("lbl").as("l2")), "u2")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("lbl")).agg(count(lit(1)).as("e_c"))
+    scoreQParts(dc, ec, m)
   }
 
   def louvainOneLevel(spark: SparkSession, dir: String): DataFrame = {
@@ -784,10 +791,32 @@ object Graph {
       .select(col("src").as("lbl"), col("dst").as("blbl2"))
     val lab2map = dc.select("lbl").join(best2, Seq("lbl"), "left")
       .select(col("lbl"), coalesce(col("blbl2"), col("lbl")).as("lbl2"))
-    val labFinal = lab1.join(lab2map, "lbl")
-      .select(col("v"), col("lbl2").as("lbl"))
-    val q2 = scoreQ(e, labFinal, deg, m)
-    val q1 = scoreQ(e, lab1, deg, m).select(col("q_micro").as("q1_micro"))
+    // Scoring, ONE edge pass for both levels (r14 verdict item 5 — the
+    // residual two-level constant was two full scoreQ passes, each
+    // re-joining the edge list against a labeling): both label levels
+    // ride the same edge⋈labels join (checkpointed — it feeds the two
+    // per-level e_c aggregations), level-1's d_c IS the collapse's `dc`
+    // rollup already computed above, and level-2's d_c is that rollup
+    // re-aggregated by lbl2 — no second deg join, no second edge join.
+    // Arithmetic is [[scoreQParts]], shared with scoreQ verbatim.
+    val labC = lab1.join(lab2map, "lbl")
+      .select(col("v"), col("lbl").as("lbl1"), col("lbl2"))
+    val ej = e
+      .join(labC.select(col("v").as("u1"),
+        col("lbl1").as("a1"), col("lbl2").as("a2")), "u1")
+      .join(labC.select(col("v").as("u2"),
+        col("lbl1").as("b1"), col("lbl2").as("b2")), "u2")
+      .select(col("a1"), col("b1"), col("a2"), col("b2"))
+      .localCheckpoint()
+    val ec1 = ej.filter(col("a1") === col("b1"))
+      .groupBy(col("a1").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val ec2 = ej.filter(col("a2") === col("b2"))
+      .groupBy(col("a2").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val dc1 = dc.select(col("lbl"), col("d").as("d_c"))
+    val dc2 = dc.join(lab2map, "lbl").groupBy(col("lbl2").as("lbl"))
+      .agg(sum(col("d")).as("d_c"))
+    val q2 = scoreQParts(dc2, ec2, m)
+    val q1 = scoreQParts(dc1, ec1, m).select(col("q_micro").as("q1_micro"))
     q2.crossJoin(broadcast(m)).crossJoin(broadcast(q1))
       .select(col("m").as("n_edges"), col("n_communities"),
         col("q_micro"), col("q1_micro"))

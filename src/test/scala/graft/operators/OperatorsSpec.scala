@@ -61,7 +61,10 @@ class OperatorsSpec extends SparkSpec {
       // yields self-hits even at sf0.001.
       "text_wordpiece_train", "text_wordpiece_encode",
       "mm_audio_fingerprint", "mm_audio_fp_lookup", "ta_sparse_cosine_topk",
-      "diag_join_size_estimate")
+      "diag_join_size_estimate",
+      // round 15: events is nonempty at every sf, the rollup always has
+      // users (and the decision columns ride every row)
+      "diag_estimate_driven_agg")
     stable.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"query $name returned no rows")
