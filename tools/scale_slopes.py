@@ -211,6 +211,22 @@ RERUNS = {
          "isolated min-of-3 at sf1 11.66/8.41/7.78 and at sf0.1 "
          "6.06/1.91/1.50 -> isolated slope 5.2x, linear; plan is "
          "explode(B replicates) + two hash aggs, no join"),
+    # Round 15: the r15 close-out sf1 leg's single post-warmup rep landed
+    # on a burst for the two queries right after dedup_substring_pairs'
+    # heavy first-rep index build (reps [19.8, 44.1] and [5.6, 8.3]);
+    # isolated min-of-3 restores both to their established family slopes.
+    "dedup_substring_winnow":
+        (7.24, 44.12,
+         "isolated min-of-3 at sf1 12.86/7.24/10.13 -> slope 6.6x vs "
+         "sf0.1's 1.10s, in family with dedup_substring_clusters 6.5x "
+         "(same winnowed-fingerprint join); the 44.1s bench rep was a "
+         "one-rep burst following the 109s substring-pairs first-rep "
+         "index build"),
+    "dedup_substring_profile":
+        (1.56, 8.29,
+         "isolated min-of-3 at sf1 20.32(+16.3s winidx build)/1.76/1.56 "
+         "-> slope 2.3x vs sf0.1's 0.69s; same burst window as "
+         "dedup_substring_winnow"),
     "mm_audio_silence":
         (3.33, 20.23,
          "isolated min-of-3 (reps: 6.14/3.33 then 5.86/3.52/3.57) -> "
