@@ -23,10 +23,14 @@ import org.apache.spark.sql.SparkSession
   *     probe read max/min = 1.05 ("clean") while six queries inflated
   *     3.6-9.6x, because a burst can steal the 32-way parallel pool while
   *     leaving one core mostly free.
-  *  3. The headline carries two machine-computed suspect lists
-  *     ([[repSpreadSuspects]], [[calibSuspectQueries]]) so a polluted
+  *  3. Two machine-computed suspect lists ([[repSpreadSuspects]],
+  *     [[calibSuspectQueries]]) print in full on the `suspects` line and
+  *     ride the headline as bounded count+top-N views, so a polluted
   *     artifact flags ITSELF — the consumer no longer needs a converged
-  *     rerun to discover that a top-20 entry is steal noise.
+  *     rerun to discover that a top-20 entry is steal noise — while the
+  *     headline line stays under [[HeadlineMaxChars]] no matter how many
+  *     queries flag (BENCH_r15's unbounded lists overflowed the driver's
+  *     2000-char tail capture and cost the round its official total).
   */
 object Bench {
   @volatile private var calibSink: Long = 0L
@@ -190,7 +194,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
-  /** Render the three output lines from measured results — pure, so the
+  /** Render the output lines from measured results — pure, so the
     * JSON shape and both suspect detectors are spec-pinnable without a
     * bench run (BenchJsonSpec replays round 9's pollution pattern). */
   /** One adjudicated cross-round anomaly: the prior-round converged, the
@@ -200,6 +204,25 @@ object Bench {
   private[graft] final case class Anomaly(
       name: String, prior: Double, suiteReps: Vector[Double],
       adjudicationReps: Vector[Double])
+
+  /** Headline bound on each variable-length name list: the full lists
+    * live on the `suspects` / `cross_round_anomalies` lines; the
+    * headline carries a COUNT plus this many example names. See
+    * [[HeadlineMaxChars]] for why the bound is load-bearing. */
+  private[graft] val HeadlineTopN = 5
+
+  /** Hard ceiling on the headline line's length, spec-asserted against a
+    * worst case (every inventory query failed + suspect in both
+    * detectors + a full anomaly batch). The driver keeps only the LAST
+    * ~2000 chars of bench output and parses the final line; BENCH_r15's
+    * headline ballooned past that window (unbounded
+    * calib_suspect_queries + inline anomaly rep vectors) and the
+    * round's official total came back `parsed: null` — the third
+    * recurrence of the tail-size lesson (r7 item 8, r8 item 4). Every
+    * variable-length field is therefore bounded (count + top-N names;
+    * full lists on their own earlier lines) and this ceiling keeps any
+    * future field honest. */
+  private[graft] val HeadlineMaxChars = 1800
 
   private[graft] def renderLines(
       rs: Seq[QRes], calibs: IndexedSeq[Double], calibEvery: Int,
@@ -214,8 +237,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // A failing query's near-zero "timing" must not masquerade as a healthy
     // fast run: list failures explicitly so the JSON is self-reporting.
-    val failed = rs.collect { case r if !r.ok => "\"" + r.name + "\"" }
-      .mkString("[", ",", "]")
+    val failedNames = rs.collect { case r if !r.ok => r.name }
     val total = rs.map(_.converged).sum
     val totalFirst = rs.map(_.first).sum
     // The complete per-query converged timings print FIRST on their own
@@ -240,10 +262,20 @@ object Bench {
       if (calibs.nonEmpty && calibs.min > 0) calibs.max / calibs.min else 1.0
     val calibMedian =
       if (calibs.nonEmpty) calibs.sorted.apply(calibs.length / 2) else 0.0
-    val spreadSusp = repSpreadSuspects(rs).map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
-    val calibSusp = calibSuspectQueries(rs.map(_.name), calibEvery, calibs)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Rep-spread runs over the PRE-MERGE suite reps: merging an
+    // adjudication's fresh fast reps next to the slow suite reps creates
+    // a >= 3x spread BY CONSTRUCTION, so every self-healed anomaly would
+    // also land in rep_spread_suspects and dilute that list's meaning
+    // (r15 advice). For adjudicated queries the spread basis is their
+    // suite reps alone; the anomaly record already carries both vectors.
+    val suiteRepsOf = anomalies.filter(_.adjudicationReps.nonEmpty)
+      .map(a => a.name -> a.suiteReps).toMap
+    val spreadBasis = rs.map(r => suiteRepsOf.get(r.name)
+      .filter(_.nonEmpty).map(sr => r.copy(reps = sr)).getOrElse(r))
+    val spreadNames = repSpreadSuspects(spreadBasis)
+    val calibSuspNames = calibSuspectQueries(rs.map(_.name), calibEvery, calibs)
+    def jsonArr(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
     // One-time cache builds (bucketed tables, trained models, WARC packs)
     // are paid in rep 1 and EXCLUDED from converged timings — this line
     // itemizes that ingest-amortized cost so converged totals are honestly
@@ -270,13 +302,20 @@ object Bench {
         ",\"adjudication_reps\":" + a.adjudicationReps.map(t => f"$t%.3f")
           .mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
+    // Bounded headline views of every variable-length list (count +
+    // first-HeadlineTopN names); the FULL lists print on the two lines
+    // just above, which bench_detail.py folds into BENCH_DETAIL.json.
+    def topN(names: Seq[String]): String = jsonArr(names.take(HeadlineTopN))
+    val anomalyNames = anomalies.map(_.name)
     Seq(
       s"""{"metric":"per_query_converged","queries":$qs}""",
       s"""{"metric":"per_query_reps","reps":$qsReps}""",
       s"""{"metric":"per_query_first","queries":$qsFirst}""",
       s"""{"metric":"per_query_build","queries":$perQueryBuild}""",
       f"""{"metric":"cache_builds","total_build_s":$buildsTotal%.3f,"builds":$buildsJson}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"ingest_build_s":$buildsTotal%.3f,"top20_queries":$top20,"failed":$failed,"calib_s":$calibJson,"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"steal_polluted":${stealPolluted(calibs)},"rep_spread_suspects":$spreadSusp,"calib_suspect_queries":$calibSusp,"cross_round_anomalies":$anomJson,"sf":"$sfDir"}""")
+      s"""{"metric":"suspects","failed":${jsonArr(failedNames)},"rep_spread_suspects":${jsonArr(spreadNames)},"calib_suspect_queries":${jsonArr(calibSuspNames)},"calib_s":$calibJson}""",
+      s"""{"metric":"cross_round_anomalies","anomalies":$anomJson}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_run_total":$totalFirst%.3f,"n_queries":${rs.length},"ingest_build_s":$buildsTotal%.3f,"top20_queries":$top20,"n_failed":${failedNames.length},"failed_top":${topN(failedNames)},"n_calibs":${calibs.length},"calib_max_over_min":$calibRatio%.2f,"calib_median_s":$calibMedian%.3f,"steal_polluted":${stealPolluted(calibs)},"n_rep_spread_suspects":${spreadNames.length},"rep_spread_top":${topN(spreadNames)},"n_calib_suspects":${calibSuspNames.length},"calib_suspects_top":${topN(calibSuspNames)},"n_anomalies":${anomalyNames.length},"anomalies_top":${topN(anomalyNames)},"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -388,13 +427,24 @@ object Bench {
     val byName = qseq.toMap
     val anomalies = toAdjudicate.map { name =>
       graft.core.BlockHygiene.free(spark, blocking = true)
-      val adjReps = (1 to 3).toVector.map { _ =>
+      // Only SUCCESSFUL reps may join the rep vector: a rep that throws
+      // records near-zero wall time, and merging it would falsely "heal"
+      // the headline via converged=min — the exact masquerade the suite
+      // loop's failed-list guard exists to prevent (r15 advice). A rerun
+      // where every rep errors leaves adjudication_reps empty, so the
+      // suite reps stand and the anomaly record shows the failed rerun.
+      val adjReps = (1 to 3).toVector.flatMap { _ =>
         val t0 = System.nanoTime()
-        try fnRun(byName(name), spark, sfDir)
-        catch { case _: Throwable => () }
+        val ok =
+          try { fnRun(byName(name), spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] adjudication rep of $name failed: " +
+              e.getMessage)
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.core.BlockHygiene.free(spark, blocking = true)
-        dt
+        if (ok) Some(dt) else None
       }
       val suiteReps = results.find(_.name == name).map(_.reps)
         .getOrElse(Vector.empty)

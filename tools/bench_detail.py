@@ -25,9 +25,15 @@ import sys
 def merge_headline(acc: dict, obj: dict) -> dict:
     if not acc:
         return dict(obj)
-    for k in ("value", "first_run_total", "n_queries", "ingest_build_s"):
+    for k in ("value", "first_run_total", "n_queries", "ingest_build_s",
+              "n_failed", "n_rep_spread_suspects", "n_calib_suspects",
+              "n_anomalies"):
         if k in obj:
             acc[k] = acc.get(k, 0) + obj[k]
+    # full lists arrive via the `suspects` line (r16: the headline carries
+    # only bounded count+top-N views so it can never outgrow the driver's
+    # tail capture again); pre-r16 headlines carried them inline — merge
+    # either shape
     for k in ("failed", "calib_s", "rep_spread_suspects", "calib_suspect_queries"):
         if k in obj:
             acc[k] = acc.get(k, []) + obj[k]
@@ -61,6 +67,8 @@ def main() -> None:
         srcs, out = args, "BENCH_DETAIL.json"
     detail = {}
     headline = {}
+    suspects = {}
+    anomalies = {}
     for src in srcs:
         with open(src) as f:
             for line in f:
@@ -89,8 +97,23 @@ def main() -> None:
                         cb["total_build_s"] + obj.get("total_build_s", 0.0), 3)
                     for k, v in obj.get("builds", {}).items():
                         cb["builds"][k] = round(cb["builds"].get(k, 0.0) + v, 3)
+                elif m == "suspects":
+                    for k in ("failed", "rep_spread_suspects",
+                              "calib_suspect_queries", "calib_s"):
+                        suspects[k] = suspects.get(k, []) + obj.get(k, [])
+                elif m == "cross_round_anomalies":
+                    anomalies.update(obj.get("anomalies", {}))
                 elif m == "total":
                     headline = merge_headline(headline, obj)
+    if headline:
+        # fold the full (unbounded) lists back into the committed headline
+        # under their historical keys — BENCH_DETAIL.json has no line-length
+        # hazard, and scale_slopes/mk_scale_input read `failed` from here
+        for k, v in suspects.items():
+            headline[k] = headline.get(k, []) + v
+        if anomalies or "cross_round_anomalies" not in headline:
+            headline["cross_round_anomalies"] = {
+                **headline.get("cross_round_anomalies", {}), **anomalies}
     if headline:
         # keep only the overall top-20 after a shard merge
         t20 = headline.get("top20_queries", {})

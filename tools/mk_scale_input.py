@@ -15,6 +15,7 @@ import sys
 def main(src: str, out: str) -> None:
     headline = None
     conv = None
+    suspects = None
     with open(src) as f:
         for line in f:
             i = line.find('{"metric"')
@@ -27,6 +28,8 @@ def main(src: str, out: str) -> None:
             m = obj.get("metric")
             if m == "per_query_converged":
                 conv = obj.get("queries")
+            elif m == "suspects":
+                suspects = obj
             elif m == "total":
                 headline = obj
     assert headline is not None, f"{src}: no headline ('metric':'total') line"
@@ -37,6 +40,14 @@ def main(src: str, out: str) -> None:
     headline = dict(headline)
     headline.pop("top20_queries", None)
     headline["queries"] = conv
+    # r16 headlines carry only bounded count+top-N list views; the full
+    # lists (scale_slopes reads `failed`) ride the `suspects` line
+    if suspects is not None:
+        for k in ("failed", "rep_spread_suspects", "calib_suspect_queries",
+                  "calib_s"):
+            headline[k] = suspects.get(k, [])
+    assert "failed" in headline, (
+        f"{src}: no failed list (need the suspects line or a pre-r16 headline)")
     with open(out, "w") as f:
         json.dump(headline, f)
     print(f"{out}: {len(conv)} queries, total={headline.get('value')}s, "
