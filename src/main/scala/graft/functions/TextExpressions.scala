@@ -145,5 +145,11 @@ object Registry {
       "winnow_hashes", exprs => WinnowHashes.fromArgs(exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "zvalue2", exprs => ZValue2(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lex_max", exprs => LexExtreme(exprs(0), exprs(1), isMax = true),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "lex_min", exprs => LexExtreme(exprs(0), exprs(1), isMax = false),
+      "built-in")
   }
 }

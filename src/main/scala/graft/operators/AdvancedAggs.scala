@@ -967,22 +967,27 @@ object AdvancedAggs {
   }
 
   /** Deterministic ARGMAX / ARGMIN per group — "which order carried the
-    * extreme price" — via lexicographic struct extremes: `max(struct(v,
-    * -key))` ties break toward the SMALLEST key on both extremes, where
-    * the built-in max_by/arg_max is tie-nondeterministic on every engine.
-    * One hash aggregation; the struct never leaves the aggregate. */
-  def argExtremes(spark: SparkSession, dir: String): DataFrame =
+    * extreme price" — via lexicographic extremes: `lex_max(v, -key)` ties
+    * break toward the SMALLEST key on both extremes, where the built-in
+    * max_by/arg_max is tie-nondeterministic on every engine. One hash
+    * aggregation. The native [[graft.functions.LexExtreme]] keeps the
+    * (double, long) state in two MUTABLE buffer slots — the earlier
+    * `max(struct(v, -key))` formulation computed the same values but the
+    * immutable struct buffer forced the whole aggregation onto
+    * interpreted SortAggregate (r15 verdict item 2; same values, so the
+    * gate hash is unchanged). */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.register(spark)
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        max(struct(col("o_totalprice").as("v"), (-col("o_orderkey")).as("nk")))
-          .as("mx"),
-        min(struct(col("o_totalprice").as("v"), col("o_orderkey").as("k")))
-          .as("mn"))
+        expr("lex_max(o_totalprice, -o_orderkey)").as("mx"),
+        expr("lex_min(o_totalprice, o_orderkey)").as("mn"))
       .select(col("o_orderpriority"),
-        col("mx.v").as("max_price"), (-col("mx.nk")).as("max_price_orderkey"),
-        col("mn.v").as("min_price"), col("mn.k").as("min_price_orderkey"))
+        col("mx.a").as("max_price"), (-col("mx.b")).as("max_price_orderkey"),
+        col("mn.a").as("min_price"), col("mn.b").as("min_price_orderkey"))
       .orderBy("o_orderpriority")
+  }
 
   /** Pearson chi-square test of independence between `event_type` and ISO
     * day-of-week — the distribution-drift / feature-dependence check a

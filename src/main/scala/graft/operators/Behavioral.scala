@@ -223,8 +223,15 @@ object Behavioral {
         sum(col("len")).as("n_active_days"),
         count(lit(1)).as("n_streaks"),
         max(col("len")).as("longest_streak"),
-        min(when(col("rk") === 1,
-          date_format(col("run_start"), "yyyy-MM-dd"))).as("longest_start"))
+        // min over the DATE (a mutable int buffer), formatted AFTER the
+        // aggregate: min over the formatted STRING gave the same value
+        // (rk = 1 selects exactly one row per user) but its immutable
+        // buffer forced this whole aggregation onto interpreted
+        // SortAggregate — 8.2x on the 10x probe (r15 verdict item 2)
+        min(when(col("rk") === 1, col("run_start"))).as("ls_date"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("longest_streak"),
+        date_format(col("ls_date"), "yyyy-MM-dd").as("longest_start"))
       .orderBy("user_id")
   }
 
