@@ -38,12 +38,20 @@ class GraphAdaptiveCapSpec extends SparkSpec {
     assert(Graph.adaptiveCap(spark, sfDir) == Graph.HubCap,
       "the gate corpus's bucket histogram fits every ladder entry")
     val adaptive = Graph.adaptiveCapCensus(spark, sfDir).collect().head
-    val fixedDefault = Graph.triangleCensusCapped(spark, sfDir).collect()
-      .find(_.getLong(0) == Graph.HubCap).get
+    val censusRows = Graph.triangleCensusCapped(spark, sfDir).collect()
+    // sparse gate corpus: the census's second operating point IS the
+    // advised default cap, marked by the gated `advised` column (r15
+    // item 3: the census consumes the advisor instead of a fixed knob)
+    assert(censusRows.map(_.getAs[Long]("hub_cap")).toSeq ==
+      Seq(Graph.TightHubCap, Graph.HubCap))
+    assert(censusRows.map(_.getAs[Long]("advised")).toSeq == Seq(0L, 1L))
+    val fixedDefault = censusRows
+      .find(_.getAs[Long]("hub_cap") == Graph.HubCap).get
     assert(adaptive.getAs[Long]("hub_cap") == Graph.HubCap)
-    assert(adaptive.getAs[Long]("n_nodes") == fixedDefault.getLong(1))
-    assert(adaptive.getAs[Long]("n_edges") == fixedDefault.getLong(2))
-    assert(adaptive.getAs[Long]("n_triangles") == fixedDefault.getLong(3))
+    assert(adaptive.getAs[Long]("n_nodes") == fixedDefault.getAs[Long]("n_nodes"))
+    assert(adaptive.getAs[Long]("n_edges") == fixedDefault.getAs[Long]("n_edges"))
+    assert(adaptive.getAs[Long]("n_triangles") ==
+      fixedDefault.getAs[Long]("n_triangles"))
     // the selection's inputs are coherent: chosen projection fits budget
     assert(adaptive.getAs[Long]("proj_pairs") <=
       adaptive.getAs[Long]("pairs_budget"))
