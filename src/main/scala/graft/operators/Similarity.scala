@@ -312,8 +312,28 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
-  /** TRAINED coarse quantizer: k-means (k = 8, 2 Lloyd iterations,
-    * deterministic init = vectors 0..7) — the training step [[topkBucketed]]
+  /** Number of coarse IVF cells, chosen FROM THE CORPUS at train time:
+    * k = clamp(n/1000, 8, 256) — a ~1000-vector target cell size, the
+    * real IVF discipline (r15 verdict item 4). A fixed k means
+    * per-probe candidates grow as n/k with the corpus (the sim family's
+    * whole 6-9× slope on the 10× probe was exactly this); a
+    * target-cell-size k keeps candidate work per probe O(1) at any
+    * corpus size. Both gate corpora (500 / 2000 vectors) land on the
+    * floor k = 8, so every gated sim output is unchanged there; the
+    * 10×-probe corpus (20000) trains k = 20 and the family's slope
+    * flattens. The oracle re-derives the same clamp from COUNT(*)
+    * (kpick in [[kmeansCte]]), and [[ivfKmeans]] gates the chosen k as
+    * the `k_cells` column. Memoized per corpus like the model itself. */
+  private def ivfK(spark: SparkSession, dir: String): Int =
+    graft.core.ModelMemo.cached(s"ivfk:$dir") {
+      val n = Tables.embeddings(spark, dir).count()
+      java.lang.Integer.valueOf(
+        math.min(256L, math.max(8L, n / 1000L)).toInt)
+    }.intValue()
+
+  /** TRAINED coarse quantizer: k-means (k = [[ivfK]] corpus-scaled
+    * cells, 2 Lloyd iterations, deterministic init = vectors 0..k−1) —
+    * the training step [[topkBucketed]]
     * assumes precomputed and [[topkLsh]] avoids. Exactly oracle-checkable
     * because every step is determinized: centroid means come from exact
     * fixed-point BIGINT sums (Σ round-half-up(v·10⁶)) — never a float sum
@@ -336,7 +356,7 @@ object Similarity {
       : (DataFrame, Array[(Int, Array[Double])]) = {
     Registry.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val init = emb.filter(col("vec_id") <= 7)
+    val init = emb.filter(col("vec_id") < ivfK(spark, dir))
       .select(col("vec_id").cast("int").as("cid"),
         expr("transform(embedding, x -> cast(x as double))").as("c"))
 
@@ -418,10 +438,14 @@ object Similarity {
     (assigned, cents)
   }
 
-  /** Final k-means cell assignment per vector (2 trained iterations). */
+  /** Final k-means cell assignment per vector (2 trained iterations),
+    * with the corpus-chosen cell count gated as `k_cells` (the oracle
+    * re-derives the clamp, so the estimate→train choice is hash-checked
+    * like the salt factor and the join/agg strategies). */
   def ivfKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansAssigned(spark, dir)
       .select(col("vec_id"), col("label"), col("cid"), col("dist"))
+      .withColumn("k_cells", lit(ivfK(spark, dir).toLong))
       .orderBy("vec_id")
 
   /** IVF search over the TRAINED cells: top-3 cosine neighbors within each
@@ -1509,10 +1533,13 @@ object Similarity {
     * iterations with fixed-point centroid means and in-order distance
     * folds, ending at `asg2` = (vec_id, label, embedding, cid, dist). */
   private val kmeansCte: String =
-    """init AS (
+    """kpick AS (
+      |  SELECT CAST(LEAST(GREATEST(COUNT(*) // 1000, 8), 256) AS BIGINT) AS kk
+      |  FROM embeddings),
+      |init AS (
       |  SELECT CAST(vec_id AS INTEGER) AS cid,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-      |  FROM embeddings WHERE vec_id <= 7),
+      |  FROM embeddings WHERE vec_id < (SELECT kk FROM kpick)),
       |a1 AS (
       |  SELECT e.vec_id, e.label, e.embedding, i.cid,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1590,7 +1617,7 @@ object Similarity {
   /** [[kmeansCte]] with its CTE names prefixed `k` so it can coexist with
     * [[pqCte]] (both chains end at `asg2`) in one oracle statement. */
   private lazy val kmeansCteK: String =
-    kmeansCte.replaceAll("\\b(init|a1|asg1|upd|cent2|a2|asg2)\\b", "k$1")
+    kmeansCte.replaceAll("\\b(kpick|init|a1|asg1|upd|cent2|a2|asg2)\\b", "k$1")
 
   /** Residual-PQ training chain (r-prefixed, over rv = x − c(cell)),
     * shared by the residual gate and its nprobe curve; assumes
@@ -1934,7 +1961,9 @@ object Similarity {
          |FROM asg2 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
     "sim_ivf_kmeans" ->
       s"""WITH $kmeansCte
-         |SELECT vec_id, label, cid, dist FROM asg2 ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id, label, cid, dist,
+         |  (SELECT kk FROM kpick) AS k_cells
+         |FROM asg2 ORDER BY vec_id""".stripMargin,
     "sim_topk_ivf_trained" ->
       s"""WITH $kmeansCte,
          |pairs AS (SELECT q.vec_id AS query_id, q.cid, e.vec_id,

@@ -83,6 +83,23 @@ BASELINES = {
         "corpus x corpus) is the scale path, and BoundedBaselineSpec "
         "holds the bounded==unbounded-restricted equivalence at gate "
         "scale.",
+    # Round 16 (r15 verdict item 5): the md5 canon-string profiler twin is
+    # the deliberate cross-engine gate witness of the native-value
+    # production sketch, yet it re-entered the sub-threshold adjudication
+    # table at 26-29s sf1 every round; declaring it (and retiring its
+    # RERUNS row, the r12/r13 removal pattern) keeps both tables meaning
+    # "unexplained".
+    "profile_lineitem_approx":
+        "DECLARED gate-witness baseline of profile_lineitem_approx_fast: "
+        "this twin hashes every cell through the PORTABLE md5 "
+        "canon-string digest (the representation DuckDB can reproduce, "
+        "~66M md5 cells in one register-aggregator pass - isolated sf1 "
+        "min-of-3 26.83s, r15) so the HLL register math itself is "
+        "cross-engine hash-gated; the PRODUCTION twin runs the identical "
+        "plan shape over ordinal-seeded native-value xxhash64 cells at "
+        "4.9s sf1 (3.4-3.8x on 10x data) and is what a deployment "
+        "ships. The md5 constant is digest cost, linear by construction, "
+        "not plan decay.",
 }
 
 # Queries whose INPUT grows superlinearly under ScaleUp's replication:
@@ -96,10 +113,14 @@ DENSIFIED = {
     "graph_triangle_count":
         "wedge-join work scales with graph density, input edges grew 61x",
     "graph_triangle_census_capped":
-        "contains the default-cap census over the same 61x-densified edge "
-        "list as graph_triangle_count; its OTHER row (TightHubCap=16, "
-        "67.5k edges / 180k triangles vs 4.1M / 71M) is the gated "
-        "mitigation an operator deploys on exactly this graph",
+        "as of r16 the census consumes the ADVISED cap (the adaptive "
+        "pair-budget pick, gated as the `advised` column): on the "
+        "61x-densified sf1 graph the advisor tightens 32 -> 16 and the "
+        "rows collapse to the single tight operating point (67.5k edges "
+        "/ 180k triangles instead of 4.1M / 71M), so the default-cap "
+        "projection is no longer paid where the budget marks it "
+        "super-linear; residual slope is the densified tight-cap census "
+        "itself",
     "graph_local_clustering":
         "same degree-ordered wedge join as triangle_count over a 61x-denser "
         "input graph",
@@ -160,15 +181,10 @@ RERUNS = {
          "the exact two-pass agg shapes; the 11.5x bench-pair ratio "
          "divided a suite-warm 0.96s sf0.1 base into a suite-loaded "
          "sf1 rep"),
-    "profile_lineitem_approx":
-        (26.83, 27.59,
-         "isolated min-of-3 at sf1 34.27/26.83/29.67 (r15, post "
-         "stats-split) -> the remaining constant is the md5 "
-         "gate-portability digest cost (~66M md5 cells in ONE "
-         "register-aggregator pass), kept as the cross-engine gate "
-         "witness; the PRODUCTION twin (profile_lineitem_approx_fast, "
-         "native-value xxhash64 cells since r15) runs the identical "
-         "plan shape at 4.9s sf1"),
+    # (profile_lineitem_approx's r15 rerun entry removed in round 16: the
+    # query is now a DECLARED baseline of profile_lineitem_approx_fast —
+    # see BASELINES — same reasoning as the round-12 dedup_simhash_pairs
+    # and round-13 mm_ahash_dedup removals.)
     "agg_ols_trend":
         (1.36, 12.4,
          "isolated min-of-3; the 12.4s bench rep was a steal burst "
