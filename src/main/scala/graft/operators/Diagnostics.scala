@@ -458,7 +458,13 @@ object Diagnostics {
   )
 
   /** Shared CMS CTE chain (sa, sb, prods, est) over pre-declared cl/pu
-    * selections — both sketch oracles derive the estimate identically. */
+    * selections — both sketch oracles derive the estimate identically.
+    * `prods` LEFT-JOINs the 4-row hash-row spine exactly like the Spark
+    * side's `cmsProds` (r15 advice): an inner join would DROP a hash row
+    * whose (row, col) cells are unshared between the sketches, so on a
+    * one-sided corpus the oracle would overstate est_min while Spark
+    * emits inner_product 0 — the twins must agree precisely in the
+    * empty-join case the spine exists for. */
   private def cmsCtesSql: String =
     s"""sa AS (SELECT g.r AS sketch_row,
        |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
@@ -468,9 +474,12 @@ object Diagnostics {
        |    ${Dedup.dh60("'js' || CAST(g.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $JsWidth AS sketch_col,
        |    COUNT(*) AS cnt
        |  FROM pu CROSS JOIN (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
-       |prods AS (SELECT sa.sketch_row,
-       |    CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS inner_product
-       |  FROM sa JOIN sb USING (sketch_row, sketch_col) GROUP BY 1),
+       |prods AS (SELECT r.sketch_row,
+       |    CAST(COALESCE(j.ip, 0) AS BIGINT) AS inner_product
+       |  FROM (SELECT unnest(range(4)) AS sketch_row) r
+       |  LEFT JOIN (SELECT sa.sketch_row, SUM(sa.cnt * sb.cnt) AS ip
+       |    FROM sa JOIN sb USING (sketch_row, sketch_col)
+       |    GROUP BY 1) j USING (sketch_row)),
        |est AS (SELECT CAST(MIN(inner_product) AS BIGINT) AS est_min FROM prods)"""
       .stripMargin
 

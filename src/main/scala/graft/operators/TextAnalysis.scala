@@ -222,17 +222,22 @@ object TextAnalysis {
     * applied cap is gated as the `df_cap` output column. */
   val SparseDfCapDenom = 10
 
-  /** Driver-side bound on the head-term inventory (analytically
-    * < [[SparseDfCapDenom]] · avg tokens per doc, independent of corpus
-    * size — see [[sparseCosineTopk]]); 256 is ~8× this corpus's 31 and,
-    * unlike the earlier 1024, stays comfortably inside codegen practice
-    * (r14 advice): the head pivot emits |head| conditional-sum aggregate
-    * columns plus a |head|-term multiply-add, and at 1024 terms that
-    * expression mass sits near Janino's 64 KB method ceiling — the
-    * documented headroom would have been headroom into interpreted
-    * fallback. A corpus that legitimately exceeds 256 head terms should
-    * raise [[SparseDfCapDenom]] (a higher cap moves terms back to the
-    * df-bounded tail arm, which scales) rather than widen the pivot. */
+  /** Size bound of the DENSE head pivot (the head-term inventory itself
+    * is analytically < [[SparseDfCapDenom]] · avg tokens per doc,
+    * independent of corpus size — see [[sparseCosineTopk]]); 256 is ~8×
+    * this corpus's 31 and, unlike the earlier 1024, stays comfortably
+    * inside codegen practice (r14 advice): the head pivot emits |head|
+    * conditional-sum aggregate columns plus a |head|-term multiply-add,
+    * and at 1024 terms that expression mass sits near Janino's 64 KB
+    * method ceiling — the documented headroom would have been headroom
+    * into interpreted fallback. A corpus whose inventory exceeds the
+    * limit does NOT abort (r15 advice — the earlier `require` turned
+    * 257-head-term corpora into hard runtime errors): the pivot keeps
+    * the top-limit terms by (df desc, token) — the hottest terms are
+    * where the dense arm pays off — and the overflow routes back to the
+    * postings tail arm, which is merely the lowest-df slice of the head
+    * (fan-out just above df_cap), still exact term-for-term.
+    * SparseCosineCapSpec pins limit-invariance of the full output. */
   val SparseHeadTermLimit = 256
 
   /** Sparse TF-IDF cosine top-k via an INVERTED-INDEX postings join — the
@@ -256,8 +261,10 @@ object TextAnalysis {
     * postings representation entirely. The head-term inventory is
     * BOUNDED model metadata — every head term has df > nd/denom and
     * Σ_t df_t ≤ total tokens, so |head| < denom · avg doc length,
-    * corpus-SIZE-independent (`require`d ≤ [[SparseHeadTermLimit]], the
-    * heavyHitters candidate discipline) — so per-doc head weights pivot
+    * corpus-SIZE-independent (the dense pivot additionally tops out at
+    * [[SparseHeadTermLimit]] terms by df, overflow routing back to the
+    * tail arm — the heavyHitters candidate discipline) — so per-doc head
+    * weights pivot
     * into |head| dense columns and head dots are one fused multiply-add
     * expression per (corpus doc, probe) pair on a broadcast
     * nested-loop join: probes·nd rows ONCE, instead of the
@@ -285,7 +292,15 @@ object TextAnalysis {
     * production deployment serves this table from the ingest-built
     * postings index), the two dot arms, a union-sum, and a per-probe
     * top-5 window. */
-  def sparseCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+  def sparseCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    sparseCosineTopkAt(spark, dir, SparseHeadTermLimit)
+
+  /** [[sparseCosineTopk]] at an explicit head-pivot size — the output is
+    * limit-INVARIANT (the head/tail split is exact term-for-term), which
+    * SparseCosineCapSpec pins by running a tiny limit against the
+    * default. */
+  private[operators] def sparseCosineTopkAt(
+      spark: SparkSession, dir: String, headLimit: Int): DataFrame = {
     val tok = tokenized(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .filter(col("token") =!= "")
@@ -310,17 +325,29 @@ object TextAnalysis {
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(col("wa") * col("wb")).as("dot"))
-    val tailW = w.filter(col("df") <= col("df_cap"))
-    val headW = w.filter(col("df") > col("df_cap"))
+    val tailW0 = w.filter(col("df") <= col("df_cap"))
+    val headW0 = w.filter(col("df") > col("df_cap"))
+    // head inventory (bounded driver metadata: < denom · avg doc length
+    // terms at any corpus size) ordered hottest-first; terms beyond the
+    // pivot limit route BACK to the postings tail arm — they are the
+    // lowest-df head slice, so tail fan-out stays near df_cap, and the
+    // split is exact either way (r15 advice: no require() abort)
+    val headInv = headW0.select(col("token"), col("df")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, d) => (-d, t) }
+    val (keptInv, overflowInv) = headInv.splitAt(headLimit)
+    val headTerms = keptInv.map(_._1).sorted
+    val (tailW, headW) =
+      if (overflowInv.isEmpty) (tailW0, headW0)
+      else {
+        val keep = keptInv.map(_._1).toSeq
+        (tailW0.unionByName(headW0.filter(!col("token").isInCollection(keep))),
+          headW0.filter(col("token").isInCollection(keep)))
+      }
     // tail: plain postings join, every key df-bounded (shuffle-safe)
     val tailDots = dotsOf(probesOf(tailW), tailW)
     // head: bounded term inventory → dense per-doc vectors → one fused
     // multiply-add per (corpus doc, probe) pair; no postings blow-up
-    val headTerms = headW.select("token").distinct()
-      .collect().map(_.getString(0)).sorted
-    require(headTerms.length <= SparseHeadTermLimit,
-      s"head-term inventory ${headTerms.length} exceeds " +
-        s"$SparseHeadTermLimit — raise SparseDfCapDenom or the limit")
     val dots = if (headTerms.isEmpty) tailDots else {
       val hvAggs = headTerms.toSeq.zipWithIndex.map { case (t, i) =>
         sum(when(col("token") === t, col("w")).otherwise(0L)).as(s"h$i")

@@ -89,4 +89,20 @@ class SparseCosineCapSpec extends SparkSpec {
         j.hint.leftHint.exists(_.strategy.contains(BROADCAST)))
     }, s"head join's probe-vector side lost its broadcast hint:\n$headJoins")
   }
+
+  test("pivot-limit overflow routes to the tail arm, output limit-invariant " +
+    "(r15 advice: a >limit head inventory must degrade, not abort)") {
+    // the corpus has ~30 head terms; limit 4 forces most of the head
+    // back through the postings arm — top-5 and every value must match
+    // the default-limit output exactly (the split is exact either way)
+    val tiny = TextAnalysis.sparseCosineTopkAt(spark, sfDir, headLimit = 4)
+      .select("doc_a", "rnk", "doc_b", "dot", "sim").collect().toSeq
+    val full = TextAnalysis.sparseCosineTopk(spark, sfDir)
+      .select("doc_a", "rnk", "doc_b", "dot", "sim").collect().toSeq
+    assert(tiny == full, "overflow routing changed the top-5 or its values")
+    // limit 0 = pure postings plan, the degenerate bound
+    val none = TextAnalysis.sparseCosineTopkAt(spark, sfDir, headLimit = 0)
+      .select("doc_a", "rnk", "doc_b", "dot", "sim").collect().toSeq
+    assert(none == full, "all-overflow (pure postings) diverged")
+  }
 }
