@@ -151,3 +151,90 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** `CentroidSqDists(embedding, cents)` → `array<double>` of squared
+  * euclidean distances to each codebook centroid, in codebook order.
+  *
+  * Why native (r16): the coarse-IVF assignment was a
+  * `transform(sequence(0, k−1), j -> aggregate(sequence(0, 63), …))`
+  * nested higher-order fold — HOFs are CodegenFallback, so every row
+  * paid k·64 BOXED lambda steps. With the corpus-scaled k (k = n/1000,
+  * [[graft.operators.Similarity]]) that interpreted constant grew with k
+  * and the 10×-probe assignment pass read 3× its k=8 cost
+  * (sim_ivf_kmeans 8.1 → 24.8 s at sf1). This expression runs the same
+  * arithmetic as ONE tight codegen'd double loop over a referenced
+  * `double[][]` codebook.
+  *
+  * Bit-exactness contract: per centroid, terms accumulate in ascending
+  * component order from a 0.0 seed — `acc += (emb[i] − c[i])²` —
+  * exactly the IEEE order of both the HOF fold it replaces and the
+  * DuckDB oracle's `list_reduce(list_prepend(0.0, list_transform(…)))`,
+  * so every gated distance/argmin hash is unchanged.
+  *
+  * The codebook rides as constructor metadata (broadcast with the task
+  * closure like any literal; k ≤ 256 × 64 doubles = 128 KB ceiling),
+  * NOT as a child expression — a k×64 literal array child would be
+  * re-evaluated generically per row. */
+case class CentroidSqDists(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"centroid_sq_dists expects array<float>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val c = matrix(j)
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = x.getFloat(i).toDouble - c(i)
+        acc += d * d
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centMatrix", matrix, "double[][]")
+    val out = ctx.freshName("out")
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val c = ctx.freshName("c")
+    val d = ctx.freshName("d")
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+        double[] $out = new double[$m.length];
+        for (int $j = 0; $j < $m.length; $j++) {
+          double[] $c = $m[$j];
+          double $acc = 0.0;
+          for (int $i = 0; $i < $c.length; $i++) {
+            double $d = ((double) $x.getFloat($i)) - $c[$i];
+            $acc += $d * $d;
+          }
+          $out[$j] = $acc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidSqDists =
+    copy(child = newChild)
+}

@@ -401,28 +401,23 @@ object Similarity {
           .sortBy(_._1)
       }
 
-    // The codebook rides into the plan as ONE literal array<array<double>>
-    // (bit-exact — no string round trip) and the per-row distance loop is
-    // a compact HOF fold, not an unrolled 8×64 expression tree (which
-    // projection collapse would duplicate into every use site and janino
-    // would choke on). dists is in ascending-cid order, so
+    // The codebook rides as reference metadata of ONE native codegen
+    // expression (bit-exact — no string round trip, no literal tree):
+    // the earlier transform(sequence)/aggregate HOF fold computed the
+    // same values but HOFs are CodegenFallback, so every row paid k·64
+    // BOXED lambda steps — with the corpus-scaled k that interpreted
+    // constant grew 3× at the 10× probe (sim_ivf_kmeans 8.1 → 24.8 s at
+    // sf1, r16). CentroidSqDists runs one tight codegen'd double loop
+    // with the IDENTICAL ascending-component IEEE accumulation, so every
+    // gated hash is unchanged. dists stays in ascending-cid order, so
     // array_position-of-min picks the FIRST minimum — exactly the
-    // oracle's ORDER BY dist, cid tiebreak; each per-centroid fold adds
-    // terms in ascending component order, matching the oracle's
-    // list_reduce.
-    val centMatrix: Column = array(cents.toSeq.map { case (_, c) =>
-      array(c.toSeq.map(lit): _*)
-    }: _*)
+    // oracle's ORDER BY dist, cid tiebreak.
     val cidArr: Column = array(cents.toSeq.map(c => lit(c._1)): _*)
-    val dists: Column = transform(
-      sequence(lit(0), lit(cents.length - 1)),
-      j => aggregate(
-        sequence(lit(0), lit(63)), lit(0.0),
-        (acc, i) => {
-          val d = element_at(col("embedding"), (i + 1).cast("int")).cast("double") -
-            element_at(element_at(centMatrix, (j + 1).cast("int")), (i + 1).cast("int"))
-          acc + d * d
-        }))
+    val dists: Column = org.apache.spark.sql.GraftPlanShim.column(
+      graft.functions.CentroidSqDists(
+        org.apache.spark.sql.GraftPlanShim
+          .expression(col("embedding")),
+        cents.toSeq.map(_._2.toSeq)))
     val assigned = emb
       .withColumn("dists", dists)
       .withColumn("dist", array_min(col("dists")))
@@ -1012,8 +1007,9 @@ object Similarity {
   /** Per-cell population cap for the SemDeDup verify: every vector is
     * verified against the cell's REPRESENTATIVE subset (vec_id < RepN)
     * rather than the whole cell. In production SemDeDup k scales with the
-    * corpus so cells stay O(1) and the cap never binds; at this fixed
-    * k = 8 gate configuration the cap is what keeps the shipped plan
+    * corpus so cells stay O(1) and the cap never binds; [[ivfK]] does
+    * exactly that from n/1000 (r16), but at the gate corpora k sits on
+    * its floor of 8, where the cap is what keeps the shipped plan
     * O(n·RepN/k) — linear in corpus size — instead of Σ n_c² = n²/k.
     * RepN equals the sf0.1 corpus size, so at both gate scales every
     * vector is a representative and the gated values are exactly the
