@@ -181,9 +181,15 @@ case class CentroidSqDists(child: Expression, cents: Seq[Seq[Double]])
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"centroid_sq_dists expects array<float>, got ${t.simpleString}")
+      s"centroid_sq_dists expects array<float> or array<double>, got ${t.simpleString}")
+  }
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   @transient private lazy val matrix: Array[Array[Double]] =
@@ -191,6 +197,7 @@ case class CentroidSqDists(child: Expression, cents: Seq[Seq[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    val isF = childIsFloat
     val out = new Array[Double](matrix.length)
     var j = 0
     while (j < matrix.length) {
@@ -198,7 +205,7 @@ case class CentroidSqDists(child: Expression, cents: Seq[Seq[Double]])
       var acc = 0.0
       var i = 0
       while (i < c.length) {
-        val d = x.getFloat(i).toDouble - c(i)
+        val d = (if (isF) x.getFloat(i).toDouble else x.getDouble(i)) - c(i)
         acc += d * d
         i += 1
       }
@@ -217,6 +224,7 @@ case class CentroidSqDists(child: Expression, cents: Seq[Seq[Double]])
     val acc = ctx.freshName("acc")
     val c = ctx.freshName("c")
     val d = ctx.freshName("d")
+    val get = if (childIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, x => {
       s"""
         double[] $out = new double[$m.length];
@@ -224,7 +232,7 @@ case class CentroidSqDists(child: Expression, cents: Seq[Seq[Double]])
           double[] $c = $m[$j];
           double $acc = 0.0;
           for (int $i = 0; $i < $c.length; $i++) {
-            double $d = ((double) $x.getFloat($i)) - $c[$i];
+            double $d = ((double) $x.$get($i)) - $c[$i];
             $acc += $d * $d;
           }
           $out[$j] = $acc;

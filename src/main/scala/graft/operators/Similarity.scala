@@ -479,8 +479,11 @@ object Similarity {
     * shape with a wider key. Determinism discipline is identical: exact
     * fixed-point centroid sums, in-order IEEE distance folds, first-min
     * argmin = the oracle's (dist, cid) tiebreak. The trained codebook
-    * (4·4·16 doubles) rides back into the final per-row assignment as a
-    * literal matrix — quantizer metadata, no string round trip — and the
+    * (4·4·16 doubles) rides back into the final per-row assignment as
+    * [[graft.functions.CentroidSqDists]] reference metadata over the
+    * subspace slice (r16: the same codegen treatment as the coarse
+    * assignment — the per-(row,subspace) HOF fold was interpreted and
+    * cost sim_pq 3.39 s isolated at sf1 vs 0.80 s native) — and the
     * total MSE adds the four subspace minima in fixed subspace order. */
   def productQuantize(spark: SparkSession, dir: String): DataFrame = {
     val (withDists, _) = pqAssigned(spark, dir)
@@ -544,20 +547,12 @@ object Similarity {
 
     val withDists = (0 until 4).foldLeft(emb) { case (df, s) =>
       val cells = cb(s)
-      val m = array(cells.toSeq.map { case (_, c) =>
-        array(c.toSeq.map(lit): _*)
-      }: _*)
       val cidArr = array(cells.toSeq.map(c => lit(c._1)): _*)
-      val dists = transform(
-        sequence(lit(0), lit(cells.length - 1)),
-        j => aggregate(
-          sequence(lit(0), lit(15)), lit(0.0),
-          (acc, k) => {
-            val d = element_at(col("embedding"), (lit(s * 16) + k + 1).cast("int"))
-              .cast("double") -
-              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
-            acc + d * d
-          }))
+      val dists = org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.CentroidSqDists(
+          org.apache.spark.sql.GraftPlanShim.expression(
+            expr(s"slice(embedding, ${s * 16} + 1, 16)")),
+          cells.toSeq.map(_._2.toSeq)))
       df.withColumn(s"dists$s", dists)
         .withColumn(s"d$s", array_min(col(s"dists$s")))
         .withColumn(s"code$s", element_at(cidArr,
@@ -601,19 +596,11 @@ object Similarity {
       queriesDf: DataFrame, cb: Map[Int, Array[(Int, Array[Double])]]): DataFrame =
     (0 until 4).foldLeft(queriesDf) { case (df, s) =>
       val cells = cb(s)
-      val m = array(cells.toSeq.map { case (_, c) =>
-        array(c.toSeq.map(lit): _*)
-      }: _*)
-      val dt = transform(
-        sequence(lit(0), lit(cells.length - 1)),
-        j => aggregate(
-          sequence(lit(0), lit(15)), lit(0.0),
-          (acc, k) => {
-            val d = element_at(col("embedding"), (lit(s * 16) + k + 1).cast("int"))
-              .cast("double") -
-              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
-            acc + d * d
-          }))
+      val dt = org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.CentroidSqDists(
+          org.apache.spark.sql.GraftPlanShim.expression(
+            expr(s"slice(embedding, ${s * 16} + 1, 16)")),
+          cells.toSeq.map(_._2.toSeq)))
       df.withColumn(s"dt$s", dt)
     }
 
@@ -730,19 +717,12 @@ object Similarity {
       }
     val withDists = (0 until 4).foldLeft(res) { case (df, s) =>
       val cells = cb(s)
-      val m = array(cells.toSeq.map { case (_, c) =>
-        array(c.toSeq.map(lit): _*)
-      }: _*)
       val cidA = array(cells.toSeq.map(c => lit(c._1)): _*)
-      val dists = transform(
-        sequence(lit(0), lit(cells.length - 1)),
-        j => aggregate(
-          sequence(lit(0), lit(15)), lit(0.0),
-          (acc, k) => {
-            val d = element_at(col("rv"), (lit(s * 16) + k + 1).cast("int")) -
-              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
-            acc + d * d
-          }))
+      val dists = org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.CentroidSqDists(
+          org.apache.spark.sql.GraftPlanShim.expression(
+            expr(s"slice(rv, ${s * 16} + 1, 16)")),
+          cells.toSeq.map(_._2.toSeq)))
       df.withColumn(s"rdists$s", dists)
         .withColumn(s"rd$s", array_min(col(s"rdists$s")))
         .withColumn(s"rcode$s", element_at(cidA,
@@ -757,18 +737,11 @@ object Similarity {
       cb: Map[Int, Array[(Int, Array[Double])]]): DataFrame =
     (0 until 4).foldLeft(queriesDf) { case (df, s) =>
       val cells = cb(s)
-      val m = array(cells.toSeq.map { case (_, c) =>
-        array(c.toSeq.map(lit): _*)
-      }: _*)
-      val dt = transform(
-        sequence(lit(0), lit(cells.length - 1)),
-        j => aggregate(
-          sequence(lit(0), lit(15)), lit(0.0),
-          (acc, k) => {
-            val d = element_at(col("rv"), (lit(s * 16) + k + 1).cast("int")) -
-              element_at(element_at(m, (j + 1).cast("int")), (k + 1).cast("int"))
-            acc + d * d
-          }))
+      val dt = org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.CentroidSqDists(
+          org.apache.spark.sql.GraftPlanShim.expression(
+            expr(s"slice(rv, ${s * 16} + 1, 16)")),
+          cells.toSeq.map(_._2.toSeq)))
       df.withColumn(s"rdt$s", dt)
     }
 

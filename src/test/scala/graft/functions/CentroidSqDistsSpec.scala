@@ -40,11 +40,20 @@ class CentroidSqDistsSpec extends SparkSpec {
     }
   }
 
-  test("rejects non-float arrays; null input stays null") {
+  test("double-array input (the PQ residual path) equals the float path's arithmetic") {
+    val cents = Seq(Seq(1.5, -2.25), Seq(0.0, 4.0))
+    val row = spark.sql("SELECT array(cast(0.5 as double), cast(3.0 as double)) AS e")
+      .select(GraftPlanShim.column(CentroidSqDists(
+        GraftPlanShim.expression(col("e")), cents)).as("d")).head()
+    // (0.5-1.5)^2+(3.0+2.25)^2 = 1 + 27.5625; (0.5)^2+(3.0-4.0)^2 = 1.25
+    assert(row.getSeq[Double](0) == Seq(28.5625, 1.25))
+  }
+
+  test("rejects non-numeric-array input; null input stays null") {
     val cents = Seq(Seq(0.0, 1.0))
     val bad = intercept[Exception] {
       spark.range(1).select(GraftPlanShim.column(CentroidSqDists(
-        GraftPlanShim.expression(expr("array(1.0d)")), cents))).collect()
+        GraftPlanShim.expression(expr("array('a')")), cents))).collect()
     }
     assert(bad.getMessage.contains("centroid_sq_dists") ||
       bad.getMessage.toLowerCase.contains("data type"))
