@@ -104,9 +104,15 @@ object Features {
     import spark.implicits._
     val lab = Tables.documents(spark, dir).select(col("doc_id"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    // Hash-partitioned on doc_id BEFORE caching (r16 optimization): every
+    // epoch's margin window partitions by doc_id, so an unpartitioned cache
+    // pays one full exchange of the feature rows PER EPOCH — the cached
+    // partitioning is plan metadata the optimizer reuses, turning 4
+    // epoch exchanges into the single one paid here at build time.
     val fx = featureRows(spark, dir).join(lab, "doc_id")
       .select(col("doc_id"), col("dim"), col("weight").as("x"), col("y"))
       .unionByName(lab.select(col("doc_id"), lit(Dims).as("dim"), lit(1L).as("x"), col("y")))
+      .repartition(col("doc_id"))
       .persist()
     val wdoc = Window.partitionBy("doc_id")
     val w = Array.fill[Long](Dims + 1)(0L)

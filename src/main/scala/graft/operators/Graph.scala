@@ -368,13 +368,30 @@ object Graph {
     * plan depth stays O(1) per round (the CC lineage-hygiene pattern). */
   private[operators] def kcoreEdges(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = e0
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k)
-      e = e
-        .join(keep.select(col("v").as("u1")), Seq("u1"), "left_semi")
-        .join(keep.select(col("v").as("u2")), Seq("u2"), "left_semi")
-        .select("u1", "u2")
-        .localCheckpoint(true)
+    var fixpoint = false
+    for (_ <- 1 to rounds if !fixpoint) {
+      // The degree table is per-node metadata (≪ edges); checkpointing it
+      // lets the fixpoint probe and the two semi-joins share one
+      // computation instead of re-aggregating the edge list three times.
+      val deg = degrees(e).localCheckpoint(true)
+      if (deg.filter(col("deg") < k).isEmpty) {
+        // Early fixpoint exit (r16 optimization): a peel round only ever
+        // REMOVES nodes, so when no node sits below k the semi-joins keep
+        // every edge and this round — and by induction every later one —
+        // is the identity. Skipping them changes the plan, never the
+        // result (Round7Spec's at-vs-beyond fixpoint test pins this), and
+        // saves (rounds − r_fix) full join+checkpoint passes: the peel
+        // converges in 2-3 rounds on every gate corpus while the fixed
+        // bound must stay high enough for adversarial degeneracy.
+        fixpoint = true
+      } else {
+        val keep = deg.filter(col("deg") >= k)
+        e = e
+          .join(keep.select(col("v").as("u1")), Seq("u1"), "left_semi")
+          .join(keep.select(col("v").as("u2")), Seq("u2"), "left_semi")
+          .select("u1", "u2")
+          .localCheckpoint(true)
+      }
     }
     e
   }
