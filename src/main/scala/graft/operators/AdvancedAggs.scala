@@ -19,6 +19,17 @@ object AdvancedAggs {
 
   private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
 
+  /** Exact integer hundredths of a non-negative 2-dp money double, in pure
+    * codegen long arithmetic: equals `(CAST(x AS DECIMAL(15,2)) * 100)
+    * ::BIGINT` on every representable 2-dp double (floor(x·100 + 0.5)
+    * reproduces the HALF_UP decimal cast — x·100 lands within ~1e-9 of
+    * the integer, and exact-.5 doubles round up on both paths) without
+    * the per-row java.math.BigDecimal detour the decimal cast pays (r16
+    * optimization; the DuckDB oracles keep the decimal spelling and the
+    * gate verifies the equivalence value-by-value on every corpus). */
+  private def cents(c: Column): Column =
+    floor(c * 100 + lit(0.5d)).cast("long")
+
   /** Exact interpolated percentiles of a value column per return flag,
     * from an AGGREGATED cumulative histogram instead of the built-in
     * `percentile` aggregate: `percentile` buffers a value→count map per
@@ -151,18 +162,47 @@ object AdvancedAggs {
     * at every cluster size, making correlation hash-gateable rather than
     * approximately-compared. */
   def corrPriceQty(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val q = col("l_quantity").cast(DecimalType(12, 2))
-    val p = col("l_extendedprice").cast(DecimalType(12, 2))
+    // Exact decimal moments via LONG-decomposed hundredths (r16, guide §1.2
+    // step 2 / §2.3 narrower types): the previous formulation summed
+    // products of DECIMAL(12,2) casts — Spark's Decimal.* routes every
+    // row through java.math.BigDecimal, which made this one-pass
+    // aggregation allocation-bound (7.9 s at sf1 for five decimal moments
+    // over 6M rows). Both columns are exact hundredths, so each moment is
+    // a plain BIGINT product sum in whole-stage codegen; the one sum whose
+    // per-row terms reach 1.2e14 (Σ price²) is split div/mod 10⁶ so its
+    // components stay exact to ~10¹² rows per group (the others bound at
+    // n·5.5e10 ≤ 2⁶³ past 10⁸ rows per group and split the same way the
+    // day they need to). The decimal values are reassembled from the
+    // aggregated components on the 3 output rows — the identical exact
+    // rational followed by the identical IEEE double cast, so the oracle
+    // hash is unchanged (decimal cast rounding ≡ floor(x·100 + 0.5) on
+    // non-negative hundredths data; the gate verifies it value-by-value).
+    val qc = expr("cast(floor(l_quantity * 100 + 0.5d) as bigint)")
+    val pc = expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)")
+    def exactDouble(unscaled: Column, scale: Int): Column =
+      (unscaled.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+        math.pow(10, scale).toLong).cast("double")
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), qc.as("qc"), pc.as("pc"))
+      .select(col("l_returnflag"), col("qc"), col("pc"),
+        (col("pc") * col("pc")).as("pp"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(q).cast("double").as("sx"),
-        sum(p).cast("double").as("sy"),
-        sum(q * p).cast("double").as("sxy"),
-        sum(q * q).cast("double").as("sxx"),
-        sum(p * p).cast("double").as("syy"))
+        sum(col("qc")).as("sqc"),
+        sum(col("pc")).as("spc"),
+        sum(col("qc") * col("pc")).as("sqp"),
+        sum(col("qc") * col("qc")).as("sqq"),
+        sum(expr("pp div 1000000")).as("sppa"),
+        sum(expr("pp % 1000000")).as("sppb"))
+      .select(col("l_returnflag"), col("n"),
+        exactDouble(col("sqc"), 2).as("sx"),
+        exactDouble(col("spc"), 2).as("sy"),
+        exactDouble(col("sqp"), 4).as("sxy"),
+        exactDouble(col("sqq"), 4).as("sxx"),
+        exactDouble(col("sppa").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L
+          + col("sppb"), 4).as("syy"))
       .select(col("l_returnflag"), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
@@ -178,15 +218,25 @@ object AdvancedAggs {
     * one final double evaluation of exact sums can and does. */
   def dispersionQty(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val q = col("l_quantity").cast(DecimalType(12, 2))
+    // Long-decomposed exact moments, same discipline (and equivalence
+    // argument) as [[corrPriceQty]]: Σqc and Σqc² fit BIGINT to ~10¹¹
+    // rows per group (qc ≤ 5·10³), reassembled exactly on 3 rows.
+    val qc = expr("cast(floor(l_quantity * 100 + 0.5d) as bigint)")
+    def exactDouble(unscaled: Column, scale: Int): Column =
+      (unscaled.cast(DecimalType(38, 0)) /
+        math.pow(10, scale).toLong).cast("double")
     val varCol = (col("n") * col("sxx") - col("sx") * col("sx")) /
       (col("n").cast("double") * (col("n") - 1))
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), qc.as("qc"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(q).cast("double").as("sx"),
-        sum(q * q).cast("double").as("sxx"))
+        sum(col("qc")).as("sqc"),
+        sum(col("qc") * col("qc")).as("sqq"))
+      .select(col("l_returnflag"), col("n"),
+        exactDouble(col("sqc"), 2).as("sx"),
+        exactDouble(col("sqq"), 4).as("sxx"))
       .select(col("l_returnflag"), col("n"),
         (col("sx") / col("n")).as("mean_qty"),
         varCol.as("var_qty"),
@@ -221,10 +271,15 @@ object AdvancedAggs {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("q").cast(d38)).as("s1r"),
-        sum((col("q") * col("q")).cast(d38)).as("s2r"),
-        sum((col("q") * col("q") * col("q")).cast(d38)).as("s3r"),
-        sum((col("q") * col("q") * col("q") * col("q")).cast(d38)).as("s4r"))
+        // r16: plain BIGINT power sums — the per-row long->DECIMAL(38)
+        // casts fed Decimal-object accumulation for values the scaladoc
+        // already bounds under 2^53 (the exact-cast envelope); long sums
+        // are exact far beyond it and keep the aggregation in whole-stage
+        // codegen. Same values, same final casts, hash unchanged.
+        sum(col("q")).as("s1r"),
+        sum(col("q") * col("q")).as("s2r"),
+        sum(col("q") * col("q") * col("q")).as("s3r"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4r"))
       .select(col("l_returnflag"), col("n"),
         col("s1r").cast("double").as("sx"),
         col("s2r").cast("double").as("sxx"),
@@ -494,8 +549,12 @@ object AdvancedAggs {
       .groupBy(least(floor(col("l_extendedprice") / 5000.0), lit(19L))
         .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_extendedprice").cast(DecimalType(15, 2)))
-          .cast("double").as("sum_price"))
+        // r16: exact cents sum in codegen longs, reassembled to the same
+        // decimal value (and the same IEEE double) on the 20 output rows
+        sum(cents(col("l_extendedprice"))).as("spc"))
+      .select(col("bucket"), col("n"),
+        (col("spc").cast(DecimalType(38, 0)) / 100).cast("double")
+          .as("sum_price"))
       .orderBy("bucket")
 
   /** Boolean/conditional aggregate surface: count_if / bool_and (every) /
@@ -564,7 +623,7 @@ object AdvancedAggs {
     val d38 = DecimalType(38, 0)
     val base = Tables.events(spark, dir)
       .select(col("user_id"), col("ts").cast("long").as("es"),
-        (col("value").cast(DecimalType(15, 2)) * 100).cast("long").as("cents"))
+        cents(col("value")).as("cents"))
       .withColumn("x",
         col("es") - min(col("es")).over(Window.partitionBy(col("user_id"))))
     val denom = col("n") * col("sxx") - col("sx") * col("sx")
@@ -762,7 +821,7 @@ object AdvancedAggs {
     val series = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"),
         date_trunc("month", col("l_shipdate")).as("mon"))
-      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("rev"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
     val pairs = series.select(col("l_returnflag"), col("mon").as("m1"), col("rev").as("r1"))
       .join(broadcast(series.select(col("l_returnflag"), col("mon").as("m2"), col("rev").as("r2"))),
         Seq("l_returnflag"))
@@ -792,8 +851,7 @@ object AdvancedAggs {
     * broadcast total. One partial-aggregated scan into ≤9 groups. */
   def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
     val digits = Tables.lineitem(spark, dir)
-      .select(substring((dec(col("l_extendedprice")) * 100).cast("long")
-        .cast("string"), 1, 1).as("digit"))
+      .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
       .select(col("digit"), col("n"),
@@ -879,7 +937,7 @@ object AdvancedAggs {
     val pairs = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"),
         date_trunc("month", col("l_shipdate")).as("mon"))
-      .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")).as("cents"))
+      .agg(sum(cents(col("l_extendedprice"))).as("cents"))
       .select(col("l_returnflag"), col("mon"),
         expr("cents div 100000").as("x"))
       .withColumn("y", lag(col("x"), 1).over(w))
@@ -1106,7 +1164,7 @@ object AdvancedAggs {
     graft.functions.Registry.register(spark)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
-        (dec(col("value")) * 100).cast("long").as("cents"))
+        cents(col("value")).as("cents"))
     val base = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
     // The weight is a sum of 7 plain comparisons, NOT size(filter(...)):
@@ -1336,8 +1394,7 @@ object AdvancedAggs {
     val byP = Window.partitionBy(col("o_orderpriority"))
     val ranked = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(15, 2)) * 100).cast("long")
-          .as("cents"))
+        cents(col("o_totalprice")).as("cents"))
       .withColumn("rk", row_number().over(
         byP.orderBy(col("cents"), col("o_orderkey"))))
       .withColumn("n", count(lit(1)).over(byP))
@@ -1537,8 +1594,7 @@ object AdvancedAggs {
     val byP = Window.partitionBy(col("o_orderpriority"))
     val ranked = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(15, 2)) * 100).cast("long")
-          .as("cents"))
+        cents(col("o_totalprice")).as("cents"))
       .withColumn("rk", row_number().over(
         byP.orderBy(col("cents"), col("o_orderkey"))))
       .withColumn("n", count(lit(1)).over(byP))

@@ -44,21 +44,53 @@ object Relational {
 
   /** TPC-H Q1: pricing summary report over lineitem. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    // Exact decimal aggregation via LONG-decomposed hundredths (r16, guide
+    // §1.2 step 2): the decimal formulation paid two java.math.BigDecimal
+    // multiplies (disc_price, charge) plus five decimal casts PER ROW —
+    // 6.1 s at sf1 for a single-pass 4-group aggregation. Money and rate
+    // columns are exact hundredths, so every product is a BIGINT in whole-
+    // stage codegen: disc_u = pc·(100−dk) carries 10⁻⁴ units, chg_u =
+    // disc_u·(100+tk) carries 10⁻⁶ units. The two product sums are split
+    // div/mod 10⁶ so each component stays exact past 10¹¹ rows per group
+    // (100 TB of lineitem ≈ 10¹² rows over 4 groups; Σpc ≤ 2.8e18 there —
+    // within 2⁶³ — and the split components orders of magnitude below).
+    // The exact decimal values are reassembled on the 4 output rows and
+    // cast to double — identical exact rationals, identical IEEE casts,
+    // identical oracle hash (decimal(15,2) cast ≡ floor(x·100+0.5) on
+    // non-negative hundredths data; the gate verifies value-by-value).
+    val d38 = DecimalType(38, 0)
+    def exactDouble(unscaled: Column, pow10: Long): Column =
+      (unscaled.cast(d38) / pow10).cast("double")
     val li = Tables.lineitem(spark, dir)
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("cast(floor(l_quantity * 100 + 0.5d) as bigint)").as("qc"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)").as("pc"),
+        expr("cast(floor(l_discount * 100 + 0.5d) as bigint)").as("dk"),
+        expr("cast(floor(l_tax * 100 + 0.5d) as bigint)").as("tk"))
+      .withColumn("disc_u", col("pc") * (lit(100L) - col("dk")))
+      .withColumn("chg_u", col("disc_u") * (lit(100L) + col("tk")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sumMoney(col("l_quantity")).as("sum_qty"),
-        sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        sum(discounted(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("sum_disc_price"),
-        sum(discounted(col("l_extendedprice"), col("l_discount"))
-          * (lit(1).cast(DecimalType(3, 2)) + rate(col("l_tax"))))
-          .cast("double").as("sum_charge"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        sum(col("qc")).as("sqc"),
+        sum(col("pc")).as("spc"),
+        sum(col("dk")).as("sdk"),
+        sum(expr("disc_u div 1000000")).as("sda"),
+        sum(expr("disc_u % 1000000")).as("sdb"),
+        sum(expr("chg_u div 1000000")).as("sca"),
+        sum(expr("chg_u % 1000000")).as("scb"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        exactDouble(col("sqc"), 100L).as("sum_qty"),
+        exactDouble(col("spc"), 100L).as("sum_base_price"),
+        exactDouble(col("sda").cast(d38) * 1000000L + col("sdb"), 10000L)
+          .as("sum_disc_price"),
+        exactDouble(col("sca").cast(d38) * 1000000L + col("scb"), 1000000L)
+          .as("sum_charge"),
+        (exactDouble(col("sqc"), 100L) / col("cnt")).as("avg_qty"),
+        (exactDouble(col("spc"), 100L) / col("cnt")).as("avg_price"),
+        (exactDouble(col("sdk"), 100L) / col("cnt")).as("avg_disc"),
+        col("cnt").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
