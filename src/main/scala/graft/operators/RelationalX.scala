@@ -222,9 +222,16 @@ object RelationalX {
   /** TPC-H Q18: large-volume customers — orders whose total quantity
     * exceeds 250 units, with customer attribution. */
   def q18LargeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    // r16: exact hundredths in codegen longs instead of a per-row decimal
+    // cast feeding BigDecimal accumulation over the full lineitem scan —
+    // identical exact value reassembled per order (see Relational.q1's
+    // equivalence note), so the HAVING compare and the gate hash are
+    // unchanged.
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .agg(sum(floor(col("l_quantity") * 100 + lit(0.5d)).cast("long")).as("qc"))
+      .select(col("l_orderkey"),
+        (col("qc").cast(DecimalType(38, 0)) / 100).cast("double").as("total_qty"))
       .filter(col("total_qty") > 250.0)
     val ord = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
