@@ -22,6 +22,19 @@ object Events {
 
   private def dec(c: Column): Column = c.cast(DecimalType(15, 2))
 
+  /** Exact hundredths in codegen longs — equals (dec(x)·100)::BIGINT on
+    * 2-dp data without the per-row BigDecimal detour; see the equivalence
+    * note in AdvancedAggs.cents (r16). */
+  private def cents(c: Column): Column =
+    floor(c * 100 + lit(0.5d)).cast("long")
+
+  /** Exact decimal sum of a 2-dp money column as double: BIGINT cents
+    * accumulation reassembled once per group — same value, same final
+    * IEEE cast as sum(dec(c)).cast("double") (r16). */
+  private def sumValue(c: Column): Column =
+    (sum(cents(c)).cast(DecimalType(38, 0)) / 100).cast("double")
+
+
   /** Hourly tumbling-window aggregate per event type, via Spark's `window()`
     * bucketing (epoch-aligned 1h tumble ≡ date_trunc('hour')). */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
@@ -30,7 +43,7 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        sumValue(col("value")).as("sum_value"))
       .select(
         col("window.start").as("bucket"),
         col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
@@ -55,7 +68,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(dec(col("value"))).cast("double").as("session_value"))
+        sumValue(col("value")).as("session_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -117,7 +130,7 @@ object Events {
       .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
         col("value"))
     val hourly = ev.groupBy(col("user_id"), col("bucket"))
-      .agg(sum(dec(col("value"))).cast("double").as("hour_value"),
+      .agg(sumValue(col("value")).as("hour_value"),
         count(lit(1)).as("n_events"))
     val grid = ev.groupBy(col("user_id"))
       .agg(min(col("bucket")).as("h0"), max(col("bucket")).as("h1"))
@@ -263,7 +276,7 @@ object Events {
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("session_value"))
+        sumValue(col("value")).as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -281,7 +294,7 @@ object Events {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        sumValue(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -315,7 +328,8 @@ object Events {
         count(lit(1)).as("n_total"),
         sum(col("kept")).as("n_kept"),
         (count(lit(1)) - sum(col("kept"))).as("n_dropped"),
-        sum(when(col("kept") === 1L, dec(col("value")))).cast("double")
+        (sum(when(col("kept") === 1L, cents(col("value"))))
+          .cast(DecimalType(38, 0)) / 100).cast("double")
           .as("kept_value"))
       .orderBy("event_type")
   }
@@ -347,7 +361,7 @@ object Events {
           col("last_click.ck")))
       .groupBy(col("campaign"))
       .agg(count(lit(1)).as("n_purchases"),
-        sum(dec(col("value"))).cast("double").as("attributed_value"))
+        sumValue(col("value")).as("attributed_value"))
       .orderBy(col("campaign").asc_nulls_first)
   }
 
@@ -361,7 +375,7 @@ object Events {
     Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(date_trunc("hour", col("ts")).as("bucket"),
-        (dec(col("value")) * 100).cast("long").as("cents"),
+        cents(col("value")).as("cents"),
         (get_json_object(col("props"), "$.k").cast("long") + 1L).as("qty"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_trades"),
@@ -400,7 +414,7 @@ object Events {
         collect_list(when(col("event_type") === "click",
           struct(col("k").as("ck")))).over(w))
       .filter(col("event_type") === "purchase")
-      .select((dec(col("value")) * 100).cast("long").as("cents"),
+      .select(cents(col("value")).as("cents"),
         size(col("touches")).as("n"), explode_outer(col("touches")).as("t"))
       .select(col("t.ck").as("campaign"),
         when(col("n") > 0, expr("(cents * 10000) div n"))
@@ -433,7 +447,7 @@ object Events {
           struct(es.as("ces"), col("event_id").as("cid"), col("k").as("ck"))))
           .over(w)))
       .filter(col("event_type") === "purchase")
-      .select((dec(col("value")) * 100).cast("long").as("cents"),
+      .select(cents(col("value")).as("cents"),
         size(col("touches")).as("n"),
         posexplode_outer(col("touches")).as(Seq("pos", "t")))
       .select(col("t.ck").as("campaign"),
