@@ -398,10 +398,13 @@ object AdvancedAggs {
     // 4-way union of full scans, which would read the stream 4 times
     Tables.events(spark, dir)
       .select(explode(expr(
-        """transform(sequence(0, 3), r -> named_struct(
-          |  'r', r,
-          |  'c', portable_hash60(concat('cms', r, ':', cast(user_id as string))) % 256))"""
-          .stripMargin)).as("x"))
+        // r16: unrolled 4-element array — transform(sequence) lambdas are
+        // CodegenFallback and this ran interpreted per event row; the
+        // explicit array of named_structs is whole-stage codegen with
+        // identical values (same hash inputs, int literals for r).
+        (0 until 4).map(r => s"named_struct('r', $r, " +
+          s"'c', portable_hash60(concat('cms', $r, ':', cast(user_id as string))) % 256)")
+          .mkString("array(", ", ", ")"))).as("x"))
       .select(col("x.r").as("sketch_row"), col("x.c").as("sketch_col"))
       .groupBy("sketch_row", "sketch_col")
       .agg(count(lit(1)).as("cell_count"))
@@ -426,9 +429,10 @@ object AdvancedAggs {
       .select(col("o_custkey").as("k")).distinct()
     def positions(df: DataFrame): DataFrame = df
       .select(col("k"), explode(expr(
-        """transform(sequence(0, 3),
-          |  r -> portable_hash60(concat('bloom', r, ':', cast(k as string))) % 1024)"""
-          .stripMargin)).as("pos"))
+        // r16: unrolled, same reason as the CMS cells above
+        (0 until 4).map(r =>
+          s"portable_hash60(concat('bloom', $r, ':', cast(k as string))) % 1024")
+          .mkString("array(", ", ", ")"))).as("pos"))
       .select(col("k"), expr("pos div 32").as("word"), expr("pos % 32").as("bit"))
     val bitmap = positions(members)
       .groupBy(col("word"))
@@ -870,10 +874,13 @@ object AdvancedAggs {
     graft.functions.Registry.register(spark)
     val cells = Tables.events(spark, dir)
       .select(explode(expr(
-        """transform(sequence(0, 3), r -> named_struct(
-          |  'r', r,
-          |  'c', portable_hash60(concat('cms', r, ':', cast(user_id as string))) % 256))"""
-          .stripMargin)).as("x"))
+        // r16: unrolled 4-element array — transform(sequence) lambdas are
+        // CodegenFallback and this ran interpreted per event row; the
+        // explicit array of named_structs is whole-stage codegen with
+        // identical values (same hash inputs, int literals for r).
+        (0 until 4).map(r => s"named_struct('r', $r, " +
+          s"'c', portable_hash60(concat('cms', $r, ':', cast(user_id as string))) % 256)")
+          .mkString("array(", ", ", ")"))).as("x"))
       .select(col("x.r").as("r"), col("x.c").as("c"))
       .groupBy("r", "c")
       .agg(count(lit(1)).as("cell_count"))
@@ -882,10 +889,13 @@ object AdvancedAggs {
       .orderBy(col("exact_n").desc, col("user_id")).limit(10)
     top
       .select(col("user_id"), col("exact_n"), explode(expr(
-        """transform(sequence(0, 3), r -> named_struct(
-          |  'r', r,
-          |  'c', portable_hash60(concat('cms', r, ':', cast(user_id as string))) % 256))"""
-          .stripMargin)).as("x"))
+        // r16: unrolled 4-element array — transform(sequence) lambdas are
+        // CodegenFallback and this ran interpreted per event row; the
+        // explicit array of named_structs is whole-stage codegen with
+        // identical values (same hash inputs, int literals for r).
+        (0 until 4).map(r => s"named_struct('r', $r, " +
+          s"'c', portable_hash60(concat('cms', $r, ':', cast(user_id as string))) % 256)")
+          .mkString("array(", ", ", ")"))).as("x"))
       .join(broadcast(cells),
         col("x.r") === col("r") && col("x.c") === col("c"))
       .groupBy(col("user_id"), col("exact_n"))
@@ -1650,10 +1660,10 @@ object AdvancedAggs {
       .groupBy("user_id").agg(count(lit(1)).as("f"))
     val z = freq
       .select(col("f"), explode(expr(
-        """transform(sequence(0, 15), j -> named_struct(
-          |  'j', j,
-          |  's', portable_hash60(concat('ams', j, ':', cast(user_id as string))) % 2 * 2 - 1))"""
-          .stripMargin)).as("x"))
+        // r16: unrolled, same reason as the CMS cells above
+        (0 until 16).map(j => s"named_struct('j', $j, " +
+          s"'s', portable_hash60(concat('ams', $j, ':', cast(user_id as string))) % 2 * 2 - 1)")
+          .mkString("array(", ", ", ")"))).as("x"))
       .groupBy(col("x.j").cast("long").as("estimator"))
       .agg(sum(col("x.s") * col("f")).as("z"))
     val exact = freq.agg(sum(col("f") * col("f")).as("f2_exact"))

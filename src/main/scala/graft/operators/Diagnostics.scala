@@ -230,10 +230,11 @@ object Diagnostics {
     Tables.events(spark, dir)
       .filter(col("event_type") === t)
       .select(explode(expr(
-        s"""transform(sequence(0, 3), r -> named_struct(
-           |  'r', r,
-           |  'c', portable_hash60(concat('js', r, ':', cast(user_id as string))) % $JsWidth))"""
-          .stripMargin)).as("x"))
+        // r16: unrolled — transform(sequence) is CodegenFallback and ran
+        // interpreted per event row; identical values in codegen.
+        (0 until 4).map(r => s"named_struct('r', $r, " +
+          s"'c', portable_hash60(concat('js', $r, ':', cast(user_id as string))) % $JsWidth)")
+          .mkString("array(", ", ", ")"))).as("x"))
       .groupBy(col("x.r").as("sketch_row"), col("x.c").as("sketch_col"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -389,10 +390,10 @@ object Diagnostics {
       java.lang.Long.valueOf(
         Tables.events(spark, dir)
           .select(explode(expr(
-            s"""transform(sequence(0, 3), r -> named_struct(
-               |  'r', r,
-               |  'c', portable_hash60(concat('ha', r, ':', cast(user_id as string))) % $JsWidth))"""
-              .stripMargin)).as("x"))
+            // r16: unrolled, same reason as cmsSide
+            (0 until 4).map(r => s"named_struct('r', $r, " +
+              s"'c', portable_hash60(concat('ha', $r, ':', cast(user_id as string))) % $JsWidth)")
+              .mkString("array(", ", ", ")"))).as("x"))
           .groupBy(col("x.r").as("r"), col("x.c").as("c"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy("r").agg(max(col("cnt")).as("row_max"))

@@ -177,15 +177,27 @@ object Relational {
     * degrades to a shuffled join when it isn't. PLANS.md still shows
     * BroadcastHashJoin at gate scale, now chosen instead of forced. */
   def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // r16: the revenue sum runs over EVERY joined lineitem row (this is
+    // the one unfiltered discounted-revenue scan in the family), so the
+    // per-row decimal multiply dominated — same long-decomposition as q1:
+    // disc_u = pc·(100−dk) in 10⁻⁴ units, split div/mod 10⁶, exact value
+    // reassembled per brand. Identical double, oracle hash unchanged.
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
     val li = Tables.lineitem(spark, dir)
-      .select("l_partkey", "l_extendedprice", "l_discount")
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100 + lit(0.5d)).cast("long").as("pc"),
+        floor(col("l_discount") * 100 + lit(0.5d)).cast("long").as("dk"))
+      .withColumn("disc_u", col("pc") * (lit(100L) - col("dk")))
     li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        sum(discounted(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("revenue"),
+        sum(expr("disc_u div 1000000")).as("sda"),
+        sum(expr("disc_u % 1000000")).as("sdb"),
         count(lit(1)).as("n_items"))
+      .select(col("p_brand"),
+        ((col("sda").cast(DecimalType(38, 0)) * 1000000L + col("sdb")) / 10000L)
+          .cast("double").as("revenue"),
+        col("n_items"))
       .orderBy("p_brand")
   }
 
