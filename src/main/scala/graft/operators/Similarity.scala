@@ -56,20 +56,24 @@ object Similarity {
     * term order, so every projection double — and thus every sign
     * boundary — is bit-identical to the oracle's recomputed version. */
   private def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val signs: Seq[String] = (0 until 8).map { p =>
+    // r16: the nested aggregate(sequence) fold was CodegenFallback — every
+    // row paid 8×64 boxed lambda steps. Each plane's projection is now the
+    // native codegen dot_product against a FLOAT sign-array literal: ±1.0
+    // is exact in float, multiply-by-±1.0 is exact in double, and
+    // DotProduct accumulates ascending with the same s + sign·emb[i]
+    // operation sequence — every projection double, and therefore every
+    // sign boundary and bucket, is bit-identical to the fold (the gate
+    // re-verified both consumers hash-green).
+    val planes: Seq[String] = (0 until 8).map { p =>
       (0 until 64).map { i =>
         val h = graft.functions.HashUtil.hash60(
           org.apache.spark.unsafe.types.UTF8String.fromString(s"pl$p:$i"))
-        if (h % 2 == 1) "1.0D" else "-1.0D" // h is a 60-bit value, ≥ 0
+        if (h % 2 == 1) "cast(1.0 as float)" else "cast(-1.0 as float)"
       }.mkString("array(", ", ", ")")
     }
-    val signMatrix = signs.mkString("array(", ", ", ")")
-    val bucketSql =
-      s"""aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) -> acc + if(
-        |  aggregate(sequence(0, 63), cast(0.0 as double), (s, i) ->
-        |    s + element_at(element_at($signMatrix, p + 1), i + 1)
-        |      * cast(embedding[i] as double)) > 0D,
-        |  shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
+    val bucketSql = (0 until 8).map { p =>
+      s"if(dot_product(${planes(p)}, embedding) > 0D, ${1L << p}L, 0L)"
+    }.mkString("(", " + ", ")")
     normed(spark, dir)
       .select(col("vec_id"), col("embedding"), col("nrm"), expr(bucketSql).as("bucket"))
   }
