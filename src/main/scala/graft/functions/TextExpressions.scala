@@ -129,6 +129,8 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "sq_dist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "portable_hash60", exprs => PortableHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash32", exprs => Simhash32(exprs.head), "built-in")

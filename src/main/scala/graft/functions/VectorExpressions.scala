@@ -152,6 +152,78 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sq_dist(a, b)` → double: the exact squared euclidean distance with
+  * the same ascending-component IEEE accumulation as the declarative
+  * `aggregate(sequence(0, n-1), 0.0, (acc, i) -> acc + (a[i]-b[i])²)`
+  * fold it replaces (r16): d = (double)a[i] − (double)b[i]; acc += d·d.
+  * HOF folds are CodegenFallback, so the exact ground-truth L2 passes in
+  * the IVF/ADC recall queries ran 64 boxed lambda steps per candidate
+  * pair; this native codegen loop produces the bit-identical double for
+  * every pair, so rankings and gate hashes are unchanged. Accepts
+  * array<float> or array<double> on either side independently. */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_dist expects array<float>/array<double> operands, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    val getX = if (isFloat(left)) "getFloat" else "getDouble"
+    val getY = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+        int $n = Math.min($x.numElements(), $y.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = ((double) $x.$getX($i)) - ((double) $y.$getY($i));
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `CentroidSqDists(embedding, cents)` → `array<double>` of squared
   * euclidean distances to each codebook centroid, in codebook order.
   *

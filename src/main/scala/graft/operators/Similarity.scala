@@ -810,11 +810,7 @@ object Similarity {
         col("embedding").as("qv"))
       .join(coarse.select(col("cid"), col("vec_id"), col("embedding")), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("l2", expr(
-        """aggregate(sequence(0, 63), cast(0.0 as double),
-          |  (acc, i) -> acc + (cast(qv[i] as double) - cast(embedding[i] as double))
-          |                * (cast(qv[i] as double) - cast(embedding[i] as double)))"""
-          .stripMargin))
+      .withColumn("l2", expr("sq_dist(qv, embedding)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))))
       .filter(col("rank") <= 3)
@@ -925,11 +921,7 @@ object Similarity {
     val gt = broadcast(q0.select(col("query_id"), col("embedding").as("qv")))
       .join(asg.select(col("vec_id"), col("embedding")),
         col("vec_id") =!= col("query_id"))
-      .withColumn("l2", expr(
-        """aggregate(sequence(0, 63), cast(0.0 as double),
-          |  (acc, i) -> acc + (cast(qv[i] as double) - cast(embedding[i] as double))
-          |                * (cast(qv[i] as double) - cast(embedding[i] as double)))"""
-          .stripMargin))
+      .withColumn("l2", expr("sq_dist(qv, embedding)"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("l2"), col("vec_id"))))
       .filter(col("rk") <= 3)
